@@ -1,0 +1,221 @@
+"""EVM ABI event decoding (SURVEY §2.6 D1).
+
+Re-implements, Spark-first, the capability of the reference's
+``EVM_DECODE_EVENTS`` step (config at
+/root/reference/src/cherry_pipelines/evm/erc20_transfers.py:131-142):
+given an event signature like ``Transfer(address indexed from, address
+indexed to, uint256 amount)``, decode each log's ``topic1..topic3`` +
+``data`` into typed columns.  Indexed params are taken from topics in
+declaration order; non-indexed params from consecutive 32-byte words of
+``data``.  ``allow_decode_fail=True`` yields NULLs for rows that don't
+match (e.g. ERC-721 Transfers sharing topic0) instead of erroring.
+
+Supported static types (the subset the reference exercises, plus the
+common ones): address, uintN/intN, bool, bytesN.  uint256 decodes to
+``DecimalType(38,0)`` with overflow→NULL and the raw 32 bytes kept in a
+``<name>_raw`` BinaryType column for lossless round-trips (overflow
+policy: SURVEY §7.3).
+
+The hot path is :func:`decode_events_df`, which builds an Arrow-batched
+``mapInPandas`` over the logs table — Python runs only on the byte
+blobs, everything before/after stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_DEC38_MAX = 10**38 - 1
+
+
+@dataclass(frozen=True)
+class EventParam:
+    name: str
+    type: str
+    indexed: bool
+
+
+@dataclass(frozen=True)
+class EventSignature:
+    name: str
+    params: tuple[EventParam, ...]
+
+    @property
+    def canonical(self) -> str:
+        return f"{self.name}({','.join(p.type for p in self.params)})"
+
+
+_TYPE_RE = re.compile(r"^(address|bool|u?int(\d+)?|bytes(\d+)?)$")
+
+
+def parse_event_signature(signature: str) -> EventSignature:
+    m = re.match(r"^\s*(\w+)\s*\((.*)\)\s*$", signature, re.S)
+    if not m:
+        raise ValueError(f"bad event signature: {signature!r}")
+    name, body = m.group(1), m.group(2).strip()
+    params: list[EventParam] = []
+    if body:
+        for i, piece in enumerate(body.split(",")):
+            toks = piece.strip().split()
+            if not toks:
+                raise ValueError(f"bad parameter {i} in {signature!r}")
+            typ = toks[0]
+            if typ == "uint":
+                typ = "uint256"
+            if typ == "int":
+                typ = "int256"
+            if not _TYPE_RE.match(typ):
+                raise ValueError(f"unsupported ABI type {typ!r} (static subset only)")
+            indexed = "indexed" in toks[1:]
+            pname = toks[-1] if len(toks) > 1 and toks[-1] != "indexed" else f"param{i}"
+            params.append(EventParam(pname, typ, indexed))
+    return EventSignature(name, tuple(params))
+
+
+def spark_type_for(abi_type: str) -> T.DataType:
+    if abi_type == "address":
+        return T.BinaryType()  # 20 raw bytes; hex-render at the sink
+    if abi_type == "bool":
+        return T.BooleanType()
+    m = re.match(r"^(u?)int(\d+)$", abi_type)
+    if m:
+        bits = int(m.group(2))
+        if m.group(1) == "u":
+            if bits <= 32:
+                return T.LongType()
+            return T.DecimalType(38, 0)
+        if bits <= 64:
+            return T.LongType()
+        return T.DecimalType(38, 0)
+    if re.match(r"^bytes\d+$", abi_type):
+        return T.BinaryType()
+    raise ValueError(f"unsupported ABI type {abi_type!r}")
+
+
+def _decode_word(abi_type: str, word: bytes):
+    """Decode one 32-byte ABI word.  Returns (value, raw_or_None)."""
+    if len(word) != 32:
+        raise ValueError("short word")
+    if abi_type == "address":
+        if any(word[:12]):
+            raise ValueError("dirty address padding")
+        return word[12:], None
+    if abi_type == "bool":
+        return word[31] != 0, None
+    m = re.match(r"^(u?)int(\d+)$", abi_type)
+    if m:
+        bits = int(m.group(2))
+        if m.group(1) == "u":
+            v = int.from_bytes(word, "big")
+            if any(word[: 32 - bits // 8]):
+                raise ValueError("dirty uint padding")
+            if bits <= 32:
+                return v, None
+            # wide uint → Decimal(38,0), overflow→NULL, raw preserved
+            return (Decimal(v) if v <= _DEC38_MAX else None), word
+        v = int.from_bytes(word, "big", signed=True)
+        if bits <= 64:
+            return v, None
+        return (Decimal(v) if abs(v) <= _DEC38_MAX else None), word
+    m = re.match(r"^bytes(\d+)$", abi_type)
+    if m:
+        n = int(m.group(1))
+        return word[:n], None
+    raise ValueError(f"unsupported ABI type {abi_type!r}")
+
+
+def _wide_uint(abi_type: str) -> bool:
+    m = re.match(r"^(u?)int(\d+)$", abi_type)
+    return bool(m) and int(m.group(2)) > (32 if m.group(1) == "u" else 64)
+
+
+def output_schema(sig: EventSignature) -> T.StructType:
+    fields = []
+    for p in sig.params:
+        fields.append(T.StructField(p.name, spark_type_for(p.type), True))
+        if _wide_uint(p.type):
+            fields.append(T.StructField(f"{p.name}_raw", T.BinaryType(), True))
+    return T.StructType(fields)
+
+
+def decode_event_row(
+    sig: EventSignature,
+    topics: list[bytes | None],
+    data: bytes | None,
+) -> dict | None:
+    """Decode one log row; None on any mismatch (allow_decode_fail)."""
+    try:
+        out: dict = {}
+        topic_i = 1
+        data = data or b""
+        data_i = 0
+        for p in sig.params:
+            if p.indexed:
+                if topic_i >= len(topics) or topics[topic_i] is None:
+                    raise ValueError("missing topic")
+                word = topics[topic_i]
+                topic_i += 1
+            else:
+                word = data[data_i : data_i + 32]
+                data_i += 32
+            v, raw = _decode_word(p.type, word)
+            out[p.name] = v
+            if _wide_uint(p.type):
+                out[f"{p.name}_raw"] = raw
+        # strictness mirrors allow_decode_fail routing: extra topics (ERC-721
+        # tokenId in topic3) or leftover/short data mean a different event shape
+        if topic_i < len(topics) and topics[topic_i] is not None:
+            raise ValueError("extra topic")
+        if data_i != len(data):
+            raise ValueError("data length mismatch")
+        return out
+    except Exception:
+        return None
+
+
+def decode_events_df(
+    logs: DataFrame,
+    event_signature: str,
+    allow_decode_fail: bool = True,
+    topic_cols: tuple[str, ...] = ("topic1", "topic2", "topic3"),
+    data_col: str = "data",
+) -> DataFrame:
+    """Decode a logs DataFrame into ``<passthrough cols> + <decoded cols>``.
+
+    Pass-through columns are every input column except topics/data.
+    Rows that fail to decode get NULL decoded columns when
+    ``allow_decode_fail`` else are dropped.
+    """
+    sig = parse_event_signature(event_signature)
+    out_fields = output_schema(sig)
+    passthrough = [c for c in logs.columns if c not in (*topic_cols, data_col)]
+    schema = T.StructType(
+        [logs.schema[c] for c in passthrough] + list(out_fields.fields)
+    )
+    decoded_names = [f.name for f in out_fields.fields]
+    n_topics = len(topic_cols)
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                rec = rec._asdict()
+                topics: list[bytes | None] = [None] + [rec[c] for c in topic_cols]
+                decoded = decode_event_row(sig, topics, rec[data_col])
+                if decoded is None and not allow_decode_fail:
+                    continue
+                row = {c: rec[c] for c in passthrough}
+                if decoded is None:
+                    row.update({n: None for n in decoded_names})
+                else:
+                    row.update(decoded)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=passthrough + decoded_names)
+
+    return logs.select(*passthrough, *topic_cols, data_col).mapInPandas(mapper, schema)

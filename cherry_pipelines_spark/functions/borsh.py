@@ -1,0 +1,265 @@
+"""Solana borsh instruction decoding (SURVEY §2.6 D2).
+
+Re-implements, Spark-first, the capability of the reference's
+``SVM_DECODE_INSTRUCTIONS`` step: an ``InstructionSignature``
+(discriminator + borsh param types + account names — reference config
+shape at /root/reference/src/cherry_pipelines/svm/common_signatures.py:10-42
+and orca_swaps.py:48-173) drives a byte-level decoder of each
+instruction's ``data`` (after the discriminator prefix) into typed
+columns, and maps positional account keys ``a0..a9`` /
+``rest_of_accounts`` onto the declared account names.
+
+The type tree (``DynType``) covers everything the reference's
+signatures use: little-endian U8..U128 / I8..I128, Bool, Option(T)
+(1 tag byte), FixedArray(T, n), Array(T) (u32 length prefix),
+Struct(fields), Enum of unit variants (u8 index → variant-name string).
+
+Spark type mapping: U8/U16/U32 → long-compatible ints, U64 → long
+(values ≥ 2^63 → NULL, SURVEY §1.3 overflow policy), U128/I128 →
+Decimal(38,0) (overflow → NULL), Bool → boolean, FixedArray(U8,n) →
+binary, other arrays → ArrayType, Struct → StructType, Enum → string.
+
+Decoding is per-row byte parsing, so it runs as an Arrow-batched
+``mapInPandas`` — the only Python in the pipeline hot path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from decimal import Decimal
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+_DEC38_MAX = 10**38 - 1
+_I64_MAX = 2**63 - 1
+
+
+# ---------------------------------------------------------------- DynType tree
+@dataclass(frozen=True)
+class DynType:
+    pass
+
+
+@dataclass(frozen=True)
+class U8(DynType): ...
+@dataclass(frozen=True)
+class U16(DynType): ...
+@dataclass(frozen=True)
+class U32(DynType): ...
+@dataclass(frozen=True)
+class U64(DynType): ...
+@dataclass(frozen=True)
+class U128(DynType): ...
+@dataclass(frozen=True)
+class I8(DynType): ...
+@dataclass(frozen=True)
+class I16(DynType): ...
+@dataclass(frozen=True)
+class I32(DynType): ...
+@dataclass(frozen=True)
+class I64(DynType): ...
+@dataclass(frozen=True)
+class I128(DynType): ...
+@dataclass(frozen=True)
+class Bool(DynType): ...
+
+
+@dataclass(frozen=True)
+class Option(DynType):
+    inner: DynType
+
+
+@dataclass(frozen=True)
+class FixedArray(DynType):
+    inner: DynType
+    size: int
+
+
+@dataclass(frozen=True)
+class Array(DynType):
+    inner: DynType
+
+
+@dataclass(frozen=True)
+class Struct(DynType):
+    fields: tuple[tuple[str, DynType], ...]
+
+
+@dataclass(frozen=True)
+class Enum(DynType):
+    variants: tuple[str, ...]  # unit variants only (all the reference uses)
+
+
+_INT_SPEC: dict[type, tuple[int, bool]] = {
+    U8: (1, False), U16: (2, False), U32: (4, False), U64: (8, False), U128: (16, False),
+    I8: (1, True), I16: (2, True), I32: (4, True), I64: (8, True), I128: (16, True),
+}
+
+
+def spark_type_for(t: DynType) -> T.DataType:
+    if type(t) in (U8, U16, U32, I8, I16, I32):
+        return T.IntegerType() if type(t) in (U8, U16, I8, I16, I32) else T.LongType()
+    if type(t) in (U64, I64):
+        return T.LongType()
+    if type(t) in (U128, I128):
+        return T.DecimalType(38, 0)
+    if isinstance(t, Bool):
+        return T.BooleanType()
+    if isinstance(t, Option):
+        return spark_type_for(t.inner)
+    if isinstance(t, FixedArray):
+        if isinstance(t.inner, U8):
+            return T.BinaryType()
+        return T.ArrayType(spark_type_for(t.inner), True)
+    if isinstance(t, Array):
+        if isinstance(t.inner, U8):
+            return T.BinaryType()
+        return T.ArrayType(spark_type_for(t.inner), True)
+    if isinstance(t, Struct):
+        return T.StructType(
+            [T.StructField(n, spark_type_for(ft), True) for n, ft in t.fields]
+        )
+    if isinstance(t, Enum):
+        return T.StringType()
+    raise ValueError(f"unsupported DynType {t!r}")
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise ValueError("borsh: short buffer")
+        b = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+
+def _read_value(t: DynType, r: _Reader) -> Any:
+    spec = _INT_SPEC.get(type(t))
+    if spec is not None:
+        n, signed = spec
+        v = int.from_bytes(r.take(n), "little", signed=signed)
+        if type(t) is U64:
+            return v if v <= _I64_MAX else None
+        if type(t) in (U128, I128):
+            return Decimal(v) if abs(v) <= _DEC38_MAX else None
+        return v
+    if isinstance(t, Bool):
+        b = r.take(1)[0]
+        if b > 1:
+            raise ValueError("borsh: bad bool")
+        return b == 1
+    if isinstance(t, Option):
+        tag = r.take(1)[0]
+        if tag == 0:
+            return None
+        if tag != 1:
+            raise ValueError("borsh: bad option tag")
+        return _read_value(t.inner, r)
+    if isinstance(t, FixedArray):
+        if isinstance(t.inner, U8):
+            return r.take(t.size)
+        return [_read_value(t.inner, r) for _ in range(t.size)]
+    if isinstance(t, Array):
+        n = int.from_bytes(r.take(4), "little")
+        if isinstance(t.inner, U8):
+            return r.take(n)
+        return [_read_value(t.inner, r) for _ in range(n)]
+    if isinstance(t, Struct):
+        return {name: _read_value(ft, r) for name, ft in t.fields}
+    if isinstance(t, Enum):
+        idx = r.take(1)[0]
+        if idx >= len(t.variants):
+            raise ValueError("borsh: bad enum variant")
+        return t.variants[idx]
+    raise ValueError(f"unsupported DynType {t!r}")
+
+
+# --------------------------------------------------------- InstructionSignature
+@dataclass(frozen=True)
+class ParamInput:
+    name: str
+    dtype: DynType
+
+
+@dataclass(frozen=True)
+class InstructionSignature:
+    discriminator: bytes
+    params: tuple[ParamInput, ...]
+    accounts_names: tuple[str, ...]
+
+
+def decode_instruction_data(sig: InstructionSignature, data: bytes | None) -> dict | None:
+    """Decode one instruction's data (discriminator included); None on
+    mismatch/short buffer (decode-failure tolerance, SURVEY §4.12)."""
+    if data is None or not data.startswith(sig.discriminator):
+        return None
+    r = _Reader(data)
+    r.pos = len(sig.discriminator)
+    try:
+        out = {p.name: _read_value(p.dtype, r) for p in sig.params}
+    except ValueError:
+        return None
+    return out
+
+
+def decode_instructions_df(
+    instructions: DataFrame,
+    sig: InstructionSignature,
+    passthrough: tuple[str, ...] = (
+        "block_slot",
+        "transaction_index",
+        "instruction_address",
+    ),
+    data_col: str = "data",
+) -> DataFrame:
+    """Decode an instructions DataFrame: rows whose ``data`` starts with
+    the discriminator become ``<passthrough> + <account name cols> +
+    <param cols>``; non-matching / malformed rows are dropped (the
+    reference routes rows to decode steps by discriminator prefix first,
+    orca_swaps.py:240-261, so a mismatch here is malformed input).
+
+    Account mapping is a pure column rename: ``a0..a9`` →
+    ``accounts_names`` — done JVM-side before the decode UDF.
+    """
+    from pyspark.sql import functions as F
+
+    acct_cols = []
+    n_direct = min(len(sig.accounts_names), 10)
+    for i, aname in enumerate(sig.accounts_names[:n_direct]):
+        acct_cols.append(F.col(f"a{i}").alias(aname))
+    for j, aname in enumerate(sig.accounts_names[10:]):
+        acct_cols.append(F.element_at(F.col("rest_of_accounts"), j + 1).alias(aname))
+
+    pre = instructions.filter(
+        F.col(data_col).startswith(F.lit(sig.discriminator))
+    ).select(*passthrough, *acct_cols, data_col)
+
+    param_fields = [
+        T.StructField(p.name, spark_type_for(p.dtype), True) for p in sig.params
+    ]
+    keep = [c for c in pre.columns if c != data_col]
+    schema = T.StructType([pre.schema[c] for c in keep] + param_fields)
+    param_names = [p.name for p in sig.params]
+
+    def mapper(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                decoded = decode_instruction_data(sig, rec[data_col])
+                if decoded is None:
+                    continue
+                row = {c: rec[c] for c in keep}
+                row.update(decoded)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=keep + param_names)
+
+    return pre.mapInPandas(mapper, schema)

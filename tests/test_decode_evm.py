@@ -1,0 +1,85 @@
+"""Unit tests for the EVM ABI event decoder (SURVEY §2.6 D1) against
+hand-computed byte strings."""
+
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+from cherry_pipelines_spark.functions.abi import (
+    decode_event_row,
+    decode_events_df,
+    parse_event_signature,
+)
+
+SIG = "Transfer(address indexed from, address indexed to, uint256 amount)"
+
+
+def _addr_topic(addr20: bytes) -> bytes:
+    return b"\x00" * 12 + addr20
+
+
+def _u256(v: int) -> bytes:
+    return v.to_bytes(32, "big")
+
+
+def test_parse_signature():
+    sig = parse_event_signature(SIG)
+    assert [p.name for p in sig.params] == ["from", "to", "amount"]
+    assert [p.indexed for p in sig.params] == [True, True, False]
+    assert sig.canonical == "Transfer(address,address,uint256)"
+
+
+def test_decode_row_ok():
+    sig = parse_event_signature(SIG)
+    a, b = b"\x11" * 20, b"\x22" * 20
+    row = decode_event_row(sig, [None, _addr_topic(a), _addr_topic(b), None], _u256(12345))
+    assert row["from"] == a
+    assert row["to"] == b
+    assert row["amount"] == Decimal(12345)
+    assert row["amount_raw"] == _u256(12345)
+
+
+def test_decode_row_erc721_fails():
+    """ERC-721 Transfer shares topic0 but has tokenId in topic3 and empty
+    data — must decode to NULL, not error (allow_decode_fail)."""
+    sig = parse_event_signature(SIG)
+    a, b = b"\x11" * 20, b"\x22" * 20
+    row = decode_event_row(
+        sig, [None, _addr_topic(a), _addr_topic(b), _u256(7)], b""
+    )
+    assert row is None
+
+
+def test_decode_row_uint256_overflow_null():
+    sig = parse_event_signature(SIG)
+    a, b = b"\x11" * 20, b"\x22" * 20
+    big = 10**38  # > Decimal(38,0) max
+    row = decode_event_row(sig, [None, _addr_topic(a), _addr_topic(b), None], _u256(big))
+    assert row["amount"] is None
+    assert row["amount_raw"] == _u256(big)  # lossless raw survives
+
+
+def test_decode_events_df(spark):
+    a, b = b"\x11" * 20, b"\x22" * 20
+    rows = [
+        (1, 0, _addr_topic(a), _addr_topic(b), None, _u256(500)),
+        (1, 1, _addr_topic(a), _addr_topic(b), _u256(9), b""),  # ERC-721 → NULLs
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("block_number", T.LongType()),
+            T.StructField("log_index", T.LongType()),
+            T.StructField("topic1", T.BinaryType()),
+            T.StructField("topic2", T.BinaryType()),
+            T.StructField("topic3", T.BinaryType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    logs = spark.createDataFrame(rows, schema)
+    out = decode_events_df(logs, SIG).orderBy("log_index").collect()
+    assert len(out) == 2
+    assert bytes(out[0]["from"]) == a and out[0]["amount"] == Decimal(500)
+    assert out[1]["amount"] is None and out[1]["from"] is None
+
+    strict = decode_events_df(logs, SIG, allow_decode_fail=False)
+    assert strict.count() == 1

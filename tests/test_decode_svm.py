@@ -1,0 +1,149 @@
+"""Unit tests for the borsh instruction decoder (SURVEY §2.6 D2) against
+hand-computed byte strings covering the full DynType tree the reference
+signatures use (orca_swaps.py:48-173, meteora_swaps.py:37-130)."""
+
+import struct
+from decimal import Decimal
+
+from pyspark.sql import types as T
+
+from cherry_pipelines_spark.functions import borsh as B
+from cherry_pipelines_spark.functions.crypto import anchor_discriminator
+
+
+def test_scalars():
+    sig = B.InstructionSignature(
+        discriminator=b"\x09",
+        params=(
+            B.ParamInput("amount", B.U64()),
+            B.ParamInput("other_amount", B.U64()),
+            B.ParamInput("flag", B.Bool()),
+        ),
+        accounts_names=(),
+    )
+    data = b"\x09" + struct.pack("<QQ?", 1000, 2000, True)
+    out = B.decode_instruction_data(sig, data)
+    assert out == {"amount": 1000, "other_amount": 2000, "flag": True}
+
+
+def test_u128_and_overflow():
+    sig = B.InstructionSignature(
+        discriminator=anchor_discriminator("swap"),
+        params=(B.ParamInput("sqrt_price_limit", B.U128()),),
+        accounts_names=(),
+    )
+    v = 2**100
+    data = sig.discriminator + v.to_bytes(16, "little")
+    assert B.decode_instruction_data(sig, data)["sqrt_price_limit"] == Decimal(v)
+    big = 10**38
+    data = sig.discriminator + big.to_bytes(16, "little")
+    assert B.decode_instruction_data(sig, data)["sqrt_price_limit"] is None  # overflow→NULL
+
+
+def test_u64_ge_2_63_null():
+    sig = B.InstructionSignature(b"\x03", (B.ParamInput("amount", B.U64()),), ())
+    data = b"\x03" + (2**63).to_bytes(8, "little")
+    assert B.decode_instruction_data(sig, data)["amount"] is None
+
+
+def test_option_struct_fixed_array_enum():
+    inner = B.Struct(
+        (
+            ("kind", B.Enum(("base_in", "base_out"))),
+            ("vals", B.FixedArray(B.U8(), 4)),
+            ("tail", B.Array(B.U16())),
+        )
+    )
+    sig = B.InstructionSignature(
+        discriminator=b"\xaa\xbb",
+        params=(B.ParamInput("cfg", B.Option(inner)), B.ParamInput("n", B.U32())),
+        accounts_names=(),
+    )
+    # Option tag 1, enum variant 1, 4 raw bytes, array len 2 + two u16, then u32
+    data = (
+        b"\xaa\xbb"
+        + b"\x01"
+        + b"\x01"
+        + b"\xde\xad\xbe\xef"
+        + struct.pack("<I", 2)
+        + struct.pack("<HH", 7, 8)
+        + struct.pack("<I", 42)
+    )
+    out = B.decode_instruction_data(sig, data)
+    assert out["cfg"] == {"kind": "base_out", "vals": b"\xde\xad\xbe\xef", "tail": [7, 8]}
+    assert out["n"] == 42
+    # Option tag 0 → None
+    data0 = b"\xaa\xbb" + b"\x00" + struct.pack("<I", 5)
+    assert B.decode_instruction_data(sig, data0) == {"cfg": None, "n": 5}
+
+
+def test_malformed_returns_none():
+    sig = B.InstructionSignature(b"\x03", (B.ParamInput("amount", B.U64()),), ())
+    assert B.decode_instruction_data(sig, b"\x03\x01\x02") is None  # short
+    assert B.decode_instruction_data(sig, b"\x04" + b"\x00" * 8) is None  # wrong disc
+    assert B.decode_instruction_data(sig, None) is None
+
+
+def test_decode_instructions_df(spark):
+    """End-to-end: discriminator routing + account renames + decode."""
+    disc = anchor_discriminator("swap")
+    sig = B.InstructionSignature(
+        discriminator=disc,
+        params=(B.ParamInput("amount", B.U64()), B.ParamInput("a_to_b", B.Bool())),
+        accounts_names=("token_program", "token_authority", "whirlpool"),
+    )
+    mk = lambda amount, a2b: disc + struct.pack("<Q?", amount, a2b)
+    rows = [
+        (5, 0, [0], b"P1", b"A1", b"W1", mk(100, True)),
+        (5, 1, [1], b"P1", b"A2", b"W2", mk(200, False)),
+        (5, 2, [2], b"P1", b"A3", b"W3", b"\xff" + b"\x00" * 8),  # other disc → dropped
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("block_slot", T.LongType()),
+            T.StructField("transaction_index", T.LongType()),
+            T.StructField("instruction_address", T.ArrayType(T.IntegerType())),
+            T.StructField("a0", T.BinaryType()),
+            T.StructField("a1", T.BinaryType()),
+            T.StructField("a2", T.BinaryType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = B.decode_instructions_df(df, sig).orderBy("transaction_index").collect()
+    assert len(out) == 2
+    assert bytes(out[0]["whirlpool"]) == b"W1"
+    assert out[0]["amount"] == 100 and out[0]["a_to_b"] is True
+    assert out[1]["amount"] == 200 and out[1]["a_to_b"] is False
+
+
+def test_rest_of_accounts(spark):
+    """Accounts beyond a9 come from rest_of_accounts (17-account raydium
+    AMM instructions, FIXTURES.md)."""
+    sig = B.InstructionSignature(
+        discriminator=b"\x09",
+        params=(B.ParamInput("amount_in", B.U64()),),
+        accounts_names=tuple(f"acc{i}" for i in range(12)),
+    )
+    row = (
+        [1, 0, [0]]
+        + [bytes([65 + i]) for i in range(10)]  # a0..a9
+        + [[b"K10", b"K11"], b"\x09" + struct.pack("<Q", 777)]
+    )
+    fields = [
+        T.StructField("block_slot", T.LongType()),
+        T.StructField("transaction_index", T.LongType()),
+        T.StructField("instruction_address", T.ArrayType(T.IntegerType())),
+    ]
+    fields += [T.StructField(f"a{i}", T.BinaryType()) for i in range(10)]
+    fields += [
+        T.StructField("rest_of_accounts", T.ArrayType(T.BinaryType())),
+        T.StructField("data", T.BinaryType()),
+    ]
+    df = spark.createDataFrame([tuple(row)], T.StructType(fields))
+    out = B.decode_instructions_df(df, sig).collect()[0]
+    assert bytes(out["acc0"]) == b"A"
+    assert bytes(out["acc9"]) == b"J"
+    assert bytes(out["acc10"]) == b"K10"
+    assert bytes(out["acc11"]) == b"K11"
+    assert out["amount_in"] == 777
