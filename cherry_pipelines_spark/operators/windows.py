@@ -1,0 +1,46 @@
+"""Trailing-range window aggregation (SURVEY §2.3 J5 / §4.9).
+
+The reference computes 20-slot trailing VWAP windows as a non-equi
+range *self-join* followed by group-by
+(/root/reference/src/cherry_pipelines/svm/swap_prices.py:190-201):
+``join_where(right.block_slot >= left.block_slot - 20 AND
+right.block_slot <= left.block_slot)`` then ``group_by(...).agg(sum)``.
+
+A literal translation would plan a BroadcastNestedLoopJoin with
+quadratic fan-out.  The Spark-first form is a window aggregate:
+``Window.partitionBy(keys).orderBy(range_col).rangeBetween(-width, 0)``
+— one shuffle on the partition keys, O(n log n), no fan-out, and the
+same results row-for-row.  This is a deliberate semantic-preserving
+plan improvement over the reference (SURVEY §4.9).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def trailing_range_agg(
+    df: DataFrame,
+    range_col: str,
+    width: int,
+    aggs: dict[str, Column],
+    partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Append trailing-window aggregate columns.
+
+    ``aggs`` maps output column name → aggregate expression (e.g.
+    ``{"total_input": F.sum("input_amount")}``); each is evaluated over
+    ``[range_col - width, range_col]`` within ``partition_cols``.
+    """
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(range_col).cast("long"))
+        .rangeBetween(-width, 0)
+    )
+    out = df
+    for name, expr in aggs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out
