@@ -1,0 +1,179 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all expressed with built-in DataFrame ops (no UDFs) so
+they scale to 100 TB on shuffle behavior alone:
+
+* **exact** — sha256-hash groupBy; one shuffle on a 64-hex key.
+* **minhash + LSH** — shingle → k minhashes → b bands → bucket join;
+  candidate pairs come from equi-joins on (band, bucket-hash), never a
+  cross join.  The minhash uses the engine-portable ``(a*h32+b) % p``
+  family so a SQL oracle reproduces it bit-for-bit.
+* **simhash** — 16-bit sign-aggregated token-hash fingerprint; near-dup
+  candidates share the fingerprint (or a band of it).
+* **n-gram Jaccard** — exact pairwise Jaccard via a shingle equi-join
+  (|A∩B| from the join, |A|,|B| from per-doc counts) — no n² scan; the
+  join fans out only on shared shingles, and at scale is preceded by
+  the minhash-LSH candidate filter.
+
+Embedding-cosine near-dup lives in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.operators.text import h32, tokens
+
+# minhash family: h_i(x) = (a_i*x + b_i) mod p with p prime > 2^32 and
+# small deterministic coefficients (mirrored in the SQL oracle); all
+# arithmetic stays below 2^63 so plain BIGINT works on both engines
+MINHASH_P = 4294967311
+
+
+def _coeffs(k: int) -> list[tuple[int, int]]:
+    return [(37 + 12 * i, 101 + 97 * i) for i in range(k)]
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group by content hash; emit one row per content group with the
+    canonical (min) doc_id and the duplicate count."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def shingles_df(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (ngram - 1), F.lit(1)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(ngram)])
+    )
+    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", k: int = 8, ngram: int = 3
+) -> DataFrame:
+    """k-minhash signature per doc as k columns mh0..mh{k-1}."""
+    sh = shingles_df(df, text_col, ngram).withColumn("h", h32(F.col("shingle")))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_coeffs(k))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """LSH banding: split the k-signature into ``bands`` rows-per-band
+    groups, bucket docs by (band_id, band values), and emit candidate
+    pairs (doc_a < doc_b) that collide in ≥1 band.
+
+    Scale shape: one groupBy for signatures, one explode to b rows/doc,
+    one self-equi-join on the band key — shuffle keys are band hashes,
+    so skew only appears if many docs are near-identical (exactly the
+    case where the pairs are wanted)."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, k, ngram)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Sign-aggregated token-hash fingerprint: bit j of the output is 1
+    iff sum over tokens of sign((h32(token)>>j)&1) is positive."""
+    tok = df.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    ).withColumn("h", h32(F.col("token")))
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"w{j}")
+        for j in range(bits)
+    ]
+    weights = tok.groupBy("doc_id").agg(*bit_cols)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return weights.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    |A∩B| comes from the shingle equi-join; |A∪B| = |A|+|B|-|A∩B|.
+    Emits (doc_a < doc_b, jaccard) with jaccard ≥ threshold, in
+    decimal(18,6) for exact oracle comparison."""
+    sh = shingles_df(df, text_col, ngram)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
+    l, r = sh.alias("l"), sh.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            (
+                F.col("n_common").cast("decimal(18,6)")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("decimal(18,6)"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return out

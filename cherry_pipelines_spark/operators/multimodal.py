@@ -1,0 +1,80 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The container has no image/audio codecs, so the *decode kernels* are
+stubbed (deterministic fake or ``NotImplementedError``), but the
+Spark-side plumbing is real and tested: schema, Arrow batch shape,
+``mapInPandas`` signature, partition behavior — the parts that matter
+for running this on a cluster where the workers *do* have codecs.
+
+Design for 100 TB of media: blobs travel as ``binary`` columns inside
+Parquet row groups; metadata extraction is one Arrow-batched pass
+(``mapInPandas``), no per-row Python calls, no driver collection;
+downstream filters on extracted metadata (width, duration, codec) are
+ordinary pushdown-able columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("format_tag", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def _fake_decode(blob: bytes | None) -> tuple[int, str, int, int]:
+    """Deterministic stand-in for a real image decoder.
+
+    Real implementation would go through PIL/libvips here; the container
+    lacks codecs, so metadata is derived from the bytes deterministically
+    (keeps tests and oracles exact)."""
+    if blob is None:
+        return 0, "empty", 0, 0
+    n = len(blob)
+    tag = "png" if blob[:1] == b"\x89" else ("jpg" if blob[:1] == b"\xff" else "bin")
+    # fake dimensions derived from content length — stable and oracle-checkable
+    return n, tag, 64 + n % 512, 64 + (n * 7) % 512
+
+
+def extract_media_meta(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """Arrow-batched metadata extraction over binary media columns."""
+    out_schema = T.StructType(
+        [df.schema[id_col]] + list(MEDIA_META_SCHEMA.fields)
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_fake_decode(b) for b in pdf[blob_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": [m[0] for m in meta],
+                    "format_tag": [m[1] for m in meta],
+                    "width": [m[2] for m in meta],
+                    "height": [m[3] for m in meta],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(mapper, out_schema)
+
+
+def resize_stub(df: DataFrame, blob_col: str = "blob", max_px: int = 256) -> DataFrame:
+    """Placeholder for the real resize kernel: raises if reached — the
+    container has no codecs.  Kept so the operator surface (signature,
+    schema) is complete; swap ``_fake_decode``/this for PIL on a real
+    cluster."""
+    raise NotImplementedError(
+        "image resize requires a codec library not present in this container"
+    )

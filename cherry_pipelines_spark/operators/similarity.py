@@ -1,0 +1,168 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+* ``cosine_topk`` — brute-force cosine top-k: broadcast the (small)
+  query set against the corpus, dot products via ``F.zip_with`` +
+  ``F.aggregate`` (JVM-side, no Python), per-query top-k via a window.
+  This is the exactness baseline; cost is |Q|·|corpus|, parallel over
+  corpus partitions — fine whenever |Q| is bounded.
+* ``ivf_topk`` — IVF-style scale path: corpus and queries are assigned
+  to coarse buckets (quantized leading components as the cell id);
+  search only within the query's bucket.  Turns the cross product into
+  an equi-join on the cell id — at 100 TB this is the standard
+  recall/latency trade, and cells can be salted if skewed.
+* ``cosine_near_dup_pairs`` — embedding near-dup: pairs within the same
+  bucket whose cosine ≥ threshold (the embedding-space analogue of
+  minhash-LSH dedup).
+
+All cosine math is done in double; outputs are rounded to a fixed scale
+(decimal) for oracle-exact comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self): broadcast-join
+    queries × corpus, windowed top-k ordered by (cos desc, neighbor id)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), scale).cast(
+                f"decimal(18,{scale})"
+            ),
+        )
+        .drop("qvec", "cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def bucket_id(vec: Column, n_components: int = 2, grid: float = 0.5) -> Column:
+    """Coarse IVF cell id: quantize the first ``n_components`` values on a
+    ``grid``-sized lattice.  Engine-portable (floor + concat)."""
+    parts = [
+        F.floor(F.element_at(vec, i + 1).cast("double") / F.lit(grid)).cast("long")
+        for i in range(n_components)
+    ]
+    return F.concat_ws("_", *[p.cast("string") for p in parts])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    grid: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k: equi-join on the coarse cell id, then exact
+    cosine within the cell.  Misses neighbors in other cells (that's the
+    approximation; widen grid/probes for recall)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        bucket_id(F.col(vec_col), n_components, grid).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        bucket_id(F.col(vec_col), n_components, grid).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("qvec"), F.col("cvec")), scale).cast(
+                f"decimal(18,{scale})"
+            ),
+        )
+        .drop("qvec", "cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cell", "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = "label",
+    scale: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold.  ``group_col`` (or the
+    IVF cell if None) bounds the candidate set to an equi-join."""
+    key = F.col(group_col) if group_col else bucket_id(F.col(vec_col))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), key.alias("g")
+    )
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
+        .withColumn(
+            "cos",
+            F.round(cosine(F.col("l.v"), F.col("r.v")), scale).cast(
+                f"decimal(18,{scale})"
+            ),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.g").alias("group_key"),
+            "cos",
+        )
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All pure ``pyspark.sql.functions`` compositions — no Python UDFs — so
+every operator stays inside whole-stage codegen and scales linearly
+with executors.  Each has an exact ANSI-SQL equivalent (used as the
+DuckDB oracle in ``__spark_entry__``).
+
+The shared 32-bit deterministic hash ``h32(s) = int(sha256(s)[:8
+hex])`` is engine-portable (identical in Spark and DuckDB), which is
+what makes minhash/simhash oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic.  Deliberately small and fixed so the SQL oracle can inline
+# them.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+# BPE-ish token pieces: runs of letters, runs of digits, or a single
+# non-alphanumeric non-space character.
+BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def h32(col: Column) -> Column:
+    """Deterministic 32-bit hash shared with the DuckDB oracle:
+    first 8 hex chars of sha256, parsed base-16."""
+    return F.conv(F.substring(F.sha2(col, 256), 1, 8), 16, 10).cast("long")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens (documents are single-space separated)."""
+    return F.split(col, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex pieces."""
+    t = tokens(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(t).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX))).cast("long").alias("bpe_tokens"),
+        F.length(text_col).cast("long").alias("n_chars_computed"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / punctuation / stopword ratios + a
+    composite score, all in fixed decimal so the oracle matches exactly."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_stop = F.size(F.filter(t, lambda w: w.isin(*STOPWORDS)))
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
+    )
+    mean_word_len = (
+        (F.length(text_col) - n_tok + 1).cast("decimal(18,6)")
+        / n_tok.cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+    stop_ratio = (n_stop.cast("decimal(18,6)") / n_tok.cast("decimal(18,6)")).cast(
+        "decimal(18,6)"
+    )
+    punct_ratio = (
+        n_punct.cast("decimal(18,6)") / F.length(text_col).cast("decimal(18,6)")
+    ).cast("decimal(18,6)")
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        mean_word_len.alias("mean_word_len"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: count marker-word hits per language,
+    argmax with deterministic tie-break on language code."""
+    t = tokens(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(F.filter(t, lambda w: w.isin(*words))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    # argmax by (hits, lang) — array_max on structs compares fieldwise;
+    # ties broken by the *larger* lang code, deterministic on both engines
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["hits"].cast("long").alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
+    """Document fingerprint: min/max rolling hash over word n-grams
+    (winnowing-lite).  One deterministic 32-bit value per document."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - (ngram - 1), F.lit(1)))
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(ngram)]
+        ),
+    )
+    hashes = F.transform(shingles, lambda s: h32(s))
+    return df.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(hashes).cast("long").alias("n_shingles"),
+    )
