@@ -404,6 +404,409 @@ SELECT 'events', min(event_id)::BIGINT, max(event_id)::BIGINT FROM events
 
 
 # =====================================================================
+# §2.6 decoders — driver-checked roundtrips (binary payloads built in
+# SQL on both engines, decoded by the pandas-UDF kernels, compared
+# against direct computation)
+# =====================================================================
+
+def q_evm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: ABI-decode Transfer logs synthesized from orders.  Rows with
+    o_orderstatus='F' get a topic3 (ERC-721 shape) and must decode to
+    NULL (allow_decode_fail), mirroring erc20_transfers.py:131-142."""
+    from cherry_pipelines_spark.functions.abi import decode_events_df
+
+    (o,) = _load(spark, sf_dir, "orders")
+    pad64 = lambda c: F.unhex(F.lpad(F.hex(c), 64, "0"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    logs = o.select(
+        F.col("o_orderkey").alias("log_index"),
+        pad64(F.col("o_custkey")).alias("topic1"),
+        pad64(F.col("o_orderkey")).alias("topic2"),
+        F.when(F.col("o_orderstatus") == "F", pad64(F.lit(1))).alias("topic3"),
+        F.when(F.col("o_orderstatus") == "F", F.unhex(F.lit("")))
+        .otherwise(pad64(cents))
+        .alias("data"),
+    )
+    dec = decode_events_df(
+        logs, "Transfer(address indexed from, address indexed to, uint256 amount)"
+    )
+    return dec.select(
+        "log_index",
+        F.hex(F.col("from")).alias("from_hex"),
+        F.hex(F.col("to")).alias("to_hex"),
+        F.col("amount").cast("long").alias("amount"),
+    )
+
+
+ORACLE_EVM_DECODE = """
+SELECT o_orderkey AS log_index,
+       CASE WHEN o_orderstatus = 'F' THEN NULL
+            ELSE upper(lpad(to_hex(o_custkey), 40, '0')) END AS from_hex,
+       CASE WHEN o_orderstatus = 'F' THEN NULL
+            ELSE upper(lpad(to_hex(o_orderkey), 40, '0')) END AS to_hex,
+       CASE WHEN o_orderstatus = 'F' THEN NULL
+            ELSE round(o_totalprice * 100)::BIGINT END AS amount
+FROM orders
+"""
+
+
+def _le_hex(col, n_bytes: int):
+    """Little-endian hex of an integer column (engine-portable byte swap)."""
+    h = F.lpad(F.hex(col), n_bytes * 2, "0")
+    parts = [F.substring(h, i * 2 + 1, 2) for i in reversed(range(n_bytes))]
+    return F.concat(*parts)
+
+
+def q_borsh_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: borsh-decode instructions synthesized from events (SPL-transfer
+    shape: 1-byte discriminator 0x09 + u64 LE amount + bool flag)."""
+    from cherry_pipelines_spark.functions import borsh as B
+
+    (e,) = _load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    flag_hex = F.when(F.col("event_type") == "click", F.lit("01")).otherwise(F.lit("00"))
+    ins = e.select(
+        F.col("event_id").alias("event_id"),
+        F.unhex(F.concat(F.lit("09"), _le_hex(cents, 8), flag_hex)).alias("data"),
+    )
+    sig = B.InstructionSignature(
+        discriminator=b"\x09",
+        params=(B.ParamInput("amount", B.U64()), B.ParamInput("is_click", B.Bool())),
+        accounts_names=(),
+    )
+    return B.decode_instructions_df(ins, sig, passthrough=("event_id",)).select(
+        "event_id", "amount", "is_click"
+    )
+
+
+ORACLE_BORSH_DECODE = """
+SELECT event_id, round(value * 100)::BIGINT AS amount,
+       (event_type = 'click') AS is_click
+FROM events
+"""
+
+
+# =====================================================================
+# LLM-data operators (BASELINE.json north-star): dedup, similarity,
+# text analysis, multimodal plumbing
+# =====================================================================
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.dedup import exact_duplicates
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return exact_duplicates(d)
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT sha256(text) AS content_hash, min(doc_id)::BIGINT AS canonical_doc_id,
+       count(*)::BIGINT AS n_copies
+FROM documents GROUP BY sha256(text)
+"""
+
+_SHINGLE_CTE = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (SELECT doc_id,
+               unnest([concat_ws(' ', t[i], t[i+1], t[i+2])
+                       for i in generate_series(1, greatest(len(t)-2, 1))]) AS shingle
+        FROM tok),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+h AS (SELECT doc_id, ('0x' || substr(sha256(shingle), 1, 8))::BIGINT AS h FROM sh)
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.dedup import minhash_lsh_candidates
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, k=8, bands=4)
+
+
+ORACLE_MINHASH_LSH = _SHINGLE_CTE + """,
+sig AS (SELECT doc_id,
+    min((37*h+101) % 4294967311) AS mh0, min((49*h+198) % 4294967311) AS mh1,
+    min((61*h+295) % 4294967311) AS mh2, min((73*h+392) % 4294967311) AS mh3,
+    min((85*h+489) % 4294967311) AS mh4, min((97*h+586) % 4294967311) AS mh5,
+    min((109*h+683) % 4294967311) AS mh6, min((121*h+780) % 4294967311) AS mh7
+    FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS key FROM sig
+  UNION ALL SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 2, mh4::VARCHAR || '_' || mh5::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 3, mh6::VARCHAR || '_' || mh7::VARCHAR FROM sig)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.dedup import simhash
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return simhash(d, bits=16)
+
+
+ORACLE_SIMHASH = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(sha256(token), 1, 8))::BIGINT AS h FROM tok),
+bits AS (SELECT doc_id, j,
+                sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS w
+         FROM h, generate_series(0, 15) AS g(j) GROUP BY doc_id, j)
+SELECT doc_id,
+       sum(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.1)
+
+
+ORACLE_NGRAM_JACCARD = _SHINGLE_CTE + """,
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::BIGINT AS n_common
+          FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          GROUP BY l.doc_id, r.doc_id)
+SELECT doc_a, doc_b, n_common,
+       round(n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE, 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE, 6) >= 0.1
+"""
+
+
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.similarity import cosine_topk
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    queries_df = em.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(em, queries_df, k=5).select(
+        "query_id", "neighbor_id", F.col("cos").cast("double").alias("cos"), "rank"
+    )
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT query_id, vec_id AS neighbor_id,
+             round(list_cosine_similarity(qv::DOUBLE[], embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings, q WHERE vec_id <> query_id),
+r AS (SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.similarity import ivf_topk
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    queries_df = em.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(em, queries_df, k=3).select(
+        "query_id", "neighbor_id", "cell", F.col("cos").cast("double").alias("cos"), "rank"
+    )
+
+
+ORACLE_IVF_TOPK = """
+WITH cells AS (
+  SELECT vec_id, embedding,
+         floor(embedding[1]::DOUBLE / 0.5)::BIGINT::VARCHAR || '_' ||
+         floor(embedding[2]::DOUBLE / 0.5)::BIGINT::VARCHAR AS cell
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM cells WHERE vec_id % 50 = 0),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.cell,
+             round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+      FROM cells c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id),
+r AS (SELECT query_id, neighbor_id, cell, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::BIGINT AS rank
+      FROM s)
+SELECT query_id, neighbor_id, cell, cos, rank FROM r WHERE rank <= 3
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.similarity import cosine_near_dup_pairs
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(em, threshold=0.3, group_col="label").select(
+        "id_a", "id_b",
+        F.col("group_key").cast("long").alias("group_key"),
+        F.col("cos").cast("double").alias("cos"),
+    )
+
+
+ORACLE_NEAR_DUP = """
+SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.label::BIGINT AS group_key,
+       round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings l JOIN embeddings r ON l.label = r.label AND l.vec_id < r.vec_id
+WHERE round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) >= 0.3
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.text import language_id
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return language_id(d)
+
+
+ORACLE_LANGID = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hits AS (SELECT doc_id,
+  len(list_filter(t, w -> w IN ('the','and','of','to','a')))::BIGINT AS h_en,
+  len(list_filter(t, w -> w IN ('el','la','de','que','y')))::BIGINT AS h_es,
+  len(list_filter(t, w -> w IN ('der','die','und','das','ist')))::BIGINT AS h_de,
+  len(list_filter(t, w -> w IN ('le','la','et','les','des')))::BIGINT AS h_fr
+  FROM tok)
+SELECT doc_id,
+  CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       WHEN h_en >= h_de THEN 'en'
+       ELSE 'de' END AS pred_lang,
+  greatest(h_en, h_es, h_de, h_fr) AS marker_hits
+FROM hits
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.text import quality_score
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return quality_score(d)
+
+
+ORACLE_QUALITY = """
+WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, len(t)::BIGINT AS n_tokens,
+  round((length(text) - len(t) + 1)::DOUBLE / len(t)::DOUBLE, 6) AS mean_word_len,
+  round(len(list_filter(t, w -> w IN ('the','a','an','of','to','and','in','is','it','that')))::DOUBLE / len(t)::DOUBLE, 6) AS stop_ratio,
+  round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)::DOUBLE, 6) AS punct_ratio
+FROM tok
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.text import token_stats
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return token_stats(d)
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id, len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))::BIGINT AS bpe_tokens,
+       length(text)::BIGINT AS n_chars_computed
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cherry_pipelines_spark.operators.text import fingerprint
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return fingerprint(d)
+
+
+ORACLE_FINGERPRINT = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT doc_id, greatest(len(t)-2, 1) AS n_sh,
+              unnest([concat_ws(' ', t[i], t[i+1], t[i+2])
+                      for i in generate_series(1, greatest(len(t)-2, 1))]) AS shingle
+       FROM tok),
+h AS (SELECT doc_id, n_sh, ('0x' || substr(sha256(shingle), 1, 8))::BIGINT AS h FROM sh)
+SELECT doc_id, min(h) AS fp_min, max(h) AS fp_max, any_value(n_sh)::BIGINT AS n_shingles
+FROM h GROUP BY doc_id
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media-column plumbing: utf-8 blobs through the Arrow-batched
+    metadata extractor (decode kernel is a deterministic stub — the
+    container has no codecs; the Spark plumbing is real)."""
+    from cherry_pipelines_spark.operators.multimodal import extract_media_meta
+
+    (d,) = _load(spark, sf_dir, "documents")
+    blobs = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("blob")
+    )
+    out = extract_media_meta(blobs)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        "format_tag",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id, length(text)::BIGINT AS n_bytes, 'bin' AS format_tag,
+       (64 + length(text) % 512)::BIGINT AS width,
+       (64 + (length(text) * 7) % 512)::BIGINT AS height
+FROM documents
+"""
+
+
+def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 streaming: Structured Streaming micro-batch over the events
+    parquet (complete-mode agg to a memory sink, driven to completion)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # epoch nanos
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    # the streaming file source needs a *directory*; shim one around the
+    # single-file fixture with a symlink
+    import hashlib as _hl
+    import tempfile as _tf
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    shim = os.path.join(
+        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
+    )
+    os.makedirs(shim, exist_ok=True)
+    link = os.path.join(shim, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(shim)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_agg_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_agg_out")
+
+
+ORACLE_STREAM = """
+SELECT event_type, count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# =====================================================================
 # public contract
 # =====================================================================
 
@@ -420,7 +823,23 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rownum_topk": q_window_rownum_topk,
     "boolean_split_swap": q_boolean_split_swap,
     "minmax_checkpoint": q_minmax_checkpoint,
+    "evm_decode": q_evm_decode,
+    "borsh_decode": q_borsh_decode,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "similarity_cosine_topk": q_similarity_cosine_topk,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "stream_windowed": q_stream_windowed,
 }
+
 
 _ORACLES: dict[str, str] = {
     "pricing_summary": ORACLE_PRICING,
@@ -435,6 +854,21 @@ _ORACLES: dict[str, str] = {
     "window_rownum_topk": ORACLE_ROWNUM,
     "boolean_split_swap": ORACLE_BOOL_SPLIT,
     "minmax_checkpoint": ORACLE_MINMAX,
+    "evm_decode": ORACLE_EVM_DECODE,
+    "borsh_decode": ORACLE_BORSH_DECODE,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "similarity_cosine_topk": ORACLE_COSINE_TOPK,
+    "similarity_ivf_topk": ORACLE_IVF_TOPK,
+    "embedding_near_dup": ORACLE_NEAR_DUP,
+    "text_langid": ORACLE_LANGID,
+    "text_quality": ORACLE_QUALITY,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "multimodal_meta": ORACLE_MULTIMODAL,
+    "stream_windowed": ORACLE_STREAM,
 }
 
 

@@ -166,12 +166,11 @@ def ngram_jaccard_pairs(
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            (
-                F.col("n_common").cast("decimal(18,6)")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast(
-                    "decimal(18,6)"
-                )
-            ).cast("decimal(18,6)"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")).cast("double"),
+                6,
+            ),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "n_common", "jaccard")

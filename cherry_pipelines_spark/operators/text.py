@@ -49,7 +49,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
         F.size(t).cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX))).cast("long").alias("bpe_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_REGEX), 0)).cast("long").alias("bpe_tokens"),
         F.length(text_col).cast("long").alias("n_chars_computed"),
     )
 
@@ -63,16 +63,15 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), r"[.,!?;:]", "")
     )
-    mean_word_len = (
-        (F.length(text_col) - n_tok + 1).cast("decimal(18,6)")
-        / n_tok.cast("decimal(18,6)")
-    ).cast("decimal(18,6)")
-    stop_ratio = (n_stop.cast("decimal(18,6)") / n_tok.cast("decimal(18,6)")).cast(
-        "decimal(18,6)"
+    # ratios in IEEE double + fixed rounding: bit-identical across engines
+    # (decimal division scale rules differ between engines; double doesn't)
+    mean_word_len = F.round(
+        (F.length(text_col) - n_tok + 1).cast("double") / n_tok.cast("double"), 6
     )
-    punct_ratio = (
-        n_punct.cast("decimal(18,6)") / F.length(text_col).cast("decimal(18,6)")
-    ).cast("decimal(18,6)")
+    stop_ratio = F.round(n_stop.cast("double") / n_tok.cast("double"), 6)
+    punct_ratio = F.round(
+        n_punct.cast("double") / F.length(text_col).cast("double"), 6
+    )
     return df.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
