@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cherry_pipelines_spark.operators.text import fan_out as _fan_out
 from cherry_pipelines_spark.operators.text import h32, tokens
 
 # minhash family: h_i(x) = (a_i*x + b_i) mod p with p prime > 2^32 and
@@ -56,7 +57,7 @@ def shingles_df(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFr
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(ngram)])
     )
-    return df.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return _fan_out(df).select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def minhash_signatures(
@@ -100,26 +101,32 @@ def minhash_lsh_candidates(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # single-pass bucket expansion instead of a self-join: the signature
+    # subtree is computed once, buckets collapse in one shuffle, and
+    # pairs are generated inside each (band, key) bucket.  Buckets are
+    # tiny unless docs are near-identical — exactly when pairs are the
+    # desired output.
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (a, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), b -> "
+                "struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.distinct()
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """Sign-aggregated token-hash fingerprint: bit j of the output is 1
     iff sum over tokens of sign((h32(token)>>j)&1) is positive."""
-    tok = df.select(
+    tok = _fan_out(df).select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
     ).withColumn("h", h32(F.col("token")))
     bit_cols = [

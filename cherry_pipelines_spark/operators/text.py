@@ -32,6 +32,17 @@ STOPWORDS = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
 BPE_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Small inputs often arrive as one parquet partition; the
+    explode/hash chains here are CPU-bound, so spread them across the
+    cluster first.  No-op-cheap at scale (already-parallel inputs skip
+    the shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def h32(col: Column) -> Column:
     """Deterministic 32-bit hash shared with the DuckDB oracle:
     first 8 hex chars of sha256, parsed base-16."""
@@ -115,7 +126,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFr
         ),
     )
     hashes = F.transform(shingles, lambda s: h32(s))
-    return df.select(
+    return fan_out(df).select(
         "doc_id",
         F.array_min(hashes).alias("fp_min"),
         F.array_max(hashes).alias("fp_max"),
