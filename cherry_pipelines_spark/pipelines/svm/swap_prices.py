@@ -1,0 +1,212 @@
+"""Derived swap-prices pipeline — capability parity with
+/root/reference/src/cherry_pipelines/svm/swap_prices.py: reads the
+materialized ``raydium_swaps`` table back, computes 20-slot trailing
+VWAP prices for WSOL (vs USD coins) and for tokens (vs priced outputs),
+in fixed-point Decimal(38,9), with 200-slot batches and 20-slot
+lookback refetch.
+
+Spark-first plan improvement (SURVEY §4.9): the reference's non-equi
+``join_where`` range self-join + group_by (swap_prices.py:190-201,
+272-283) is re-expressed as a ``rangeBetween(-20, 0)`` window.  The
+reference's group-by also *multiplies* window sums by the number of
+anchor rows sharing a slot (each anchor row of a slot contributes one
+copy of the window to the slot's group) — reproduced here by summing
+the per-row window totals per (slot[, mint]): n_rows × window_sum,
+identical numbers, including the inflated ``window_total_amount`` and
+threshold behavior.  The price ratio is unaffected (the multiplier
+cancels in total_output / total_input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.engine.checkpoint import get_min_block, get_next_block
+from cherry_pipelines_spark.functions.crypto import base58_decode
+from cherry_pipelines_spark.sinks.parquet import ParquetSink
+
+TABLE_NAME = "swap_prices"
+
+WINDOW_RANGE = 20
+BATCH_RANGE = 200
+DECIMALS = 9
+USD_DECIMALS = 6
+USD_PRICE = 10 ** (DECIMALS - USD_DECIMALS)  # = 1000 raw units
+TOTAL_AMOUNT_THRESHOLD = USD_PRICE * 1_000_000
+
+USDC = base58_decode("EPjFWdd5AufqSSqeM2qN1xzybapC8G4wEGGkZwyTDt1v")
+USDT = base58_decode("Es9vMFrzaCERmJfrF4H2FYD4KCoNkY11McCe8BenwNYB")
+USD_COINS = (USDC, USDT)
+WSOL = base58_decode("So11111111111111111111111111111111111111112")
+
+DEC = "decimal(38,9)"
+
+
+def _directional_swaps(swaps: DataFrame) -> DataFrame:
+    """Decimal casts + bidirectional union + USD/WSOL filter
+    (swap_prices.py:151-183): each swap contributes both directions,
+    then keep rows whose input is NOT a USD coin and whose output is
+    WSOL or a USD coin."""
+    base = swaps.select(
+        F.col("input_amount").cast(DEC).alias("input_amount"),
+        F.col("output_amount").cast(DEC).alias("output_amount"),
+        "input_mint",
+        "output_mint",
+        "block_slot",
+        "timestamp",
+    )
+    flipped = swaps.select(
+        F.col("output_amount").cast(DEC).alias("input_amount"),
+        F.col("input_amount").cast(DEC).alias("output_amount"),
+        F.col("output_mint").alias("input_mint"),
+        F.col("input_mint").alias("output_mint"),
+        "block_slot",
+        "timestamp",
+    )
+    both = base.unionByName(flipped)
+    # set membership on binary columns as an explicit OR chain (P8)
+    out_usd = (F.col("output_mint") == F.lit(USD_COINS[0])) | (
+        F.col("output_mint") == F.lit(USD_COINS[1])
+    )
+    in_usd = (F.col("input_mint") == F.lit(USD_COINS[0])) | (
+        F.col("input_mint") == F.lit(USD_COINS[1])
+    )
+    return both.filter(
+        (~in_usd) & ((F.col("output_mint") == F.lit(WSOL)) | out_usd)
+    )
+
+
+def _windowed_totals(
+    df: DataFrame, from_block: int, partition_cols: tuple[str, ...]
+) -> DataFrame:
+    """Trailing 20-slot totals, replicating the reference's
+    join+group_by fan-out: per-row window sums, then summed per
+    (slot[, mint]) group — total = n_anchor_rows × window_sum."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col("block_slot").cast("long"))
+        .rangeBetween(-WINDOW_RANGE, 0)
+    )
+    per_row = df.withColumn("w_input", F.sum("input_amount").over(w)).withColumn(
+        "w_output", F.sum("output_amount").over(w)
+    )
+    # anchors must be inside the batch proper (lookback rows only feed
+    # windows; swap_prices.py:193,274)
+    per_row = per_row.filter(F.col("block_slot") >= from_block)
+    return per_row.groupBy("block_slot", *partition_cols, "timestamp").agg(
+        F.sum("w_input").cast(DEC).alias("total_input"),
+        F.sum("w_output").cast(DEC).alias("total_output"),
+    )
+
+
+def compute_prices(
+    spark: SparkSession, swaps: DataFrame, from_block: int, to_block: int
+) -> DataFrame:
+    """One batch of the derived pipeline (swap_prices.py:149-300).
+    ``swaps`` must already include the 20-slot lookback rows."""
+    data = _directional_swaps(
+        swaps.filter((F.col("input_amount") != 0) & (F.col("output_amount") != 0))
+    )
+
+    # --- WSOL price from sol→usd swaps (swap_prices.py:185-219) ---
+    out_usd = (F.col("output_mint") == F.lit(USD_COINS[0])) | (
+        F.col("output_mint") == F.lit(USD_COINS[1])
+    )
+    sol_to_usd = data.filter((F.col("input_mint") == F.lit(WSOL)) & out_usd)
+    sol_totals = _windowed_totals(sol_to_usd, from_block, ())
+    sol_prices = (
+        sol_totals.filter(F.col("total_output") > TOTAL_AMOUNT_THRESHOLD)
+        .select(
+            (
+                (F.col("total_output") / F.col("total_input")).cast(DEC)
+                * F.lit(USD_PRICE).cast(DEC)
+            )
+            .cast(DEC)
+            .alias("price"),
+            "block_slot",
+            F.lit(WSOL).alias("mint"),
+            "timestamp",
+            (F.col("total_output") / 1000).cast(DEC).alias("window_total_amount"),
+        )
+    )
+
+    # --- constant USD prices for every slot in the batch (:221-250) ---
+    usd_frames = None
+    for coin in USD_COINS:
+        f = spark.range(from_block, to_block + 1).select(
+            F.lit(USD_PRICE).cast(DEC).alias("price"),
+            F.col("id").alias("block_slot"),
+            F.lit(coin).alias("mint"),
+        )
+        usd_frames = f if usd_frames is None else usd_frames.unionByName(f)
+    prices = sol_prices.select("price", "block_slot", "mint").unionByName(usd_frames)
+
+    # --- token prices vs priced outputs (:252-298) ---
+    token_swaps = (
+        data.filter(F.col("input_mint") != F.lit(WSOL))
+        .join(
+            prices.withColumnRenamed("mint", "output_mint").withColumnRenamed(
+                "price", "out_price"
+            ),
+            on=["output_mint", "block_slot"],
+            how="inner",
+        )
+        .withColumn(
+            "output_price", (F.col("output_amount") * F.col("out_price")).cast(DEC)
+        )
+    )
+    token_window_input = token_swaps.select(
+        "block_slot",
+        "timestamp",
+        F.col("input_mint"),
+        F.col("input_amount"),
+        F.col("output_price").alias("output_amount"),  # reuse the window helper
+    )
+    token_totals = _windowed_totals(token_window_input, from_block, ("input_mint",))
+    token_prices = token_totals.select(
+        (F.col("total_output") / F.col("total_input")).cast(DEC).alias("price"),
+        "block_slot",
+        F.col("input_mint").alias("mint"),
+        "timestamp",
+        (F.col("total_output") / 1000).cast(DEC).alias("window_total_amount"),
+    )
+
+    return sol_prices.unionByName(token_prices)
+
+
+def run(
+    spark: SparkSession,
+    raydium_swaps_path: str,
+    sink_path: str,
+    from_block: int = 0,
+) -> int:
+    """Batch loop with 200-slot batches + 20-slot lookback
+    (swap_prices.py:86-317): bounds from the source table's min/max,
+    resume from the sink's max block."""
+    src = spark.read.parquet(raydium_swaps_path)
+    min_block = get_min_block(spark, raydium_swaps_path, "block_slot")
+    end_block = get_next_block(spark, raydium_swaps_path, "block_slot")
+    sink = ParquetSink(
+        base_path=sink_path, anchor_table=TABLE_NAME, block_column="block_slot"
+    )
+    next_block = sink.next_block(spark)
+    start = max(from_block, next_block)
+    if min_block is not None:
+        start = max(start, min_block)
+    if start >= end_block:
+        return 0
+    start = start + WINDOW_RANGE
+    n_batches = 0
+    cur = start
+    while cur < end_block:
+        batch_end = min(end_block - 1, cur + BATCH_RANGE)
+        window_src = src.filter(
+            (F.col("block_slot") >= max(0, cur - WINDOW_RANGE))
+            & (F.col("block_slot") <= batch_end)
+        )
+        prices = compute_prices(spark, window_src, cur, batch_end)
+        sink.write(spark, {TABLE_NAME: prices}, cur, batch_end)
+        cur += BATCH_RANGE + 1
+        n_batches += 1
+    return n_batches
