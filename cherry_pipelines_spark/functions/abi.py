@@ -202,20 +202,32 @@ def decode_events_df(
     n_topics = len(topic_cols)
 
     def mapper(batches):
+        # column-wise accumulation: per-row work touches only the byte
+        # blobs; no per-row dicts / DataFrame-from-records
         for pdf in batches:
-            rows = []
-            for rec in pdf.itertuples(index=False):
-                rec = rec._asdict()
-                topics: list[bytes | None] = [None] + [rec[c] for c in topic_cols]
-                decoded = decode_event_row(sig, topics, rec[data_col])
-                if decoded is None and not allow_decode_fail:
-                    continue
-                row = {c: rec[c] for c in passthrough}
+            topic_arrays = [pdf[c].to_numpy() for c in topic_cols]
+            data_arr = pdf[data_col].to_numpy()
+            out_cols: dict[str, list] = {name: [] for name in decoded_names}
+            keep: list[int] = []
+            for i in range(len(pdf)):
+                topics: list[bytes | None] = [None] + [a[i] for a in topic_arrays]
+                decoded = decode_event_row(sig, topics, data_arr[i])
                 if decoded is None:
-                    row.update({n: None for n in decoded_names})
+                    if not allow_decode_fail:
+                        continue
+                    for name in decoded_names:
+                        out_cols[name].append(None)
                 else:
-                    row.update(decoded)
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=passthrough + decoded_names)
+                    for name in decoded_names:
+                        out_cols[name].append(decoded.get(name))
+                keep.append(i)
+            base = (
+                pdf[list(passthrough)].reset_index(drop=True)
+                if len(keep) == len(pdf)
+                else pdf.iloc[keep][list(passthrough)].reset_index(drop=True)
+            )
+            for name in decoded_names:
+                base[name] = pd.Series(out_cols[name], dtype=object)
+            yield base
 
     return logs.select(*passthrough, *topic_cols, data_col).mapInPandas(mapper, schema)

@@ -251,15 +251,26 @@ def decode_instructions_df(
     param_names = [p.name for p in sig.params]
 
     def mapper(batches):
+        # column-wise accumulation (same pattern as abi.decode_events_df):
+        # the per-row loop touches only the data blob, never row dicts
         for pdf in batches:
-            rows = []
-            for rec in pdf.to_dict("records"):
-                decoded = decode_instruction_data(sig, rec[data_col])
+            data_arr = pdf[data_col].to_numpy()
+            out_cols: dict[str, list] = {name: [] for name in param_names}
+            kept: list[int] = []
+            for i in range(len(pdf)):
+                decoded = decode_instruction_data(sig, data_arr[i])
                 if decoded is None:
                     continue
-                row = {c: rec[c] for c in keep}
-                row.update(decoded)
-                rows.append(row)
-            yield pd.DataFrame(rows, columns=keep + param_names)
+                for name in param_names:
+                    out_cols[name].append(decoded.get(name))
+                kept.append(i)
+            base = (
+                pdf[list(keep)].reset_index(drop=True)
+                if len(kept) == len(pdf)
+                else pdf.iloc[kept][list(keep)].reset_index(drop=True)
+            )
+            for name in param_names:
+                base[name] = pd.Series(out_cols[name], dtype=object)
+            yield base
 
     return pre.mapInPandas(mapper, schema)
