@@ -56,11 +56,17 @@ class SqlStep:
     name: str = "sql_step"
 
     def run(self, spark: SparkSession, bundle: TableBundle, ctx: Any) -> TableBundle:
+        # register views on the session that owns the bundle's DataFrames:
+        # inside Structured Streaming's foreachBatch the micro-batch DF
+        # belongs to a cloned session, and views registered there are
+        # invisible to the outer session (and vice versa)
+        session = spark
         for tname, df in bundle.items():
             df.createOrReplaceTempView(tname)
+            session = df.sparkSession  # bundle DFs share one session
         out = dict(bundle)
         for tname, sql in self.statements.items():
-            out[tname] = spark.sql(sql)
+            out[tname] = session.sql(sql)
         for tname in self.drop:
             out.pop(tname, None)
         return out

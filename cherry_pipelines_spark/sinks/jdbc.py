@@ -1,0 +1,74 @@
+"""JDBC sink — ClickHouse-parity writer behind the same Sink interface.
+
+The reference writes every bundle table to ClickHouse over HTTP Arrow
+inserts (S8/S9: /root/reference/src/cherry_pipelines/svm/swap_prices.py
+:304-317 and the cc.ClickHouseWriterConfig call sites, e.g.
+evm/erc20_transfers.py:118-124).  On Spark the equivalent is
+``df.write.jdbc`` with the ClickHouse JDBC driver on the classpath
+(``spark.jars``); the anchor-table ordering and max-block checkpoint
+semantics are identical to the Parquet sink.
+
+This container has no JDBC driver or database, so the sink raises a
+clear error at construction unless the driver probe passes — the
+interface and write ordering are the tested part (shared with
+ParquetSink); the transport is deployment configuration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.engine.step import TableBundle
+
+
+def _has_driver(spark: SparkSession, driver: str) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(driver)  # type: ignore[union-attr]
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class JdbcSink:
+    """Writes each bundle table via JDBC append; non-anchor tables
+    first, anchor last (T3).  Resume reads MAX(block_column) from the
+    anchor table through a pushed-down aggregate query."""
+
+    url: str
+    anchor_table: str
+    block_column: str
+    properties: dict[str, str] | None = None
+    driver: str = "com.clickhouse.jdbc.ClickHouseDriver"
+
+    def _props(self) -> dict[str, str]:
+        return {"driver": self.driver, **(self.properties or {})}
+
+    def _check(self, spark: SparkSession) -> None:
+        if not _has_driver(spark, self.driver):
+            raise NotImplementedError(
+                f"JDBC driver {self.driver!r} not on the Spark classpath; "
+                "add it via spark.jars to use JdbcSink (see module docstring)"
+            )
+
+    def write(
+        self, spark: SparkSession, bundle: TableBundle, from_block: int, to_block: int
+    ) -> None:
+        self._check(spark)
+        names = [n for n in bundle if n != self.anchor_table]
+        if self.anchor_table in bundle:
+            names.append(self.anchor_table)  # anchor written last (T3)
+        for name in names:
+            bundle[name].write.mode("append").jdbc(self.url, name, properties=self._props())
+
+    def next_block(self, spark: SparkSession) -> int:
+        self._check(spark)
+        q = f"(SELECT MAX({self.block_column}) AS m FROM {self.anchor_table}) t"
+        try:
+            row = spark.read.jdbc(self.url, q, properties=self._props()).collect()[0]
+        except Exception:
+            return 0  # table absent → fresh start (reference db.py:42-45)
+        return 0 if row["m"] is None else int(row["m"]) + 1

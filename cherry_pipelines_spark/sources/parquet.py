@@ -43,6 +43,24 @@ class TableSpec:
 class ParquetSource:
     tables: dict[str, TableSpec]
 
+    def tip(self, spark: SparkSession) -> int:
+        """Max block available across the source tables — the chain-tip
+        probe for unbounded runs (reference: dataset metadata REST call,
+        scripts/main.py:192-194).  A stats-only scan under
+        ``parquet.aggregatePushdown``."""
+        from pyspark.sql import functions as F
+
+        tip = -1
+        for spec in self.tables.values():
+            row = (
+                spark.read.parquet(spec.path)
+                .agg(F.max(spec.block_column).alias("m"))
+                .collect()[0]
+            )
+            if row["m"] is not None:
+                tip = max(tip, int(row["m"]))
+        return tip
+
     def read(self, spark: SparkSession, from_block: int, to_block: int) -> TableBundle:
         from pyspark.sql import functions as F
 

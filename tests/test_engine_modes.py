@@ -1,0 +1,121 @@
+"""Registry dispatch, dimension tables, streaming/foreachBatch mode,
+tail-follow loop, and the JDBC sink driver gate (SURVEY §2.1 S10/S12,
+§2.7 T1, §2.8 U4)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark import registry
+from cherry_pipelines_spark.pipelines import dims
+from cherry_pipelines_spark.pipelines.evm import erc20_transfers as erc20
+from cherry_pipelines_spark.sinks.jdbc import JdbcSink
+from cherry_pipelines_spark.sinks.parquet import ParquetSink
+from cherry_pipelines_spark.streaming import StreamingPipeline, follow
+from tests.fixtures_gen import gen_evm_fixtures
+
+
+@pytest.fixture(scope="module")
+def evm_paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("evm_fixtures_modes")
+    return gen_evm_fixtures(str(d))
+
+
+def test_registry_env_dispatch(spark, evm_paths, tmp_path_factory, monkeypatch):
+    data_dir = os.path.dirname(evm_paths["logs"])
+    # registry expects conventional names
+    for src, name in ((evm_paths["logs"], "evm_logs.parquet"),
+                      (evm_paths["blocks"], "evm_blocks.parquet")):
+        dst = os.path.join(data_dir, name)
+        if not os.path.exists(dst):
+            os.symlink(src, dst) if os.path.isfile(src) else os.rename(src, dst)
+    sink = str(tmp_path_factory.mktemp("registry_sink"))
+    monkeypatch.setenv("CHERRY_PIPELINE_KIND", "evm")
+    monkeypatch.setenv("CHERRY_PIPELINE_NAME", "erc20_transfers")
+    monkeypatch.setenv("CHERRY_DATA_PATH", data_dir)
+    monkeypatch.setenv("CHERRY_SINK_PATH", sink)
+    monkeypatch.setenv("CHERRY_CHAIN_ID", "1")
+    monkeypatch.delenv("CHERRY_TO_BLOCK", raising=False)  # unbounded → tip
+    n = registry.main(spark)
+    assert n >= 1
+    out = spark.read.parquet(os.path.join(sink, erc20.TABLE_NAME))
+    assert out.count() > 0
+    assert out.filter(F.col("chain_id") != 1).count() == 0
+    # init_db mode seeds dims
+    monkeypatch.setenv("CHERRY_INIT_DB", "true")
+    assert registry.main(spark) == 0
+    cn = spark.read.parquet(os.path.join(sink, "_dims", "chain_name"))
+    assert cn.filter(F.col("chain_id") == 1).collect()[0]["chain_name"] == "ethereum"
+
+
+def test_dims_lookup_is_broadcast(spark):
+    fact = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.lit(10)).cast("long").alias("chain_id"),
+        F.col("id"),
+    )
+    out = dims.lookup(fact, dims.chain_name_dim(spark), on="chain_id")
+    assert out.filter(F.col("chain_name") == "ethereum").count() == 50
+    assert out.filter(F.col("chain_name") == "optimism").count() == 50
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_streaming_pipeline_matches_batch(spark, evm_paths, tmp_path_factory):
+    """foreachBatch over a file-stream source produces the same rows as
+    the batch pipeline, and a second run_available ingests nothing new."""
+    sink_dir = str(tmp_path_factory.mktemp("stream_sink"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    batch_pipe = erc20.build_pipeline(
+        logs_path=evm_paths["logs"], blocks_path=evm_paths["blocks"],
+        sink_path=str(tmp_path_factory.mktemp("batch_sink")), chain_id=1,
+    )
+    batch_pipe.run(spark, from_block=0, to_block=50, batch_size=50)
+    expected = batch_pipe.sink.read_table(spark, erc20.TABLE_NAME).count()
+
+    # file-stream sources read directories of arriving files
+    stream_dir = str(tmp_path_factory.mktemp("stream_src"))
+    os.symlink(evm_paths["logs"], os.path.join(stream_dir, "part-0.parquet"))
+    sp = StreamingPipeline(
+        name="erc20_stream",
+        stream_table="logs",
+        stream_path=stream_dir,
+        static={"blocks": batch_pipe.source.tables["blocks"]},
+        stream_spec=batch_pipe.source.tables["logs"],
+        steps=batch_pipe.steps,
+        sink=ParquetSink(base_path=sink_dir, anchor_table=erc20.TABLE_NAME,
+                         block_column="block_number"),
+        checkpoint_dir=ckpt,
+    )
+    sp.run_available(spark)
+    got = spark.read.parquet(os.path.join(sink_dir, erc20.TABLE_NAME)).count()
+    assert got == expected
+    sp.run_available(spark)  # no new files → no new rows
+    assert spark.read.parquet(os.path.join(sink_dir, erc20.TABLE_NAME)).count() == expected
+
+
+def test_follow_tail(spark, evm_paths, tmp_path_factory):
+    sink_dir = str(tmp_path_factory.mktemp("follow_sink"))
+    pipe = erc20.build_pipeline(
+        logs_path=evm_paths["logs"], blocks_path=evm_paths["blocks"],
+        sink_path=sink_dir, chain_id=1,
+    )
+    total = follow(
+        pipe, spark, source_tip=lambda s: pipe.source.tip(s),
+        from_block=0, batch_size=25, poll_interval_s=0.01, max_polls=2,
+    )
+    assert total >= 1
+    # converged at the tip: rerun adds nothing
+    cnt = pipe.sink.read_table(spark, erc20.TABLE_NAME).count()
+    follow(pipe, spark, source_tip=lambda s: pipe.source.tip(s),
+           from_block=0, batch_size=25, poll_interval_s=0.01, max_polls=1)
+    assert pipe.sink.read_table(spark, erc20.TABLE_NAME).count() == cnt
+
+
+def test_jdbc_sink_gated(spark):
+    sink = JdbcSink(url="jdbc:clickhouse://localhost:8123/evm",
+                    anchor_table="t", block_column="b")
+    with pytest.raises(NotImplementedError):
+        sink.write(spark, {}, 0, 0)
