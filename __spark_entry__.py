@@ -261,6 +261,48 @@ WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General backward as-of join (union+window plan, no range join):
+    each event is priced with the newest order of the same key at or
+    before the event time."""
+    from cherry_pipelines_spark.operators.asof import asof_join
+
+    e, o = _load(spark, sf_dir, "events", "orders")
+    left = e.select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.expr("ts div 1000000000").alias("secs"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("k"),
+        F.unix_timestamp("o_orderdate").alias("secs"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    # dedupe ties: several orders can share (k, date); as-of must pick a
+    # deterministic one — the max price then max key, same as the oracle
+    wr = Window.partitionBy("k", "secs").orderBy(F.col("price").desc(), F.col("okey").desc())
+    right = (
+        right.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("k", "secs", "price")
+    )
+    return asof_join(left, right, ts_col="secs", by=("k",), value_cols=("price",))
+
+
+ORACLE_ASOF = """
+WITH l AS (SELECT event_id, user_id AS k, epoch_us(ts) // 1000000 AS secs FROM events),
+r0 AS (SELECT o_custkey AS k, epoch(o_orderdate)::BIGINT AS secs,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+              row_number() OVER (PARTITION BY o_custkey, epoch(o_orderdate)
+                                 ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey DESC) AS rn
+       FROM orders),
+r AS (SELECT k, secs, price FROM r0 WHERE rn = 1)
+SELECT l.event_id, l.k, l.secs, r.price
+FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.secs >= r.secs
+"""
+
+
 # =====================================================================
 # §2.5 O2-O4 — typed-NULL union, range generator, constant frames
 # =====================================================================
@@ -539,6 +581,38 @@ FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < 
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the minhash-LSH candidate pairs:
+    cluster_id = min doc id reachable (keep-one-per-cluster dedup)."""
+    from cherry_pipelines_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+
+    (d,) = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, k=8, bands=4)
+    return duplicate_clusters(d, pairs)
+
+
+# same LSH CTE chain as the pairs oracle, with the final pair SELECT
+# folded into a CTE and a recursive reachability walk appended
+_LSH_HEAD, _LSH_PAIR_SELECT = ORACLE_MINHASH_LSH.rsplit("SELECT DISTINCT", 1)
+ORACLE_DEDUP_CLUSTERS = (
+    _LSH_HEAD.replace("WITH ", "WITH RECURSIVE ", 1)
+    + ",\npairs AS (SELECT DISTINCT"
+    + _LSH_PAIR_SELECT
+    + """),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node)
+SELECT node AS doc_id, min(root) AS cluster_id FROM walk GROUP BY node
+"""
+)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cherry_pipelines_spark.operators.dedup import simhash
 
@@ -749,6 +823,125 @@ FROM documents
 """
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over media blobs (mapInPandas explode): fixed
+    32-byte frames, every 2nd kept, trailing short frame included."""
+    from cherry_pipelines_spark.operators.multimodal import sample_frames
+
+    (d,) = _load(spark, sf_dir, "documents")
+    blobs = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("blob")
+    )
+    out = sample_frames(blobs, frame_size=32, every_k=2)
+    return out.select(
+        "media_id", "frame_index", "n_frame_bytes", F.hex("frame").alias("frame_hex")
+    )
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         unnest([2*i for i in generate_series(0, ((length(text)+31)//32 - 1)//2)]) AS frame_index,
+         text
+  FROM documents)
+SELECT media_id, frame_index,
+       length(substring(text, 1 + frame_index*32, 32))::BIGINT AS n_frame_bytes,
+       upper(hex(substring(text, 1 + frame_index*32, 32))) AS frame_hex
+FROM f
+"""
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (hot-key replication): row-identical to the
+    plain join, shuffle spread over salt_factor sub-keys."""
+    from cherry_pipelines_spark.operators.skew import salted_join
+
+    e, s = _load(spark, sf_dir, "events", "supplier")
+    fact = e.select("event_id", F.col("user_id").alias("k"))
+    dim = s.select(F.col("s_suppkey").alias("k"), "s_name")
+    return salted_join(fact, dim, ["k"], salt_factor=8).select(
+        "event_id", "k", "s_name"
+    )
+
+
+ORACLE_SKEW_SALTED = """
+SELECT event_id, user_id AS k, s_name
+FROM events JOIN supplier ON user_id = s_suppkey
+"""
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows with a watermark over the streaming
+    file source (complete mode so every window is visible for the
+    oracle; append-mode late-data semantics are pinned in
+    tests/test_scale_ops.py)."""
+    from cherry_pipelines_spark.streaming.windows import tumbling_window_agg
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # epoch nanos
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import hashlib as _hl
+    import tempfile as _tf
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    shim = os.path.join(
+        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
+    )
+    os.makedirs(shim, exist_ok=True)
+    link = os.path.join(shim, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(shim)
+        .select(
+            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts_ts"),
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+    )
+    agg = tumbling_window_agg(
+        stream,
+        "ts_ts",
+        "10 minutes",
+        {"n": F.count("*").cast("long"), "sum_value": F.sum("v").cast("double")},
+        extra_keys=("event_type",),
+        watermark="1 minute",
+    )
+    out = agg.select(
+        F.unix_timestamp("window_start").alias("w_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_tumbling_out")
+
+
+ORACLE_STREAM_TUMBLING = """
+SELECT (epoch_us(ts) // 1000000 // 600 * 600)::BIGINT AS w_start, event_type,
+       count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 streaming: Structured Streaming micro-batch over the events
     parquet (complete-mode agg to a memory sink, driven to completion)."""
@@ -817,6 +1010,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "left_join_null": q_left_join_null,
     "semi_anti": q_semi_anti,
     "positional_adjacency": q_positional_adjacency,
+    "asof_join": q_asof_join,
     "trailing_window": q_trailing_window,
     "union_typed_null": q_union_typed_null,
     "range_const_frames": q_range_const_frames,
@@ -827,6 +1021,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "borsh_decode": q_borsh_decode,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "similarity_cosine_topk": q_similarity_cosine_topk,
@@ -837,7 +1032,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
+    "skew_salted_join": q_skew_salted_join,
     "stream_windowed": q_stream_windowed,
+    "stream_tumbling": q_stream_tumbling,
 }
 
 
@@ -848,6 +1046,7 @@ _ORACLES: dict[str, str] = {
     "left_join_null": ORACLE_LEFT_JOIN,
     "semi_anti": ORACLE_SEMI_ANTI,
     "positional_adjacency": ORACLE_ADJACENCY,
+    "asof_join": ORACLE_ASOF,
     "trailing_window": ORACLE_TRAILING,
     "union_typed_null": ORACLE_UNION,
     "range_const_frames": ORACLE_RANGE_CONST,
@@ -858,6 +1057,7 @@ _ORACLES: dict[str, str] = {
     "borsh_decode": ORACLE_BORSH_DECODE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": ORACLE_SIMHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "similarity_cosine_topk": ORACLE_COSINE_TOPK,
@@ -868,7 +1068,10 @@ _ORACLES: dict[str, str] = {
     "token_stats": ORACLE_TOKEN_STATS,
     "fingerprint": ORACLE_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL,
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "skew_salted_join": ORACLE_SKEW_SALTED,
     "stream_windowed": ORACLE_STREAM,
+    "stream_tumbling": ORACLE_STREAM_TUMBLING,
 }
 
 

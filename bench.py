@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "token_stats",
     "fingerprint",
     "multimodal_meta",
+    "multimodal_frames",
+    "skew_salted_join",
 ]
 
 # single-JVM timing is noisy (JIT/codegen warmup, GC, AQE): time each

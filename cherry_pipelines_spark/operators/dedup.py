@@ -118,6 +118,59 @@ def minhash_lsh_candidates(
     return pairs.distinct()
 
 
+def duplicate_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over candidate duplicate pairs: every doc
+    gets ``cluster_id`` = the minimum doc id reachable through the pair
+    graph (its own id when it has no duplicates).  This is the step that
+    turns pairwise candidates (minhash-LSH / jaccard / near-dup) into
+    keep-one-per-cluster dedup decisions.
+
+    Iterative min-label propagation: per round, each node takes the min
+    of its own label and its neighbors' labels — one shuffle per round,
+    rounds = graph diameter (duplicate clusters are near-cliques, so
+    2-3 rounds in practice).  ``localCheckpoint`` truncates the plan
+    between rounds, which is what keeps an iterative DataFrame algorithm
+    viable at scale (otherwise the lineage doubles every round).
+    Convergence is detected by a count of changed labels (one scalar
+    action per round — not a driver-side data collection).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """Sign-aggregated token-hash fingerprint: bit j of the output is 1
     iff sum over tokens of sign((h32(token)>>j)&1) is positive."""

@@ -70,6 +70,62 @@ def extract_media_meta(
     return df.select(id_col, blob_col).mapInPandas(mapper, out_schema)
 
 
+def sample_frames(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    frame_size: int = 32,
+    every_k: int = 2,
+) -> DataFrame:
+    """Frame sampling over opaque media blobs: split each blob into
+    fixed-size ``frame_size``-byte frames and keep every ``every_k``-th
+    one (a video decoder would seek key-frames here; the fixed-stride
+    split is the codec-free stand-in — the *plumbing* is the real part:
+    one Arrow pass, frames exploded as rows so downstream per-frame
+    feature extraction distributes).
+
+    Output: ``(id_col, frame_index, n_frame_bytes, frame)`` — one row
+    per sampled frame; a trailing short frame is kept.
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_index", T.LongType()),
+            T.StructField("n_frame_bytes", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            frames: list[bytes] = []
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                n_frames = (len(blob) + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, every_k):
+                    fr = blob[fi * frame_size : (fi + 1) * frame_size]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    sizes.append(len(fr))
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "frame_index": pd.Series(idxs, dtype="int64"),
+                    "n_frame_bytes": pd.Series(sizes, dtype="int64"),
+                    "frame": pd.Series(frames, dtype=object),
+                }
+            )
+
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    return fan_out(df.select(id_col, blob_col)).mapInPandas(mapper, out_schema)
+
+
 def resize_stub(df: DataFrame, blob_col: str = "blob", max_px: int = 256) -> DataFrame:
     """Placeholder for the real resize kernel: raises if reached — the
     container has no codecs.  Kept so the operator surface (signature,

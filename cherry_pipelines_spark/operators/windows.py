@@ -40,7 +40,7 @@ def trailing_range_agg(
         .orderBy(F.col(range_col).cast("long"))
         .rangeBetween(-width, 0)
     )
-    out = df
-    for name, expr in aggs.items():
-        out = out.withColumn(name, expr.over(w))
-    return out
+    # all aggregates in ONE select → one Window node (one sort pass); a
+    # withColumn-per-agg loop plans a separate Sort+Window per aggregate
+    # because the interleaved Projects block Catalyst's CollapseWindow
+    return df.select("*", *[expr.over(w).alias(name) for name, expr in aggs.items()])

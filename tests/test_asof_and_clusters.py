@@ -1,0 +1,84 @@
+"""Unit tests for the as-of join (union+window plan) and the
+connected-components duplicate clustering, on hand-computed fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.operators.asof import asof_join
+from cherry_pipelines_spark.operators.dedup import duplicate_clusters
+
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 5), (4, "b", 100), (5, "c", 50)],
+        "event_id long, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 15, 2.0), ("b", 99, 3.0)],
+        "k string, ts long, px double",
+    )
+    return left, right
+
+
+def test_asof_backward_with_exact_match(spark):
+    left, right = _asof_frames(spark)
+    out = {r["event_id"]: r["px"] for r in asof_join(left, right, "ts", by=("k",)).collect()}
+    # event 1 at ts=10 matches the quote AT ts=10 (exact match allowed)
+    assert out == {1: 1.0, 2: 2.0, 3: None, 4: 3.0, 5: None}
+
+
+def test_asof_strict_inequality(spark):
+    left, right = _asof_frames(spark)
+    out = {
+        r["event_id"]: r["px"]
+        for r in asof_join(
+            left, right, "ts", by=("k",), allow_exact_match=False
+        ).collect()
+    }
+    # event 1 at ts=10 must now skip the ts=10 quote → no earlier one
+    assert out == {1: None, 2: 2.0, 3: None, 4: 3.0, 5: None}
+
+
+def test_asof_rejects_column_collision(spark):
+    left, right = _asof_frames(spark)
+    try:
+        asof_join(left, right.withColumnRenamed("px", "k2"), "ts", by=("k",), value_cols=("ts",))
+    except ValueError as e:
+        assert "collide" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
+def test_asof_plan_has_no_join(spark):
+    import contextlib, io
+
+    left, right = _asof_frames(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(left, right, "ts", by=("k",)).explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan  # union + window, never a range join
+    assert "Window" in plan
+
+
+def test_duplicate_clusters_transitive(spark):
+    # chain 1-2-3 plus isolated 4 and pair 5-6: min-label must propagate
+    # transitively (3 reaches 1 only through 2)
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "doc_a long, doc_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in duplicate_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_duplicate_clusters_long_chain(spark):
+    # a path graph needs several propagation rounds
+    n = 12
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    out = duplicate_clusters(docs, pairs)
+    assert out.filter(F.col("cluster_id") != 0).count() == 0

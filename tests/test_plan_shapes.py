@@ -1,0 +1,92 @@
+"""Physical-plan shape assertions for the headline queries (SURVEY §4).
+
+Correctness is covered by the DuckDB oracle; these tests pin the *plan*
+properties that matter at 100 TB — filter/column pushdown into the
+scan, broadcast joins for dims, shuffle-hash (never broadcast / nested
+loop) for exploded self-joins, range-frame window aggregation instead
+of a range self-join — so a refactor that silently degrades the plan
+fails CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry_mod.queries()
+
+
+def test_pricing_summary_pushdown(spark, sf_dir, queries):
+    plan = plan_of(queries["pricing_summary"](spark, sf_dir))
+    # the shipdate filter reaches the parquet reader
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: only the 6 referenced columns are read
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_local_supplier_volume_broadcasts_dims(spark, sf_dir, queries):
+    plan = plan_of(queries["local_supplier_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_trailing_window_is_range_frame_not_join(spark, sf_dir, queries):
+    plan = plan_of(queries["trailing_window"](spark, sf_dir))
+    # J5 rewrite: a window with a RANGE frame, not a non-equi self-join
+    assert "RangeFrame" in plan
+    assert "Join" not in plan
+    # both aggregates share one Window node (one sort pass)
+    assert plan.count(") Window") == 1
+
+
+def test_positional_adjacency_no_global_sort(spark, sf_dir, queries):
+    plan = plan_of(queries["positional_adjacency"](spark, sf_dir))
+    # per-group row_number: sort is within partitions after a hash
+    # exchange on the group key — never a global range partitioning
+    assert "rangepartitioning" not in plan.lower()
+    assert "row_number" in plan
+
+
+def test_ngram_jaccard_shuffle_hash_self_join(spark, sf_dir, queries):
+    plan = plan_of(queries["ngram_jaccard"](spark, sf_dir))
+    # the exploded shingle self-join must not broadcast either side
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_shuffle_hash_self_join(spark, sf_dir, queries):
+    plan = plan_of(queries["embedding_near_dup"](spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir, queries):
+    # no Python evaluation nodes in the pure-function text operators
+    for name in ("text_langid", "text_quality", "token_stats", "fingerprint"):
+        plan = plan_of(queries[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_decoders_are_arrow_batched(spark, sf_dir, queries):
+    # the decode boundary is mapInPandas (Arrow), never row-at-a-time
+    for name in ("evm_decode", "borsh_decode"):
+        plan = plan_of(queries[name](spark, sf_dir))
+        assert "MapInPandas" in plan, name
+        assert "BatchEvalPython" not in plan, name

@@ -1,0 +1,121 @@
+"""Tests for the scale-path operators: frame sampling over media blobs,
+skew-salted join, and event-time tumbling windows with watermarks
+(append-mode late-data semantics driven through two real micro-batches).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.operators.multimodal import sample_frames
+from cherry_pipelines_spark.operators.skew import salted_join
+from cherry_pipelines_spark.streaming.windows import tumbling_window_agg
+
+
+def test_sample_frames_stride_and_tail(spark):
+    blob = bytes(range(100))  # frames of 32: [0:32],[32:64],[64:96],[96:100]
+    df = spark.createDataFrame([(1, blob), (2, None)], "media_id long, blob binary")
+    rows = {r["frame_index"]: r for r in sample_frames(df, frame_size=32, every_k=2).collect()}
+    # every 2nd frame: 0 and 2; NULL blob contributes nothing
+    assert set(rows) == {0, 2}
+    assert bytes(rows[0]["frame"]) == blob[0:32]
+    assert bytes(rows[2]["frame"]) == blob[64:96]
+    assert rows[0]["n_frame_bytes"] == 32
+
+
+def test_sample_frames_short_tail_kept(spark):
+    df = spark.createDataFrame([(7, b"abc")], "media_id long, blob binary")
+    rows = sample_frames(df, frame_size=2, every_k=1).collect()
+    assert [(r["frame_index"], bytes(r["frame"])) for r in sorted(rows, key=lambda r: r["frame_index"])] == [
+        (0, b"ab"),
+        (1, b"c"),
+    ]
+
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 90% of fact rows share key 1
+    fact = spark.range(0, 1000).select(
+        F.when(F.col("id") < 900, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("dv")
+    )
+    expected = fact.join(dim, "k").groupBy().agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("dv").alias("sd")
+    ).collect()[0]
+    got = salted_join(fact, dim, ["k"], salt_factor=8).groupBy().agg(
+        F.count("*").alias("n"), F.sum("v").alias("sv"), F.sum("dv").alias("sd")
+    ).collect()[0]
+    assert (got["n"], got["sv"], got["sd"]) == (expected["n"], expected["sv"], expected["sd"])
+
+
+def test_salted_join_left_keeps_misses(spark):
+    fact = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    dim = spark.createDataFrame([(1, "dim1")], "k long, d string")
+    out = {r["v"]: r["d"] for r in salted_join(fact, dim, ["k"], how="left").collect()}
+    assert out == {"a": "dim1", "b": None}
+
+
+def test_tumbling_window_agg_batch_mode(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0), (30, 2.0), (70, 4.0)], "secs long, v double"
+    ).select(F.timestamp_seconds("secs").alias("ts"), "v")
+    out = {
+        r["window_start"].second + r["window_start"].minute * 60: r["n"]
+        for r in tumbling_window_agg(
+            df, "ts", "1 minute", {"n": F.count("*")}
+        ).collect()
+    }
+    assert out == {0: 2, 60: 1}
+
+
+def test_watermark_append_mode_two_batches(spark, tmp_path):
+    """Append mode emits a window only after the watermark passes its
+    end; the watermark advances from data seen in *earlier* batches."""
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(rows, "secs long, v double").select(
+        F.timestamp_seconds("secs").alias("ts"), "v"
+    )
+    # batch 1: events in minutes 0..5
+    mk([(10, 1.0), (70, 2.0), (200, 3.0), (310, 4.0)]).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = tumbling_window_agg(
+        stream, "ts", "1 minute", {"n": F.count("*")}, watermark="1 minute"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_append_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        before = {
+            r["window_start"].minute + r["window_start"].hour * 60: r["n"]
+            for r in spark.table("wm_append_out").collect()
+        }
+        # batch 2: a much later event advances the watermark past the
+        # remaining open window, forcing it to finalize and emit
+        mk([(3600, 9.0)]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        emitted = {
+            r["window_start"].minute + r["window_start"].hour * 60: r["n"]
+            for r in spark.table("wm_append_out").collect()
+        }
+    finally:
+        q.stop()
+    # after batch 1 the no-data micro-batch advances the watermark to
+    # max(event_time)-delay = 310-60 = 250s: windows ending <= 250 emit
+    # (minutes 0, 1, 3); the minute-5 window (ends 360) is still open
+    assert before == {0: 1, 1: 1, 3: 1}
+    # batch 2's event pushes the watermark past it -> minute 5 emits;
+    # the advancing event's own window (minute 60) stays open
+    assert emitted == {0: 1, 1: 1, 3: 1, 5: 1}
+    assert 60 not in emitted
