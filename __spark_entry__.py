@@ -155,6 +155,60 @@ GROUP BY s_name
 """
 
 
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via rollup (engine completeness beyond the
+    reference's flat groupBy; same shuffle as a grouping-sets agg)."""
+    (l,) = _load(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       count(*)::BIGINT AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (count-distinct customers per order
+    status) — the expand+two-phase agg plan Catalyst generates."""
+    (o,) = _load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+ORACLE_DISTINCT_AGG = """
+SELECT o_orderstatus, count(DISTINCT o_custkey)::BIGINT AS n_customers,
+       count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median + p90)."""
+    (e,) = _load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+    )
+
+
+ORACLE_PERCENTILE = """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti joins (coverage beyond the reference's join set)."""
     c, o = _load(spark, sf_dir, "customer", "orders")
@@ -1009,6 +1063,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "left_join_null": q_left_join_null,
     "semi_anti": q_semi_anti,
+    "rollup_revenue": q_rollup_revenue,
+    "distinct_agg": q_distinct_agg,
+    "percentile_value": q_percentile_value,
     "positional_adjacency": q_positional_adjacency,
     "asof_join": q_asof_join,
     "trailing_window": q_trailing_window,
@@ -1045,6 +1102,9 @@ _ORACLES: dict[str, str] = {
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
     "left_join_null": ORACLE_LEFT_JOIN,
     "semi_anti": ORACLE_SEMI_ANTI,
+    "rollup_revenue": ORACLE_ROLLUP,
+    "distinct_agg": ORACLE_DISTINCT_AGG,
+    "percentile_value": ORACLE_PERCENTILE,
     "positional_adjacency": ORACLE_ADJACENCY,
     "asof_join": ORACLE_ASOF,
     "trailing_window": ORACLE_TRAILING,

@@ -31,12 +31,27 @@ class TableSpec:
     flags; ``predicate`` mirrors its server-side LogRequest /
     InstructionRequest filters (an OR of per-request predicates models
     the multi-request union semantics of raydium_swaps.py:638-675).
+
+    ``format``/``options``/``schema`` open the same scan to other file
+    formats (csv, json, orc).  Parquet/ORC keep full filter/column
+    pushdown; CSV/JSON get column pruning only — and text formats
+    should declare ``schema`` explicitly, since inference costs an
+    extra pass and is non-deterministic at scale.
     """
 
     path: str
     block_column: str
     columns: Sequence[str] | None = None
     predicate: Column | None = None
+    format: str = "parquet"
+    options: dict[str, str] = field(default_factory=dict)
+    schema: str | None = None  # DDL string, e.g. "a long, b string"
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read.format(self.format).options(**self.options)
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        return reader.load(self.path)
 
 
 @dataclass
@@ -52,11 +67,7 @@ class ParquetSource:
 
         tip = -1
         for spec in self.tables.values():
-            row = (
-                spark.read.parquet(spec.path)
-                .agg(F.max(spec.block_column).alias("m"))
-                .collect()[0]
-            )
+            row = spec.load(spark).agg(F.max(spec.block_column).alias("m")).collect()[0]
             if row["m"] is not None:
                 tip = max(tip, int(row["m"]))
         return tip
@@ -66,7 +77,7 @@ class ParquetSource:
 
         bundle: TableBundle = {}
         for name, spec in self.tables.items():
-            df: DataFrame = spark.read.parquet(spec.path)
+            df: DataFrame = spec.load(spark)
             df = df.filter(
                 (F.col(spec.block_column) >= from_block)
                 & (F.col(spec.block_column) <= to_block)

@@ -10,19 +10,14 @@ fails CI even though results stay correct.
 
 from __future__ import annotations
 
-import contextlib
-import io
-
 import pytest
 
 import __spark_entry__ as entry_mod
+from cherry_pipelines_spark.plans import assert_plan, explain_str, plan_summary
 
 
 def plan_of(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    return explain_str(df)
 
 
 @pytest.fixture(scope="module")
@@ -40,10 +35,16 @@ def test_pricing_summary_pushdown(spark, sf_dir, queries):
 
 
 def test_local_supplier_volume_broadcasts_dims(spark, sf_dir, queries):
-    plan = plan_of(queries["local_supplier_volume"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert_plan(
+        queries["local_supplier_volume"](spark, sf_dir),
+        contains=("BroadcastHashJoin",),
+    )
+
+
+def test_plan_summary_counts_nodes(spark, sf_dir, queries):
+    s = plan_summary(queries["ngram_jaccard"](spark, sf_dir))
+    assert s.get("ShuffledHashJoin") == 1
+    assert "BroadcastNestedLoopJoin" not in s
 
 
 def test_trailing_window_is_range_frame_not_join(spark, sf_dir, queries):
