@@ -1,0 +1,151 @@
+"""Property-based roundtrips for the EVM ABI event decoder: random
+signatures over the supported static types, random values, encoded into
+topics/data words by an independent test-side writer, decoded by
+``decode_event_row``; plus corruption properties (extra topic, length
+mismatch, dirty padding → None, mirroring allow_decode_fail routing)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cherry_pipelines_spark.functions import abi
+
+_DEC38_MAX = 10**38 - 1
+
+_TYPES = (
+    "address",
+    "bool",
+    "uint8",
+    "uint32",
+    "uint64",
+    "uint128",
+    "uint256",
+    "int64",
+    "int256",
+    "bytes4",
+    "bytes32",
+)
+
+
+def values_for(typ: str) -> st.SearchStrategy:
+    if typ == "address":
+        return st.binary(min_size=20, max_size=20)
+    if typ == "bool":
+        return st.booleans()
+    if typ.startswith("uint"):
+        bits = int(typ[4:])
+        return st.integers(0, 2**bits - 1)
+    if typ.startswith("int"):
+        bits = int(typ[3:])
+        return st.integers(-(2 ** (bits - 1)), 2 ** (bits - 1) - 1)
+    if typ.startswith("bytes"):
+        n = int(typ[5:])
+        return st.binary(min_size=n, max_size=n)
+    raise AssertionError(typ)
+
+
+def encode_word(typ: str, v) -> bytes:
+    if typ == "address":
+        return bytes(12) + v
+    if typ == "bool":
+        return bytes(31) + (b"\x01" if v else b"\x00")
+    if typ.startswith("uint"):
+        return int(v).to_bytes(32, "big")
+    if typ.startswith("int"):
+        return int(v).to_bytes(32, "big", signed=True)
+    if typ.startswith("bytes"):
+        return v + bytes(32 - len(v))
+    raise AssertionError(typ)
+
+
+def expected(typ: str, v):
+    if typ == "address":
+        return v
+    if typ == "bool":
+        return v
+    if typ.startswith("uint"):
+        bits = int(typ[4:])
+        if bits <= 32:
+            return v
+        return Decimal(v) if v <= _DEC38_MAX else None
+    if typ.startswith("int"):
+        bits = int(typ[3:])
+        if bits <= 64:
+            return v
+        return Decimal(v) if abs(v) <= _DEC38_MAX else None
+    if typ.startswith("bytes"):
+        return v
+    raise AssertionError(typ)
+
+
+@st.composite
+def events(draw):
+    n_params = draw(st.integers(1, 4))
+    typs = [draw(st.sampled_from(_TYPES)) for _ in range(n_params)]
+    n_indexed = draw(st.integers(0, min(3, n_params)))
+    indexed = [i < n_indexed for i in range(n_params)]
+    vals = [draw(values_for(t)) for t in typs]
+    return typs, indexed, vals
+
+
+def build_sig_and_words(typs, indexed, vals):
+    sig_str = "Ev(" + ", ".join(
+        f"{t}{' indexed' if ix else ''} p{i}" for i, (t, ix) in enumerate(zip(typs, indexed))
+    ) + ")"
+    sig = abi.parse_event_signature(sig_str)
+    topics: list[bytes | None] = [None]  # topic0 unused by the row decoder
+    data = b""
+    for t, ix, v in zip(typs, indexed, vals):
+        w = encode_word(t, v)
+        if ix:
+            topics.append(w)
+        else:
+            data += w
+    while len(topics) < 4:
+        topics.append(None)
+    return sig, topics, data
+
+
+@settings(max_examples=300, deadline=None)
+@given(events())
+def test_roundtrip(ev):
+    typs, indexed, vals = ev
+    sig, topics, data = build_sig_and_words(typs, indexed, vals)
+    out = abi.decode_event_row(sig, topics, data)
+    assert out is not None
+    for i, (t, v) in enumerate(zip(typs, vals)):
+        assert out[f"p{i}"] == expected(t, v), (t, v, out)
+        if abi._wide_uint(t):
+            assert out[f"p{i}_raw"] == encode_word(t, v)
+
+
+@settings(max_examples=100, deadline=None)
+@given(events())
+def test_extra_topic_rejected(ev):
+    typs, indexed, vals = ev
+    if sum(indexed) >= 3:
+        return
+    sig, topics, data = build_sig_and_words(typs, indexed, vals)
+    topics[1 + sum(indexed)] = bytes(32)  # an ERC-721-style surplus topic
+    assert abi.decode_event_row(sig, topics, data) is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(events())
+def test_data_length_mismatch_rejected(ev):
+    typs, indexed, vals = ev
+    sig, topics, data = build_sig_and_words(typs, indexed, vals)
+    assert abi.decode_event_row(sig, topics, data + bytes(1)) is None
+    if len(data) >= 32:
+        assert abi.decode_event_row(sig, topics, data[:-1]) is None
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=1, max_size=12).filter(lambda b: any(b)))
+def test_dirty_address_padding_rejected(junk):
+    sig = abi.parse_event_signature("Ev(address a)")
+    word = junk.rjust(12, b"\x00") + bytes(20)
+    assert abi.decode_event_row(sig, [None], word) is None
