@@ -88,8 +88,12 @@ def _windowed_totals(
         .orderBy(F.col("block_slot").cast("long"))
         .rangeBetween(-WINDOW_RANGE, 0)
     )
-    per_row = df.withColumn("w_input", F.sum("input_amount").over(w)).withColumn(
-        "w_output", F.sum("output_amount").over(w)
+    # both window sums in one select → a single Sort+Window pass (a
+    # withColumn chain plans one Window per aggregate)
+    per_row = df.select(
+        "*",
+        F.sum("input_amount").over(w).alias("w_input"),
+        F.sum("output_amount").over(w).alias("w_output"),
     )
     # anchors must be inside the batch proper (lookback rows only feed
     # windows; swap_prices.py:193,274)
@@ -204,9 +208,15 @@ def run(
         window_src = src.filter(
             (F.col("block_slot") >= max(0, cur - WINDOW_RANGE))
             & (F.col("block_slot") <= batch_end)
-        )
-        prices = compute_prices(spark, window_src, cur, batch_end)
-        sink.write(spark, {TABLE_NAME: prices}, cur, batch_end)
+        ).cache()
+        # one batch is ≤ BATCH_RANGE+WINDOW_RANGE slots — caching it
+        # keeps the sol/token/flip branches (6 plan references) from
+        # re-scanning the source per branch; released after the write
+        try:
+            prices = compute_prices(spark, window_src, cur, batch_end)
+            sink.write(spark, {TABLE_NAME: prices}, cur, batch_end)
+        finally:
+            window_src.unpersist()
         cur += BATCH_RANGE + 1
         n_batches += 1
     return n_batches

@@ -119,3 +119,38 @@ def test_watermark_append_mode_two_batches(spark, tmp_path):
     # the advancing event's own window (minute 60) stays open
     assert emitted == {0: 1, 1: 1, 3: 1, 5: 1}
     assert 60 not in emitted
+
+
+def test_streaming_distinct_across_batches(spark, tmp_path):
+    """Cross-batch stateful dedup: a key seen in batch 1 must be
+    suppressed in batch 2; within a batch only the first row emits."""
+    from cherry_pipelines_spark.streaming.stateful import streaming_distinct
+
+    src = str(tmp_path / "dd_src")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long")
+    mk([("a", 1), ("a", 2), ("b", 3)]).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_distinct(stream, "k")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch1 = {r["k"] for r in spark.table("dd_out").collect()}
+        mk([("a", 9), ("c", 4)]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.table("dd_out").collect()
+    finally:
+        q.stop()
+    assert batch1 == {"a", "b"}
+    out = {r["k"]: r["v"] for r in rows}
+    # "a" kept its batch-1 value; "c" arrived new in batch 2
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"] in (1, 2) and out["c"] == 4
+    assert len(rows) == 3
