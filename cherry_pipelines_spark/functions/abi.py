@@ -27,6 +27,7 @@ import re
 from dataclasses import dataclass
 from decimal import Decimal
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -201,33 +202,136 @@ def decode_events_df(
     decoded_names = [f.name for f in out_fields.fields]
     n_topics = len(topic_cols)
 
+    # every supported ABI type is static (one 32-byte word), so the
+    # decode is fully vectorizable: per batch, one byte matrix per word
+    # source and a handful of numpy column ops — no per-row reader.
+    # (word k of `plan` = (param, source): source = topic index or data
+    # word index, in declaration order, mirroring decode_event_row.)
+    plan: list[tuple[EventParam, str, int]] = []
+    ti, di = 0, 0
+    for p in sig.params:
+        if p.indexed:
+            plan.append((p, "t", ti))
+            ti += 1
+        else:
+            plan.append((p, "d", di))
+            di += 1
+    n_indexed, n_words = ti, di
+
+    def _decode_matrix(
+        p: EventParam, m: "np.ndarray", fail: "np.ndarray"
+    ) -> dict[str, "np.ndarray"]:
+        """Decode an (r, 32) uint8 word matrix for one param; updates
+        ``fail`` in place for padding violations.  Value semantics are
+        exactly :func:`_decode_word`'s."""
+        out: dict[str, np.ndarray] = {}
+        r = m.shape[0]
+        if p.type == "address":
+            fail |= m[:, :12].any(axis=1)
+            out[p.name] = np.array([bytes(row[12:]) for row in m], dtype=object)
+            return out
+        if p.type == "bool":
+            out[p.name] = m[:, 31] != 0
+            return out
+        im = re.match(r"^(u?)int(\d+)$", p.type)
+        if im:
+            bits = int(im.group(2))
+            if im.group(1) == "u":
+                lead = 32 - bits // 8
+                if lead:
+                    fail |= m[:, :lead].any(axis=1)
+                if bits <= 32:
+                    out[p.name] = (
+                        np.ascontiguousarray(m[:, 28:32]).view(">u4").ravel()
+                        .astype(np.int64)
+                    )
+                else:
+                    vals = np.empty(r, dtype=object)
+                    for i in range(r):
+                        v = int.from_bytes(bytes(m[i]), "big")
+                        vals[i] = Decimal(v) if v <= _DEC38_MAX else None
+                    out[p.name] = vals
+                    out[f"{p.name}_raw"] = np.array(
+                        [bytes(row) for row in m], dtype=object
+                    )
+            else:
+                vals = np.empty(r, dtype=object)
+                for i in range(r):
+                    v = int.from_bytes(bytes(m[i]), "big", signed=True)
+                    vals[i] = v if bits <= 64 else (
+                        Decimal(v) if abs(v) <= _DEC38_MAX else None
+                    )
+                out[p.name] = vals
+                if bits > 64:
+                    out[f"{p.name}_raw"] = np.array(
+                        [bytes(row) for row in m], dtype=object
+                    )
+            return out
+        bm = re.match(r"^bytes(\d+)$", p.type)
+        if bm:
+            nb = int(bm.group(1))
+            out[p.name] = np.array([bytes(row[:nb]) for row in m], dtype=object)
+            return out
+        raise ValueError(f"unsupported ABI type {p.type!r}")
+
     def mapper(batches):
-        # column-wise accumulation: per-row work touches only the byte
-        # blobs; no per-row dicts / DataFrame-from-records
         for pdf in batches:
+            n = len(pdf)
             topic_arrays = [pdf[c].to_numpy() for c in topic_cols]
             data_arr = pdf[data_col].to_numpy()
-            out_cols: dict[str, list] = {name: [] for name in decoded_names}
-            keep: list[int] = []
-            for i in range(len(pdf)):
-                topics: list[bytes | None] = [None] + [a[i] for a in topic_arrays]
-                decoded = decode_event_row(sig, topics, data_arr[i])
-                if decoded is None:
-                    if not allow_decode_fail:
-                        continue
-                    for name in decoded_names:
-                        out_cols[name].append(None)
+            # structural validity: required topics present (32 bytes),
+            # extra topics absent, data exactly n_words words
+            ok = np.ones(n, dtype=bool)
+            for k in range(n_topics):
+                present = np.fromiter(
+                    (x is not None and len(x) == 32 for x in topic_arrays[k]),
+                    bool, count=n,
+                )
+                if k < n_indexed:
+                    ok &= present
                 else:
-                    for name in decoded_names:
-                        out_cols[name].append(decoded.get(name))
-                keep.append(i)
-            base = (
-                pdf[list(passthrough)].reset_index(drop=True)
-                if len(keep) == len(pdf)
-                else pdf.iloc[keep][list(passthrough)].reset_index(drop=True)
+                    ok &= np.fromiter(
+                        (x is None for x in topic_arrays[k]), bool, count=n
+                    )
+            dlens = np.fromiter(
+                (len(x) if x is not None else 0 for x in data_arr),
+                np.int64, count=n,
             )
-            for name in decoded_names:
-                base[name] = pd.Series(out_cols[name], dtype=object)
+            ok &= dlens == 32 * n_words
+            idx = np.nonzero(ok)[0]
+            fail = np.zeros(len(idx), dtype=bool)
+            cols: dict[str, np.ndarray] = {}
+            if len(idx):
+                mats: dict[tuple[str, int], np.ndarray] = {}
+                for p, src, k in plan:
+                    if src == "t":
+                        mats[("t", k)] = np.frombuffer(
+                            b"".join(topic_arrays[k][i] for i in idx), np.uint8
+                        ).reshape(len(idx), 32)
+                if n_words:
+                    dm = np.frombuffer(
+                        b"".join(data_arr[i] for i in idx), np.uint8
+                    ).reshape(len(idx), 32 * n_words)
+                for p, src, k in plan:
+                    m = (
+                        mats[("t", k)]
+                        if src == "t"
+                        else dm[:, 32 * k : 32 * (k + 1)]
+                    )
+                    cols.update(_decode_matrix(p, m, fail))
+            good = idx[~fail] if len(idx) else idx
+            if allow_decode_fail:
+                base = pdf[list(passthrough)].reset_index(drop=True)
+                for name in decoded_names:
+                    full = np.full(n, None, dtype=object)
+                    if len(good) and name in cols:
+                        full[good] = cols[name][~fail]
+                    base[name] = pd.Series(full, dtype=object)
+            else:
+                base = pdf.iloc[good][list(passthrough)].reset_index(drop=True)
+                for name in decoded_names:
+                    vals = cols[name][~fail] if len(good) else np.array([], object)
+                    base[name] = pd.Series(vals, dtype=object)
             yield base
 
     from cherry_pipelines_spark.operators.text import fan_out

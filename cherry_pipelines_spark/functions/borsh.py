@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 from decimal import Decimal
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -197,6 +198,91 @@ class InstructionSignature:
     accounts_names: tuple[str, ...]
 
 
+def _fixed_layout(
+    params: tuple[ParamInput, ...],
+) -> list[tuple[str, int, int, str, Any]] | None:
+    """(name, offset, width, kind, meta) per param when every param is
+    fixed-width (ints, bool, unit-enum, FixedArray(U8, n)) — the shape of
+    almost every real instruction signature — else None (variable-width
+    Option/Array/Struct fall back to the per-row reader)."""
+    out: list[tuple[str, int, int, str, Any]] = []
+    off = 0
+    for p in params:
+        t = p.dtype
+        spec = _INT_SPEC.get(type(t))
+        if spec is not None:
+            n, signed = spec
+            kind = (
+                "u128" if type(t) is U128 else "i128" if type(t) is I128
+                else "u64" if type(t) is U64 else "int" if signed else "uint"
+            )
+            out.append((p.name, off, n, kind, signed))
+            off += n
+        elif isinstance(t, Bool):
+            out.append((p.name, off, 1, "bool", None))
+            off += 1
+        elif isinstance(t, Enum):
+            out.append((p.name, off, 1, "enum", t.variants))
+            off += 1
+        elif isinstance(t, FixedArray) and isinstance(t.inner, U8):
+            out.append((p.name, off, t.size, "bytes", None))
+            off += t.size
+        else:
+            return None
+    return out
+
+
+def _decode_fixed_batch(
+    layout: list[tuple[str, int, int, str, Any]],
+    mat: "np.ndarray",
+) -> tuple[dict[str, Any], "np.ndarray"]:
+    """Vectorized decode of an (n_rows, total_width) uint8 matrix.
+    Returns (column values keyed by param name, keep-row mask).  Value
+    and drop semantics match :func:`_read_value` exactly: bad bool /
+    bad enum byte drops the row; U64 > int64 max and |128-bit| >
+    Decimal(38) max become NULL values."""
+    n = mat.shape[0]
+    keep = np.ones(n, dtype=bool)
+    cols: dict[str, Any] = {}
+    for name, off, w, kind, meta in layout:
+        sub = mat[:, off : off + w]
+        if kind in ("uint", "int", "u64"):
+            code = f"{'<i' if kind == 'int' else '<u'}{w}"
+            vals = (
+                sub.ravel().view(code)  # reinterpret, not value-cast
+                if w == 1
+                else np.ascontiguousarray(sub).view(code).ravel()
+            )
+            if kind == "u64":
+                over = vals > np.uint64(_I64_MAX)
+                if over.any():
+                    obj = vals.astype(object)
+                    obj[over] = None
+                    cols[name] = obj
+                else:
+                    cols[name] = vals.astype(np.int64)
+            else:
+                cols[name] = vals.astype(np.int64)
+        elif kind in ("u128", "i128"):
+            signed = kind == "i128"
+            vals_o = np.empty(n, dtype=object)
+            for i in range(n):
+                v = int.from_bytes(bytes(sub[i]), "little", signed=signed)
+                vals_o[i] = Decimal(v) if abs(v) <= _DEC38_MAX else None
+            cols[name] = vals_o
+        elif kind == "bool":
+            b = sub.ravel()
+            keep &= b <= 1
+            cols[name] = b == 1
+        elif kind == "enum":
+            b = sub.ravel()
+            keep &= b < len(meta)
+            cols[name] = np.array(meta, dtype=object)[np.minimum(b, len(meta) - 1)]
+        else:  # bytes
+            cols[name] = np.array([bytes(row) for row in sub], dtype=object)
+    return cols, keep
+
+
 def decode_instruction_data(sig: InstructionSignature, data: bytes | None) -> dict | None:
     """Decode one instruction's data (discriminator included); None on
     mismatch/short buffer (decode-failure tolerance, SURVEY §4.12)."""
@@ -249,6 +335,36 @@ def decode_instructions_df(
     keep = [c for c in pre.columns if c != data_col]
     schema = T.StructType([pre.schema[c] for c in keep] + param_fields)
     param_names = [p.name for p in sig.params]
+    layout = _fixed_layout(sig.params)
+    disc_len = len(sig.discriminator)
+    fixed_width = sum(e[2] for e in layout) if layout is not None else 0
+
+    def fast_mapper(batches):
+        # all-fixed-width signature: one byte-matrix per Arrow batch,
+        # ``dim`` vectorized column decodes instead of a per-row reader
+        # (~10× on the decode boundary; identical drop/NULL semantics)
+        for pdf in batches:
+            data_arr = pdf[data_col].to_numpy()
+            exp = disc_len + fixed_width
+            lens = np.fromiter((len(d) for d in data_arr), np.int64, count=len(pdf))
+            valid = np.nonzero(lens >= exp)[0]
+            if len(valid) == 0:
+                empty = pdf.iloc[:0][list(keep)].copy()
+                for name in param_names:
+                    empty[name] = pd.Series([], dtype=object)
+                yield empty
+                continue
+            joined = b"".join(data_arr[i][disc_len:exp] for i in valid)
+            mat = np.frombuffer(joined, np.uint8).reshape(len(valid), fixed_width)
+            cols, keep_mask = _decode_fixed_batch(layout, mat)
+            kept = valid[keep_mask]
+            base = pdf.iloc[kept][list(keep)].reset_index(drop=True)
+            for name in param_names:
+                vals = cols[name][keep_mask]
+                base[name] = pd.Series(
+                    vals, dtype=object if vals.dtype == object else None
+                )
+            yield base
 
     def mapper(batches):
         # column-wise accumulation (same pattern as abi.decode_events_df):
@@ -277,4 +393,6 @@ def decode_instructions_df(
 
     # spread the Python decode boundary across workers (no-op when the
     # input is already parallel; single-file fixtures arrive 1-partition)
-    return fan_out(pre).mapInPandas(mapper, schema)
+    return fan_out(pre).mapInPandas(
+        fast_mapper if layout is not None else mapper, schema
+    )
