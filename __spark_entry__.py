@@ -905,6 +905,46 @@ FROM f
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame feature extraction (decode → frames → features): exact
+    byte statistics as the codec-free stand-in for an image/audio
+    descriptor; output shape feeds similarity search."""
+    from cherry_pipelines_spark.operators.multimodal import frame_features, sample_frames
+
+    (d,) = _load(spark, sf_dir, "documents")
+    blobs = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("blob")
+    )
+    frames = sample_frames(blobs, frame_size=32, every_k=2)
+    return frame_features(frames).select(
+        "media_id", "frame_index", "n_frame_bytes",
+        "byte_min", "byte_max", "byte_sum", "byte_mean",
+    )
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+WITH f AS (
+  SELECT doc_id AS media_id,
+         unnest([2*i for i in generate_series(0, ((length(text)+31)//32 - 1)//2)]) AS frame_index,
+         text
+  FROM documents),
+s AS (
+  SELECT media_id, frame_index,
+         substring(text, 1 + frame_index*32, 32) AS fr
+  FROM f),
+b AS (
+  SELECT media_id, frame_index, fr,
+         [ascii(substring(fr, i, 1)) for i in generate_series(1, length(fr))] AS bytes_list
+  FROM s)
+SELECT media_id, frame_index, length(fr)::BIGINT AS n_frame_bytes,
+       list_aggregate(bytes_list, 'min')::BIGINT AS byte_min,
+       list_aggregate(bytes_list, 'max')::BIGINT AS byte_max,
+       list_aggregate(bytes_list, 'sum')::BIGINT AS byte_sum,
+       round(list_aggregate(bytes_list, 'sum') / length(fr), 6) AS byte_mean
+FROM b
+"""
+
+
 def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join (hot-key replication): row-identical to the
     plain join, shuffle spread over salt_factor sub-keys."""
@@ -1090,6 +1130,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
+    "multimodal_features": q_multimodal_features,
     "skew_salted_join": q_skew_salted_join,
     "stream_windowed": q_stream_windowed,
     "stream_tumbling": q_stream_tumbling,
@@ -1129,6 +1170,7 @@ _ORACLES: dict[str, str] = {
     "fingerprint": ORACLE_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "skew_salted_join": ORACLE_SKEW_SALTED,
     "stream_windowed": ORACLE_STREAM,
     "stream_tumbling": ORACLE_STREAM_TUMBLING,

@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "fingerprint",
     "multimodal_meta",
     "multimodal_frames",
+    "multimodal_features",
     "skew_salted_join",
 ]
 

@@ -126,6 +126,65 @@ def sample_frames(
     return fan_out(df.select(id_col, blob_col)).mapInPandas(mapper, out_schema)
 
 
+def frame_features(
+    df: DataFrame, blob_col: str = "frame", drop_blob: bool = True
+) -> DataFrame:
+    """Per-frame feature extraction over sampled frames (the step after
+    :func:`sample_frames` in a media pipeline).  The real kernel is a
+    model forward pass / image descriptor; codec-free stand-in: exact
+    byte statistics (min/max/sum/mean) — deterministic, oracle-checkable,
+    and shaped like the real thing (one Arrow pass in, fixed feature
+    columns out, ready to feed ``similarity.cosine_topk`` after
+    ``F.array(...)``).
+
+    All non-blob input columns pass through; features are
+    ``byte_min/byte_max/byte_sum`` (long) + ``byte_mean`` (double,
+    round 6).  NULL/empty blobs yield NULL features.
+    """
+    passthrough = [c for c in df.columns if c != blob_col]
+    out_fields = [df.schema[c] for c in passthrough]
+    if not drop_blob:
+        out_fields.append(df.schema[blob_col])
+        passthrough = passthrough + [blob_col]
+    out_schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("byte_min", T.LongType()),
+            T.StructField("byte_max", T.LongType()),
+            T.StructField("byte_sum", T.LongType()),
+            T.StructField("byte_mean", T.DoubleType()),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mins: list = []
+            maxs: list = []
+            sums: list = []
+            means: list = []
+            for blob in pdf[blob_col]:
+                if blob is None or len(blob) == 0:
+                    mins.append(None); maxs.append(None)
+                    sums.append(None); means.append(None)
+                    continue
+                b = np.frombuffer(blob, np.uint8)
+                s = int(b.sum())
+                mins.append(int(b.min()))
+                maxs.append(int(b.max()))
+                sums.append(s)
+                means.append(round(s / len(b), 6))
+            base = pdf[passthrough].reset_index(drop=True)
+            base["byte_min"] = pd.Series(mins, dtype=object)
+            base["byte_max"] = pd.Series(maxs, dtype=object)
+            base["byte_sum"] = pd.Series(sums, dtype=object)
+            base["byte_mean"] = pd.Series(means, dtype=object)
+            yield base
+
+    return df.mapInPandas(mapper, out_schema)
+
+
 def resize_stub(df: DataFrame, blob_col: str = "blob", max_px: int = 256) -> DataFrame:
     """Placeholder for the real resize kernel: raises if reached — the
     container has no codecs.  Kept so the operator surface (signature,

@@ -154,3 +154,31 @@ def test_streaming_distinct_across_batches(spark, tmp_path):
     assert set(out) == {"a", "b", "c"}
     assert out["a"] in (1, 2) and out["c"] == 4
     assert len(rows) == 3
+
+
+def test_frame_features_exact_and_chainable(spark):
+    """Feature extraction over sampled frames: exact byte stats, NULL
+    features for empty blobs, and the output feeds cosine similarity
+    via F.array (the media -> frames -> features -> ANN chain)."""
+    from cherry_pipelines_spark.operators.multimodal import frame_features
+    from cherry_pipelines_spark.operators.similarity import cosine_topk
+
+    blob = bytes([10, 20, 30, 40])
+    df = spark.createDataFrame(
+        [(1, 0, blob), (2, 0, b"")], "media_id long, frame_index long, frame binary"
+    )
+    rows = {r["media_id"]: r for r in frame_features(df).collect()}
+    assert rows[1]["byte_min"] == 10 and rows[1]["byte_max"] == 40
+    assert rows[1]["byte_sum"] == 100 and rows[1]["byte_mean"] == 25.0
+    assert rows[2]["byte_sum"] is None  # empty blob -> NULL features
+
+    feats = frame_features(df).filter(F.col("byte_sum").isNotNull()).select(
+        F.col("media_id").alias("vec_id"),
+        F.array(
+            F.col("byte_min").cast("float"),
+            F.col("byte_max").cast("float"),
+            F.col("byte_mean").cast("float"),
+        ).alias("embedding"),
+    )
+    out = cosine_topk(feats, feats, k=1)
+    assert out.count() == 0  # single vector, self excluded — chain runs
