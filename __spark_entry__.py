@@ -1093,6 +1093,54 @@ FROM events GROUP BY event_type
 """
 
 
+def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch stateful streaming dedup (applyInPandasWithState):
+    first occurrence per user_id across all micro-batches.  Which *row*
+    emits first is batch-order dependent, so only the (deterministic)
+    key set is returned and oracle-checked."""
+    from cherry_pipelines_spark.streaming.stateful import streaming_distinct
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import hashlib as _hl
+    import tempfile as _tf
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    shim = os.path.join(
+        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
+    )
+    os.makedirs(shim, exist_ok=True)
+    link = os.path.join(shim, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    stream = spark.readStream.schema(schema).parquet(shim)
+    out = streaming_distinct(stream, "user_id")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_distinct_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_distinct_out").select("user_id")
+
+
+ORACLE_STREAM_DISTINCT = """
+SELECT DISTINCT user_id FROM events
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -1134,6 +1182,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_join": q_skew_salted_join,
     "stream_windowed": q_stream_windowed,
     "stream_tumbling": q_stream_tumbling,
+    "stream_distinct": q_stream_distinct,
 }
 
 
@@ -1174,6 +1223,7 @@ _ORACLES: dict[str, str] = {
     "skew_salted_join": ORACLE_SKEW_SALTED,
     "stream_windowed": ORACLE_STREAM,
     "stream_tumbling": ORACLE_STREAM_TUMBLING,
+    "stream_distinct": ORACLE_STREAM_DISTINCT,
 }
 
 
