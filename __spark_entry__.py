@@ -357,6 +357,35 @@ FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.secs >= r.secs
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic interval (point-in-range) join — the theta-join shape
+    Spark would otherwise plan as BroadcastNestedLoopJoin — via bucket
+    expansion + equi-join (`operators/ranges.py`)."""
+    from cherry_pipelines_spark.operators.ranges import interval_join
+
+    e, s = _load(spark, sf_dir, "events", "supplier")
+    pts = e.select("event_id", (F.col("event_id") % 50000).alias("p"))
+    start = (F.col("s_suppkey") * 9973) % 50000
+    ivs = s.select(
+        F.col("s_suppkey").alias("iv_id"),
+        start.alias("iv_start"),
+        (start + (F.col("s_suppkey") * 31) % 120).alias("iv_end"),
+    )
+    return interval_join(pts, ivs, "p", "iv_start", "iv_end", bucket_width=64).select(
+        "event_id", "p", "iv_id", "iv_start", "iv_end"
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH pts AS (SELECT event_id, event_id % 50000 AS p FROM events),
+ivs AS (SELECT s_suppkey AS iv_id, (s_suppkey*9973) % 50000 AS iv_start,
+               (s_suppkey*9973) % 50000 + (s_suppkey*31) % 120 AS iv_end
+        FROM supplier)
+SELECT event_id, p, iv_id, iv_start, iv_end
+FROM pts JOIN ivs ON p BETWEEN iv_start AND iv_end
+"""
+
+
 # =====================================================================
 # §2.5 O2-O4 — typed-NULL union, range generator, constant frames
 # =====================================================================
@@ -1156,6 +1185,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_value": q_percentile_value,
     "positional_adjacency": q_positional_adjacency,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "trailing_window": q_trailing_window,
     "union_typed_null": q_union_typed_null,
     "range_const_frames": q_range_const_frames,
@@ -1197,6 +1227,7 @@ _ORACLES: dict[str, str] = {
     "percentile_value": ORACLE_PERCENTILE,
     "positional_adjacency": ORACLE_ADJACENCY,
     "asof_join": ORACLE_ASOF,
+    "interval_join": ORACLE_INTERVAL_JOIN,
     "trailing_window": ORACLE_TRAILING,
     "union_typed_null": ORACLE_UNION,
     "range_const_frames": ORACLE_RANGE_CONST,

@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "multimodal_frames",
     "multimodal_features",
     "skew_salted_join",
+    "interval_join",
 ]
 
 # single-JVM timing is noisy (JIT/codegen warmup, GC, AQE): time each

@@ -1,0 +1,88 @@
+"""Interval (range) join: match points to the intervals containing them.
+
+Spark has no native interval join: ``points.join(intervals,
+(p >= start) & (p <= end))`` plans as BroadcastNestedLoopJoin —
+O(n·m) and a driver OOM once the broadcast side grows.  This is the
+standard gap hit by time-range enrichment, IP→geo lookups, and genomic
+overlap queries (the reference's only non-equi join, SURVEY §2.3 J5,
+is the special case "interval = trailing window of self", rewritten as
+a range-frame window in ``swap_prices``; this operator is the general
+two-table form).
+
+Scale shape — bucket expansion turns the theta join into an equi join:
+
+1. pick a ``bucket_width`` (≈ the typical interval length);
+2. each interval explodes to the buckets it overlaps
+   (``sequence(floor(start/w), floor(end/w))``) — expansion factor
+   ≈ 1 + len/w, so ~2 at the recommended width;
+3. each point maps to exactly one bucket (``floor(p/w)``);
+4. equi-join on the bucket id, then post-filter the exact
+   ``start <= p <= end`` predicate.
+
+One shuffle on uniform bucket keys (both sides hash-partitioned), no
+nested loop, no broadcast of an unbounded side; a pathologically long
+interval costs ``len/w`` duplicate rows, not a hot partition.  AQE
+skew-join splits any residual hot bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "_iv_bucket"
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start_col <= point_col <= end_col`` (closed bounds, matching SQL
+    BETWEEN).  Column names must be disjoint between the two inputs.
+    ``how`` is ``inner`` or ``left`` (unmatched points survive with NULL
+    interval columns; left mode identifies points by their full row, so
+    point rows should be distinct — carry a unique id column if not).
+
+    ``bucket_width`` trades shuffle volume for fan-out: use roughly the
+    median interval length (expansion factor ≈ 1 + len/width per
+    interval).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def _b(c: Column) -> Column:
+        return F.floor(c.cast("long") / F.lit(bucket_width)).cast("long")
+
+    pb = points.withColumn(_BUCKET, _b(F.col(point_col)))
+    ib = intervals.withColumn(
+        _BUCKET,
+        F.explode(F.sequence(_b(F.col(start_col)), _b(F.col(end_col)))),
+    )
+    matched = (
+        pb.join(ib, _BUCKET, "inner")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop(_BUCKET)
+    )
+    if how == "inner":
+        return matched
+    # left: re-attach unmatched points with NULL interval columns
+    unmatched = points.join(
+        matched.select(*points.columns), points.columns, "left_anti"
+    )
+    for c in intervals.columns:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
+    return matched.unionByName(unmatched)

@@ -55,7 +55,7 @@ def _dot_fold(a: pd.Series, b: pd.Series) -> pd.Series:
         if x is None or y is None or len(x) != len(y):
             # zip_with pads the shorter side with NULL → NULL product →
             # NULL fold result
-            return None if (x is None or y is None or len(x) != len(y)) else 0.0
+            return None
         acc = 0.0
         for xi, yi in zip(x, y):
             acc = acc + float(xi) * float(yi)

@@ -82,3 +82,37 @@ def test_duplicate_clusters_long_chain(spark):
     )
     out = duplicate_clusters(docs, pairs)
     assert out.filter(F.col("cluster_id") != 0).count() == 0
+
+
+def test_interval_join_inner_and_left(spark):
+    from cherry_pipelines_spark.operators.ranges import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 99)], "point_id long, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 0, 7), (200, 5, 12), (300, 40, 45)], "iv_id long, s long, e long"
+    )
+    # closed bounds: p=5 hits [0,7] and [5,12]; p=10 hits [5,12]; p=99 none
+    inner = interval_join(points, intervals, "p", "s", "e", bucket_width=4)
+    got = sorted((r["point_id"], r["iv_id"]) for r in inner.collect())
+    assert got == [(1, 100), (1, 200), (2, 200)]
+
+    left = interval_join(points, intervals, "p", "s", "e", bucket_width=4, how="left")
+    rows = sorted((r["point_id"], r["iv_id"]) for r in left.collect())
+    assert rows == [(1, 100), (1, 200), (2, 200), (3, None)]
+
+
+def test_interval_join_no_nested_loop_plan(spark):
+    from cherry_pipelines_spark.operators.ranges import interval_join
+    from cherry_pipelines_spark.plans import explain_str
+
+    points = spark.range(1000).select(F.col("id").alias("pid"), (F.col("id") % 500).alias("p"))
+    iv = spark.range(100).select(
+        F.col("id").alias("ivid"),
+        (F.col("id") * 7 % 400).alias("s"),
+        (F.col("id") * 7 % 400 + 20).alias("e"),
+    )
+    plan = explain_str(interval_join(points, iv, "p", "s", "e", bucket_width=16))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
