@@ -160,21 +160,34 @@ def frame_features(
         import numpy as np
 
         for pdf in batches:
-            mins: list = []
-            maxs: list = []
-            sums: list = []
-            means: list = []
-            for blob in pdf[blob_col]:
-                if blob is None or len(blob) == 0:
-                    mins.append(None); maxs.append(None)
-                    sums.append(None); means.append(None)
-                    continue
-                b = np.frombuffer(blob, np.uint8)
-                s = int(b.sum())
-                mins.append(int(b.min()))
-                maxs.append(int(b.max()))
-                sums.append(s)
-                means.append(round(s / len(b), 6))
+            n = len(pdf)
+            blobs = pdf[blob_col].to_numpy()
+            lens = np.fromiter(
+                (len(b) if b is not None else 0 for b in blobs), np.int64, count=n
+            )
+            nonempty = lens > 0
+            # one concatenated buffer + segmented reductions (reduceat)
+            # instead of a per-frame frombuffer loop
+            buf = np.frombuffer(
+                b"".join(blobs[i] for i in np.nonzero(nonempty)[0]), np.uint8
+            ).astype(np.int64)
+            ne_lens = lens[nonempty]
+            mins = np.full(n, None, dtype=object)
+            maxs = np.full(n, None, dtype=object)
+            sums = np.full(n, None, dtype=object)
+            means = np.full(n, None, dtype=object)
+            if len(ne_lens):
+                starts = np.zeros(len(ne_lens), dtype=np.int64)
+                np.cumsum(ne_lens[:-1], out=starts[1:])
+                seg_sum = np.add.reduceat(buf, starts)
+                mins[nonempty] = np.minimum.reduceat(buf, starts)
+                maxs[nonempty] = np.maximum.reduceat(buf, starts)
+                sums[nonempty] = seg_sum
+                # python round (not np.round) to stay bit-identical to
+                # the SQL oracle's decimal-aware rounding
+                means[nonempty] = [
+                    round(int(s) / int(ln), 6) for s, ln in zip(seg_sum, ne_lens)
+                ]
             base = pdf[passthrough].reset_index(drop=True)
             base["byte_min"] = pd.Series(mins, dtype=object)
             base["byte_max"] = pd.Series(maxs, dtype=object)
