@@ -282,6 +282,10 @@ def decode_events_df(
             # structural validity: required topics present (32 bytes),
             # extra topics absent, data exactly n_words words
             ok = np.ones(n, dtype=bool)
+            if n_indexed > n_topics:
+                # more indexed params than topic columns: every row is
+                # missing a topic (decode_event_row's "missing topic")
+                ok[:] = False
             for k in range(n_topics):
                 present = np.fromiter(
                     (x is not None and len(x) == 32 for x in topic_arrays[k]),

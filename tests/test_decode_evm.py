@@ -83,3 +83,20 @@ def test_decode_events_df(spark):
 
     strict = decode_events_df(logs, SIG, allow_decode_fail=False)
     assert strict.count() == 1
+
+
+def test_four_indexed_params_all_null(spark):
+    """More indexed params than topic columns: every row fails decode
+    (missing topic) -> NULL columns, never an executor error."""
+    from cherry_pipelines_spark.functions.abi import decode_events_df
+
+    df = spark.createDataFrame(
+        [(1, b"\x00" * 32, b"\x00" * 32, b"\x00" * 32, b"")],
+        "log_index long, topic1 binary, topic2 binary, topic3 binary, data binary",
+    )
+    out = decode_events_df(
+        df,
+        "Weird(address indexed a, address indexed b, address indexed c, address indexed d)",
+    ).collect()
+    assert len(out) == 1
+    assert all(out[0][c] is None for c in ("a", "b", "c", "d"))
