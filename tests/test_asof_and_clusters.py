@@ -116,3 +116,33 @@ def test_interval_join_no_nested_loop_plan(spark):
     plan = explain_str(interval_join(points, iv, "p", "s", "e", bucket_width=16))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_randomized_vs_bruteforce(spark):
+    """200 random points x 40 random intervals (negative values and
+    bucket-boundary hits included): bucket expansion must agree exactly
+    with the brute-force BETWEEN evaluation."""
+    import random
+
+    from cherry_pipelines_spark.operators.ranges import interval_join
+
+    rng = random.Random(1234)
+    pts = [(i, rng.randint(-500, 500)) for i in range(200)]
+    ivs = []
+    for j in range(40):
+        s = rng.randint(-520, 480)
+        ivs.append((j, s, s + rng.randint(0, 130)))
+    expect = sorted(
+        (pid, ivid)
+        for pid, p in pts
+        for ivid, s, e in ivs
+        if s <= p <= e
+    )
+    pdf = spark.createDataFrame(pts, "pid long, p long")
+    idf = spark.createDataFrame(ivs, "ivid long, s long, e long")
+    for width in (1, 7, 64, 1000):
+        got = sorted(
+            (r["pid"], r["ivid"])
+            for r in interval_join(pdf, idf, "p", "s", "e", bucket_width=width).collect()
+        )
+        assert got == expect, f"width={width}"
