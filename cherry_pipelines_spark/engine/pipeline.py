@@ -46,6 +46,22 @@ class PipelineContext:
     chain_id: int | None = None
     extra: dict[str, Any] = field(default_factory=dict)
 
+    def batch_cache(self, df):
+        """Cache ``df`` for the lifetime of this batch (released by the
+        runner right after the sink write).  For subtrees referenced by
+        several downstream branches — e.g. the positional-index window
+        that every discriminator split filters — caching once replaces
+        N recomputations of a shuffle+sort with one; a batch is bounded
+        (batch_size blocks), so the footprint is small and freed
+        promptly."""
+        df = df.cache()
+        self.extra.setdefault("_batch_cached", []).append(df)
+        return df
+
+    def release_caches(self) -> None:
+        for df in self.extra.pop("_batch_cached", []):
+            df.unpersist()
+
 
 class Source:
     """Source protocol: produce the table bundle for one block range."""
@@ -94,9 +110,12 @@ class Pipeline:
             t0 = time.monotonic()
             ctx = PipelineContext(from_block=cur, to_block=batch_end, chain_id=self.chain_id)
             bundle = self.source.read(spark, cur, batch_end)
-            for step in self.steps:
-                bundle = step.run(spark, bundle, ctx)
-            self.sink.write(spark, bundle, cur, batch_end)
+            try:
+                for step in self.steps:
+                    bundle = step.run(spark, bundle, ctx)
+                self.sink.write(spark, bundle, cur, batch_end)
+            finally:
+                ctx.release_caches()
             logger.info(
                 "pipeline=%s batch=[%d,%d] took %.0fms",
                 self.name, cur, batch_end, (time.monotonic() - t0) * 1e3,

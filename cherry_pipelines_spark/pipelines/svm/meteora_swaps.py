@@ -81,7 +81,7 @@ def split_step(bundle: TableBundle, ctx) -> TableBundle:
         C.starts_with(F.col("data"), SWAP_DISCRIMINATOR)
         | C.starts_with(F.col("data"), CPI_DISCRIMINATOR)
     )
-    ins = C.indexed_instructions(bundle["instructions"], keep)
+    ins = ctx.batch_cache(C.indexed_instructions(bundle["instructions"], keep))
     out["swaps"] = ins.filter(C.starts_with(F.col("data"), SWAP_DISCRIMINATOR))
     out["cpi"] = ins.filter(C.starts_with(F.col("data"), CPI_DISCRIMINATOR))
     del out["instructions"]

@@ -187,10 +187,14 @@ def split_step(bundle: TableBundle, ctx) -> TableBundle:
     """Memo-filter → positional index → discriminator dispatch
     (orca_swaps.py:223-265)."""
     out = dict(bundle)
-    ins = C.indexed_instructions(
-        bundle["instructions"],
-        (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V1))
-        & (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V2)),
+    # four discriminator branches filter the same windowed subtree —
+    # cache it for the batch (released by the runner after the write)
+    ins = ctx.batch_cache(
+        C.indexed_instructions(
+            bundle["instructions"],
+            (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V1))
+            & (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V2)),
+        )
     )
     is_orca = F.col("program_id") == F.lit(PROGRAM_ID)
     is_token = C.program_in(C.TOKEN_PROGRAM_ID, C.TOKEN_2022_PROGRAM_ID)

@@ -244,10 +244,14 @@ def _normalize(bundle: TableBundle) -> DataFrame:
 def split_step(bundle: TableBundle, ctx) -> TableBundle:
     """raydium_swaps.py:309-374: memo-filter → index → 8-way dispatch."""
     out = dict(bundle)
-    ins = C.indexed_instructions(
-        bundle["instructions"],
-        (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V1))
-        & (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V2)),
+    # eight kind branches + two transfer branches filter the same
+    # windowed subtree — cache it for the batch
+    ins = ctx.batch_cache(
+        C.indexed_instructions(
+            bundle["instructions"],
+            (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V1))
+            & (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V2)),
+        )
     )
     for key, program, disc, _sig in _KINDS:
         out[key] = ins.filter(

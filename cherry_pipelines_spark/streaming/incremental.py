@@ -109,12 +109,16 @@ class StreamingPipeline:
                     df = df.select(*spec.columns)
                 bundle[name] = df
             ctx = PipelineContext(from_block=int(batch_id), to_block=int(batch_id))
-            for step in self.steps:
-                bundle = step.run(session, bundle, ctx)
-            # micro-batch id is the idempotency key: Structured Streaming
-            # replays a failed batch with the same id, and the sink's
-            # per-batch overwrite makes the replay converge (T3)
-            self.sink.write(session, bundle, int(batch_id), int(batch_id))
+            try:
+                for step in self.steps:
+                    bundle = step.run(session, bundle, ctx)
+                # micro-batch id is the idempotency key: Structured
+                # Streaming replays a failed batch with the same id, and
+                # the sink's per-batch overwrite makes the replay
+                # converge (T3)
+                self.sink.write(session, bundle, int(batch_id), int(batch_id))
+            finally:
+                ctx.release_caches()
 
         return inner
 
