@@ -230,6 +230,41 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
 
 
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (rows under 40% of
+    their part's average quantity).  Catalyst decorrelates it into an
+    aggregate + join — no per-row re-execution (SURVEY §4 'rewrites we
+    get free')."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_partkey,
+               count(*) AS n_small,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_small_qty
+        FROM lineitem l1
+        WHERE l_quantity < (SELECT 0.4 * avg(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY l_partkey
+        """
+    ).select(
+        "l_partkey",
+        F.col("n_small").cast("long").alias("n_small"),
+        "sum_small_qty",
+    )
+
+
+ORACLE_CORRELATED = """
+SELECT l_partkey, count(*)::BIGINT AS n_small,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_small_qty
+FROM lineitem l1
+WHERE l_quantity < (SELECT 0.4 * avg(l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY l_partkey
+"""
+
+
 # =====================================================================
 # §2.2 P12 + §2.3 J2 — positional index & adjacency join
 # =====================================================================
@@ -1180,6 +1215,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "local_supplier_volume": q_local_supplier_volume,
     "left_join_null": q_left_join_null,
     "semi_anti": q_semi_anti,
+    "correlated_subquery": q_correlated_subquery,
     "rollup_revenue": q_rollup_revenue,
     "distinct_agg": q_distinct_agg,
     "percentile_value": q_percentile_value,
@@ -1222,6 +1258,7 @@ _ORACLES: dict[str, str] = {
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
     "left_join_null": ORACLE_LEFT_JOIN,
     "semi_anti": ORACLE_SEMI_ANTI,
+    "correlated_subquery": ORACLE_CORRELATED,
     "rollup_revenue": ORACLE_ROLLUP,
     "distinct_agg": ORACLE_DISTINCT_AGG,
     "percentile_value": ORACLE_PERCENTILE,

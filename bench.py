@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "skew_salted_join",
     "interval_join",
+    "correlated_subquery",
 ]
 
 # single-JVM timing is noisy (JIT/codegen warmup, GC, AQE): time each
