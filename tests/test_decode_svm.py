@@ -147,3 +147,72 @@ def test_rest_of_accounts(spark):
     assert bytes(out["acc10"]) == b"K10"
     assert bytes(out["acc11"]) == b"K11"
     assert out["amount_in"] == 777
+
+
+def test_fixed_fast_path_differential(spark):
+    """The vectorized fixed-width fast path must agree row-for-row with
+    the per-row reader across all fixed kinds and failure modes: bad
+    bool byte / bad enum index (row dropped), u64 > int64 max and u128
+    overflow (NULL value), short buffer (dropped), trailing bytes
+    (ignored)."""
+    import random
+
+    rng = random.Random(777)
+    sig = B.InstructionSignature(
+        discriminator=b"\x2a",
+        params=(
+            B.ParamInput("a_u8", B.U8()),
+            B.ParamInput("b_u16", B.U16()),
+            B.ParamInput("c_u32", B.U32()),
+            B.ParamInput("d_u64", B.U64()),
+            B.ParamInput("e_u128", B.U128()),
+            B.ParamInput("f_i8", B.I8()),
+            B.ParamInput("g_i64", B.I64()),
+            B.ParamInput("h_i128", B.I128()),
+            B.ParamInput("i_bool", B.Bool()),
+            B.ParamInput("j_enum", B.Enum(("x", "y", "z"))),
+            B.ParamInput("k_bytes", B.FixedArray(B.U8(), 5)),
+        ),
+        accounts_names=(),
+    )
+    width = 1 + 2 + 4 + 8 + 16 + 1 + 8 + 16 + 1 + 1 + 5
+
+    rows = []
+    for i in range(300):
+        body = bytearray(rng.randbytes(width))
+        mode = i % 6
+        boff = 1 + 2 + 4 + 8 + 16 + 1 + 8 + 16  # bool offset
+        if mode == 0:
+            body[boff] = rng.randint(0, 1)
+            body[boff + 1] = rng.randint(0, 2)  # valid bool+enum
+        elif mode == 1:
+            body[boff] = rng.randint(2, 255)  # bad bool -> dropped
+        elif mode == 2:
+            body[boff] = 1
+            body[boff + 1] = rng.randint(3, 255)  # bad enum -> dropped
+        elif mode == 3:  # u64 overflow -> NULL value
+            body[1 + 2 + 4 : 1 + 2 + 4 + 8] = (2**63 + i).to_bytes(8, "little")
+            body[boff] = 0
+            body[boff + 1] = 0
+        data = b"\x2a" + bytes(body)
+        if mode == 4:
+            data = data[: rng.randint(1, width)]  # short buffer -> dropped
+        elif mode == 5:
+            data = data + rng.randbytes(3)  # trailing -> ignored
+        rows.append((i, data))
+
+    df = spark.createDataFrame(rows, "row_id long, data binary")
+    got = {
+        r["row_id"]: {p.name: r[p.name] for p in sig.params}
+        for r in B.decode_instructions_df(df, sig, passthrough=("row_id",)).collect()
+    }
+    for i, data in rows:
+        expect = B.decode_instruction_data(sig, data)
+        if expect is None:
+            assert i not in got, f"row {i} should be dropped"
+        else:
+            assert i in got, f"row {i} should be kept"
+            norm = {k: (bytes(v) if isinstance(v, bytearray) else v) for k, v in got[i].items()}
+            exp = {k: (bytes(v) if isinstance(v, (bytes, bytearray)) else v) for k, v in expect.items()}
+            norm = {k: (bytes(v) if isinstance(v, (bytes, bytearray)) else v) for k, v in norm.items()}
+            assert norm == exp, f"row {i}: {norm} != {exp}"
