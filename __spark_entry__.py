@@ -986,6 +986,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing (codec-free stride stand-in): new
+    binary column + before/after sizes in one Arrow pass."""
+    from cherry_pipelines_spark.operators.multimodal import resize_media
+
+    (d,) = _load(spark, sf_dir, "documents")
+    blobs = d.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("blob")
+    )
+    return resize_media(blobs, stride=3).select(
+        "media_id", "n_bytes_in", "n_bytes_out", F.hex("blob_out").alias("blob_out_hex")
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+SELECT doc_id AS media_id, length(text)::BIGINT AS n_bytes_in,
+       ((length(text) + 2) // 3)::BIGINT AS n_bytes_out,
+       upper(hex(array_to_string([substring(text, i, 1)
+                  for i in generate_series(1, length(text), 3)], ''))) AS blob_out_hex
+FROM documents
+"""
+
+
 ORACLE_MULTIMODAL_FEATURES = """
 WITH f AS (
   SELECT doc_id AS media_id,
@@ -1245,6 +1268,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
     "skew_salted_join": q_skew_salted_join,
     "stream_windowed": q_stream_windowed,
     "stream_tumbling": q_stream_tumbling,
@@ -1288,6 +1312,7 @@ _ORACLES: dict[str, str] = {
     "multimodal_meta": ORACLE_MULTIMODAL,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "skew_salted_join": ORACLE_SKEW_SALTED,
     "stream_windowed": ORACLE_STREAM,
     "stream_tumbling": ORACLE_STREAM_TUMBLING,

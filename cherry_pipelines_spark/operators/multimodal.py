@@ -198,11 +198,57 @@ def frame_features(
     return df.mapInPandas(mapper, out_schema)
 
 
+def resize_media(
+    df: DataFrame, blob_col: str = "blob", stride: int = 2, id_col: str = "media_id"
+) -> DataFrame:
+    """Media resize/downsample plumbing: the real kernel is a codec
+    decode → resample → re-encode (PIL/libvips); the codec-free stand-in
+    keeps every ``stride``-th byte, which preserves the properties the
+    Spark side must get right — output is a new smaller binary column
+    with before/after sizes, computed in one Arrow pass, no driver
+    collection.  NULL blobs pass through as NULL.
+    """
+    if stride <= 0:
+        raise ValueError("stride must be positive")
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_bytes_in", T.LongType()),
+            T.StructField("n_bytes_out", T.LongType()),
+            T.StructField("blob_out", T.BinaryType()),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_in: list = []
+            n_out: list = []
+            outs: list = []
+            for blob in pdf[blob_col]:
+                if blob is None:
+                    n_in.append(None); n_out.append(None); outs.append(None)
+                    continue
+                small = blob[::stride]
+                n_in.append(len(blob))
+                n_out.append(len(small))
+                outs.append(small)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes_in": pd.Series(n_in, dtype=object),
+                    "n_bytes_out": pd.Series(n_out, dtype=object),
+                    "blob_out": pd.Series(outs, dtype=object),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(mapper, out_schema)
+
+
 def resize_stub(df: DataFrame, blob_col: str = "blob", max_px: int = 256) -> DataFrame:
-    """Placeholder for the real resize kernel: raises if reached — the
-    container has no codecs.  Kept so the operator surface (signature,
-    schema) is complete; swap ``_fake_decode``/this for PIL on a real
-    cluster."""
+    """Placeholder for the real codec-backed resize kernel: raises if
+    reached — the container has no codecs.  ``resize_media`` is the
+    deterministic stand-in with the same plumbing; swap in PIL here on
+    a real cluster."""
     raise NotImplementedError(
         "image resize requires a codec library not present in this container"
     )

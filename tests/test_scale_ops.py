@@ -182,3 +182,15 @@ def test_frame_features_exact_and_chainable(spark):
     )
     out = cosine_topk(feats, feats, k=1)
     assert out.count() == 0  # single vector, self excluded — chain runs
+
+
+def test_resize_media_stride_and_null(spark):
+    from cherry_pipelines_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(10))), (2, None)], "media_id long, blob binary"
+    )
+    rows = {r["media_id"]: r for r in resize_media(df, stride=3).collect()}
+    assert bytes(rows[1]["blob_out"]) == bytes([0, 3, 6, 9])
+    assert (rows[1]["n_bytes_in"], rows[1]["n_bytes_out"]) == (10, 4)
+    assert rows[2]["blob_out"] is None and rows[2]["n_bytes_in"] is None
