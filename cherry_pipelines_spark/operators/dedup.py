@@ -120,6 +120,7 @@ def minhash_lsh_candidates(
     k: int = 8,
     bands: int = 4,
     ngram: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """LSH banding: split the k-signature into ``bands`` rows-per-band
     groups, bucket docs by (band_id, band values), and emit candidate
@@ -128,7 +129,12 @@ def minhash_lsh_candidates(
     Scale shape: one groupBy for signatures, one explode to b rows/doc,
     one self-equi-join on the band key — shuffle keys are band hashes,
     so skew only appears if many docs are near-identical (exactly the
-    case where the pairs are wanted)."""
+    case where the pairs are wanted).  ``max_bucket`` bounds the blast
+    radius of a degenerate bucket (N identical docs → N²/2 pairs and an
+    N-element collected array): only the ``max_bucket`` smallest doc ids
+    per bucket pair up.  For dedup that loses nothing — members of a
+    saturated bucket still pair with the bucket minimum, so connected
+    components still merge the whole cluster."""
     rows_per_band = k // bands
     sig = minhash_signatures(df, text_col, k, ngram)
     band_structs = [
@@ -150,15 +156,31 @@ def minhash_lsh_candidates(
     # desired output.
     buckets = (
         banded.groupBy("band", "key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("all_ids"))
+        .filter(F.size("all_ids") > 1)
+        .select(
+            F.slice("all_ids", 1, max_bucket).alias("ids"),
+            F.when(
+                F.size("all_ids") > max_bucket,
+                F.slice(
+                    "all_ids", max_bucket + 1, F.size("all_ids") - F.lit(max_bucket)
+                ),
+            ).otherwise(F.slice("all_ids", 1, 0)).alias("overflow"),
+        )
     )
     pairs = buckets.select(
         F.explode(
-            F.expr(
-                "flatten(transform(ids, (a, i) -> "
-                "transform(slice(ids, i + 2, size(ids)), b -> "
-                "struct(a AS doc_a, b AS doc_b))))"
+            F.concat(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), b -> "
+                    "struct(a AS doc_a, b AS doc_b))))"
+                ),
+                # overflow members each pair with the bucket minimum so a
+                # saturated bucket still forms one connected component
+                F.expr(
+                    "transform(overflow, b -> struct(ids[0] AS doc_a, b AS doc_b))"
+                ),
             )
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")

@@ -151,3 +151,25 @@ def test_fingerprint_min_max(spark):
     r = text.fingerprint(df).collect()[0]
     hs = [_h32("a b c"), _h32("b c d")]
     assert (r["fp_min"], r["fp_max"], r["n_shingles"]) == (min(hs), max(hs), 2)
+
+
+def test_minhash_lsh_bucket_cap_preserves_connectivity(spark):
+    """A bucket over max_bucket still yields one connected component:
+    within-cap pairs are exhaustive, overflow members pair with the
+    bucket minimum."""
+    from cherry_pipelines_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "identical text body repeated for every document here") for i in range(9)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_candidates(docs, max_bucket=4)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # capped members pair fully; overflow (4..8) pairs only with min id 0
+    assert {(0, i) for i in range(1, 9)} <= got
+    assert (4, 5) not in got
+    clusters = duplicate_clusters(docs, pairs)
+    assert clusters.select("cluster_id").distinct().count() == 1
