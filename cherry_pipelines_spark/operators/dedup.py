@@ -265,6 +265,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     ngram: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
@@ -276,8 +277,25 @@ def ngram_jaccard_pairs(
     (no shuffle) and carried through the fan-out, so no post-hoc size
     joins are needed; the self-join's two sides are then *identical*
     subplans shuffled on the same key, which Catalyst executes as one
-    exchange (ReusedExchange)."""
+    exchange (ReusedExchange).
+
+    ``max_df`` is the corpus-scale guard: a shingle occurring in N
+    documents fans the join out N²/2 on that one key (a stop-phrase at
+    100 TB is a job-killer).  When set, shingles with document
+    frequency > ``max_df`` are dropped from the *join* before pairing —
+    the standard df-cut approximation: per-doc sizes still count every
+    shingle, so jaccard for surviving pairs is underestimated, never
+    inflated; pairs supported only by ubiquitous shingles disappear.
+    Default None keeps the exact semantics (and the SQL oracle)."""
     sh = _shingle_rows(df, text_col, ngram)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     # shuffle-hash, not broadcast: the exploded shingle table is |docs|×
     # |shingles/doc| rows — far over any broadcast threshold at scale,
     # and the identical l/r subplans share one exchange.  No sort needed

@@ -173,3 +173,26 @@ def test_minhash_lsh_bucket_cap_preserves_connectivity(spark):
     assert (4, 5) not in got
     clusters = duplicate_clusters(docs, pairs)
     assert clusters.select("cluster_id").distinct().count() == 1
+
+
+def test_ngram_jaccard_max_df_drops_stop_shingle_pairs(spark):
+    """With a df cut, pairs supported only by a ubiquitous shingle
+    disappear and surviving jaccard is never inflated."""
+    from cherry_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+
+    common = "the quick brown"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{common} fox jumps high"),
+            (2, f"{common} fox jumps high"),   # true duplicate of 1
+            (3, f"{common} cat sits low"),     # shares only the stop shingle
+        ],
+        "doc_id long, text string",
+    )
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    cut = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(docs, threshold=0.0, max_df=2).collect()}
+    assert (1, 2) in exact and (1, 3) in exact
+    assert (1, 2) in cut and (1, 3) not in cut  # stop-shingle-only pair gone
+    assert float(cut[(1, 2)]) <= float(exact[(1, 2)])  # never inflated
