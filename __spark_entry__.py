@@ -801,6 +801,39 @@ def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with probe_radius=1: the query also searches the 3^2 neighbor
+    cells, recovering neighbors that sit just across a lattice edge
+    (the standard ANN recall/latency dial)."""
+    from cherry_pipelines_spark.operators.similarity import ivf_topk
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    queries_df = em.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(em, queries_df, k=3, probe_radius=1).select(
+        "query_id", "neighbor_id", "cell", F.col("cos").cast("double").alias("cos"), "rank"
+    )
+
+
+ORACLE_IVF_MULTIPROBE = """
+WITH cells AS (
+  SELECT vec_id, embedding,
+         floor(embedding[1]::DOUBLE / 0.5)::BIGINT AS cx,
+         floor(embedding[2]::DOUBLE / 0.5)::BIGINT AS cy
+  FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding AS qv, cx, cy FROM cells WHERE vec_id % 50 = 0),
+q AS (SELECT query_id, qv, cx + dx.dx AS cx, cy + dy.dy AS cy
+      FROM q0, generate_series(-1, 1) dx(dx), generate_series(-1, 1) dy(dy)),
+s AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+             c.cx::VARCHAR || '_' || c.cy::VARCHAR AS cell,
+             round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos
+      FROM cells c JOIN q ON c.cx = q.cx AND c.cy = q.cy AND c.vec_id <> q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id) AS rn FROM s)
+SELECT query_id, neighbor_id, cell, cos, rn::BIGINT AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
 ORACLE_IVF_TOPK = """
 WITH cells AS (
   SELECT vec_id, embedding,
@@ -1260,6 +1293,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "similarity_cosine_topk": q_similarity_cosine_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
     "embedding_near_dup": q_embedding_near_dup,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
@@ -1304,6 +1338,7 @@ _ORACLES: dict[str, str] = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "similarity_cosine_topk": ORACLE_COSINE_TOPK,
     "similarity_ivf_topk": ORACLE_IVF_TOPK,
+    "similarity_ivf_multiprobe": ORACLE_IVF_MULTIPROBE,
     "embedding_near_dup": ORACLE_NEAR_DUP,
     "text_langid": ORACLE_LANGID,
     "text_quality": ORACLE_QUALITY,

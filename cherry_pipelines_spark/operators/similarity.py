@@ -136,13 +136,19 @@ def cosine_topk(
     )
 
 
-def bucket_id(vec: Column, n_components: int = 2, grid: float = 0.5) -> Column:
-    """Coarse IVF cell id: quantize the first ``n_components`` values on a
-    ``grid``-sized lattice.  Engine-portable (floor + concat)."""
-    parts = [
+def _cell_components(vec: Column, n_components: int = 2, grid: float = 0.5) -> list[Column]:
+    """Integer lattice coordinates of the coarse IVF cell (one long per
+    quantized leading component)."""
+    return [
         F.floor(F.element_at(vec, i + 1).cast("double") / F.lit(grid)).cast("long")
         for i in range(n_components)
     ]
+
+
+def bucket_id(vec: Column, n_components: int = 2, grid: float = 0.5) -> Column:
+    """Coarse IVF cell id: quantize the first ``n_components`` values on a
+    ``grid``-sized lattice.  Engine-portable (floor + concat)."""
+    parts = _cell_components(vec, n_components, grid)
     return F.concat_ws("_", *[p.cast("string") for p in parts])
 
 
@@ -155,25 +161,54 @@ def ivf_topk(
     n_components: int = 2,
     grid: float = 0.5,
     scale: int = 6,
+    probe_radius: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: equi-join on the coarse cell id, then exact
-    cosine within the cell.  Misses neighbors in other cells (that's the
-    approximation; widen grid/probes for recall)."""
+    """Approximate top-k: equi-join on the coarse cell coordinates, then
+    exact cosine within the probed cells.  ``probe_radius=0`` searches
+    only the query's own cell; radius ``r`` probes the (2r+1)^n
+    neighborhood — the standard IVF recall/latency dial: a neighbor just
+    across a lattice edge is found at r=1 without shrinking the grid.
+    Query rows fan out to the probe count (queries are the small side,
+    broadcast), the corpus is never replicated."""
+    import itertools
+
+    comp_names = [f"_c{i}" for i in range(n_components)]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         _norm(F.col(vec_col)).alias("qnorm"),
-        bucket_id(F.col(vec_col), n_components, grid).alias("cell"),
+        *[
+            c.alias(n)
+            for c, n in zip(_cell_components(F.col(vec_col), n_components, grid), comp_names)
+        ],
     )
+    if probe_radius > 0:
+        offsets = F.array(
+            *[
+                F.struct(*[F.lit(d).alias(f"d{i}") for i, d in enumerate(combo)])
+                for combo in itertools.product(
+                    range(-probe_radius, probe_radius + 1), repeat=n_components
+                )
+            ]
+        )
+        q = q.withColumn("_off", F.explode(offsets)).select(
+            "query_id", "qvec", "qnorm",
+            *[(F.col(n) + F.col(f"_off.d{i}")).alias(n) for i, n in enumerate(comp_names)],
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         _norm(F.col(vec_col)).alias("cnorm"),
         bucket_id(F.col(vec_col), n_components, grid).alias("cell"),
+        *[
+            cc.alias(n)
+            for cc, n in zip(_cell_components(F.col(vec_col), n_components, grid), comp_names)
+        ],
     )
     scored = (
-        c.join(F.broadcast(q), "cell")
+        c.join(F.broadcast(q), comp_names)
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .drop(*comp_names)
         .withColumn(
             "cos",
             F.round(
