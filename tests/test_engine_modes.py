@@ -119,3 +119,37 @@ def test_jdbc_sink_gated(spark):
                     anchor_table="t", block_column="b")
     with pytest.raises(NotImplementedError):
         sink.write(spark, {}, 0, 0)
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed identically on the join key must join without
+    any shuffle exchange — the write-once/join-many co-location strategy
+    (SCALE.md).  A plain parquet read of the same data shuffles."""
+    from cherry_pipelines_spark.plans import explain_str
+    from cherry_pipelines_spark.sinks.bucketed import read_bucketed, write_bucketed
+
+    left = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    right = spark.range(1000).selectExpr("id AS k", "id * 3 AS w")
+    write_bucketed(left, "bk_left", str(tmp_path / "l"), ["k"], 8, sort_cols=["k"])
+    write_bucketed(right, "bk_right", str(tmp_path / "r"), ["k"], 8, sort_cols=["k"])
+    # force the non-broadcast path: at scale neither fact side fits in a
+    # broadcast, which is exactly when bucketing pays
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, "bk_left").join(
+            read_bucketed(spark, "bk_right"), "k"
+        )
+        assert joined.count() == 1000
+        plan = explain_str(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # same files read WITHOUT bucket metadata do shuffle
+        plain = spark.read.parquet(str(tmp_path / "l")).join(
+            spark.read.parquet(str(tmp_path / "r")), "k"
+        )
+        assert "Exchange" in explain_str(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
