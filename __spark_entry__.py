@@ -25,11 +25,33 @@ TABLES = (
 ).split()
 
 
+def _session_confs(spark: SparkSession) -> None:
+    """Pin the session confs every query depends on, regardless of which
+    harness built the SparkSession.
+
+    The driver's fixtures store ``events.ts`` as INT64 TIMESTAMP(NANOS),
+    which Spark rejects unless ``nanosAsLong`` is on; timestamp filters
+    and the decode kernels additionally assume UTC and non-ANSI
+    semantics.  All three are runtime-settable.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the harness; proceed with its value
+
+
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    _session_confs(spark)
     return [spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names]
 
 
 def _views(spark: SparkSession, sf_dir: str) -> None:
+    _session_confs(spark)
     for n in TABLES:
         spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")).createOrReplaceTempView(n)
 
