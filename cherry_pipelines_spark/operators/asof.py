@@ -79,14 +79,23 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # fill ONE struct of all value columns per right row, not one
+    # independent last() per column: per-column fills would back-fill a
+    # NULL in the newest matching row from an older row, stitching the
+    # output from different right rows (pandas merge_asof / DuckDB ASOF
+    # keep the newest row's NULL — so do we).
+    vals = "_asof_vals"
     filled = l.unionByName(r).select(
         *left_cols,
         F.col(_SIDE).alias(_SIDE),
-        *[
-            F.last(F.when(F.col(_SIDE) == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(c)
-            for c in value_cols
-        ],
+        F.last(
+            F.when(F.col(_SIDE) == 0, F.struct(*[F.col(c) for c in value_cols])),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias(vals),
     )
-    return filled.filter(F.col(_SIDE) == 1).drop(_SIDE)
+    return filled.filter(F.col(_SIDE) == 1).select(
+        *left_cols,
+        *[F.col(vals).getField(c).alias(c) for c in value_cols],
+    )

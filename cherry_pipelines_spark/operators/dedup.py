@@ -20,6 +20,7 @@ Embedding-cosine near-dup lives in ``similarity.py``.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Iterator
 
 import pandas as pd
@@ -219,6 +220,7 @@ def duplicate_clusters(
     labels = docs.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=False)
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.src == labels.node)
@@ -237,6 +239,14 @@ def duplicate_clusters(
         labels = new_labels.drop("_chg")
         if changed == 0:
             break
+    if changed != 0:
+        warnings.warn(
+            f"duplicate_clusters did not converge after {max_iterations} "
+            f"iterations ({changed} labels still propagating) — clusters may "
+            "be split; raise max_iterations (rounds needed = graph diameter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
 
 

@@ -27,6 +27,9 @@ skew-join splits any residual hot bucket.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -79,10 +82,18 @@ def interval_join(
     )
     if how == "inner":
         return matched
-    # left: re-attach unmatched points with NULL interval columns
-    unmatched = points.join(
-        matched.select(*points.columns), points.columns, "left_anti"
+    # left: re-attach unmatched points with NULL interval columns.  The
+    # anti-join must use null-safe equality — with plain ``=`` a matched
+    # point row containing a NULL never equals itself, so it would be
+    # emitted twice (once matched, once as a spurious unmatched row).
+    m = matched.select(
+        *[F.col(c).alias(f"_m_{c}") for c in points.columns]
+    ).distinct()
+    cond = reduce(
+        and_,
+        [F.col(c).eqNullSafe(F.col(f"_m_{c}")) for c in points.columns],
     )
+    unmatched = points.join(m, cond, "left_anti")
     for c in intervals.columns:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
     return matched.unionByName(unmatched)

@@ -58,6 +58,9 @@ def _dot_fold(a: pd.Series, b: pd.Series) -> pd.Series:
             return None
         acc = 0.0
         for xi, yi in zip(x, y):
+            if xi is None or yi is None:
+                # JVM fold: acc + NULL = NULL and stays NULL
+                return None
             acc = acc + float(xi) * float(yi)
         return acc
 

@@ -146,3 +146,47 @@ def test_interval_join_randomized_vs_bruteforce(spark):
             for r in interval_join(pdf, idf, "p", "s", "e", bucket_width=width).collect()
         )
         assert got == expect, f"width={width}"
+
+
+def test_asof_value_cols_come_from_one_right_row(spark):
+    # the newest matching right row has px=NULL: standard as-of (pandas
+    # merge_asof / DuckDB ASOF) keeps that NULL — it must NOT be
+    # back-filled from the older row while qty comes from the newer one
+    left = spark.createDataFrame([(1, "a", 20)], "event_id long, k string, ts long")
+    right = spark.createDataFrame(
+        [("a", 10, 1.0, 100), ("a", 15, None, 200)],
+        "k string, ts long, px double, qty long",
+    )
+    row = asof_join(left, right, "ts", by=("k",)).collect()[0]
+    assert row["qty"] == 200
+    assert row["px"] is None  # newest row's NULL, not 1.0 from ts=10
+
+
+def test_duplicate_clusters_warns_on_non_convergence(spark):
+    import warnings as w
+
+    n = 8  # path graph of diameter 7 cannot converge in 2 rounds
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        duplicate_clusters(docs, pairs, max_iterations=2).collect()
+    assert any("did not converge" in str(c.message) for c in caught)
+
+
+def test_interval_join_left_null_point_column_not_duplicated(spark):
+    from cherry_pipelines_spark.operators.ranges import interval_join
+
+    # point 1 matches an interval but carries a NULL payload column: the
+    # left-mode anti-join must be null-safe or the row is emitted twice
+    points = spark.createDataFrame(
+        [(1, 5, None), (3, 99, "x")], "point_id long, p long, payload string"
+    )
+    intervals = spark.createDataFrame(
+        [(100, 0, 7)], "iv_id long, s long, e long"
+    )
+    out = interval_join(points, intervals, "p", "s", "e", bucket_width=4, how="left")
+    rows = sorted((r["point_id"], r["iv_id"]) for r in out.collect())
+    assert rows == [(1, 100), (3, None)]

@@ -196,3 +196,22 @@ def test_ngram_jaccard_max_df_drops_stop_shingle_pairs(spark):
     assert (1, 2) in exact and (1, 3) in exact
     assert (1, 2) in cut and (1, 3) not in cut  # stop-shingle-only pair gone
     assert float(cut[(1, 2)]) <= float(exact[(1, 2)])  # never inflated
+
+
+def test_dot_fold_ragged_null_element_yields_null(spark):
+    # mixed lengths in one Arrow batch force the per-row fallback; a NULL
+    # element inside a pair must yield NULL (JVM fold semantics), not a
+    # task-failing TypeError
+    df = spark.createDataFrame(
+        [
+            ([1.0, 2.0], [3.0, 4.0]),
+            ([1.0, None, 2.0], [1.0, 1.0, 1.0]),
+        ],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(
+        similarity._dot_fold("a", "b").alias("udf"),
+        similarity._dot(F.col("a"), F.col("b")).alias("jvm"),
+    ).collect()
+    assert got[0]["udf"] == got[0]["jvm"] == 11.0
+    assert got[1]["udf"] is None and got[1]["jvm"] is None
