@@ -23,35 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod
 from cherry_pipelines_spark.session import get_spark
 
-BENCH_QUERIES = [
-    "pricing_summary",
-    "topk_revenue",
-    "local_supplier_volume",
-    "left_join_null",
-    "positional_adjacency",
-    "trailing_window",
-    "union_typed_null",
-    "window_rownum_topk",
-    "evm_decode",
-    "borsh_decode",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "similarity_cosine_topk",
-    "similarity_ivf_topk",
-    "embedding_near_dup",
-    "text_langid",
-    "text_quality",
-    "token_stats",
-    "fingerprint",
-    "multimodal_meta",
-    "multimodal_frames",
-    "multimodal_features",
-    "skew_salted_join",
-    "interval_join",
-    "correlated_subquery",
-]
+# bench EVERY declared query — derived from the driver contract so a
+# newly added operator is automatically measured (a regression in any
+# declared query must be visible in the per-round BENCH json)
+BENCH_QUERIES = None  # resolved to list(entry_mod.queries()) at runtime
 
 # single-JVM timing is noisy (JIT/codegen warmup, GC, AQE): time each
 # query twice and keep the better run — steady-state throughput is the
@@ -68,12 +43,13 @@ def main() -> None:
         sf_val = sf
     spark = get_spark("cherry_bench")
     qs = entry_mod.queries()
+    bench_queries = BENCH_QUERIES if BENCH_QUERIES is not None else list(qs)
 
     # warm up the JVM / file listing with one tiny action (not timed)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         df = qs[name](spark, sf_dir)
         best = None
         for _ in range(RUNS_PER_QUERY):
@@ -86,7 +62,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": f"total wall seconds, {len(BENCH_QUERIES)} headline queries (noop sink, best of {RUNS_PER_QUERY})",
+                "metric": f"total wall seconds, {len(bench_queries)} headline queries (noop sink, best of {RUNS_PER_QUERY})",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
