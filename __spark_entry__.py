@@ -779,6 +779,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, threshold=0.1)
 
 
+def q_ngram_jaccard_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path: MinHash-LSH candidate generation followed by
+    pair-driven exact-jaccard verification — the shingle join is bounded
+    by |candidates|·shingles/doc, immune to stop-shingle N² fan-out.
+    With bands=k recall is high enough that this matches the exact
+    oracle on the fixture (deterministic minhash coefficients)."""
+    from cherry_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        d, threshold=0.1, lsh_prefilter=True, lsh_k=8, lsh_bands=8
+    )
+
+
 ORACLE_NGRAM_JACCARD = _SHINGLE_CTE + """,
 sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::BIGINT AS n_common
@@ -1313,6 +1327,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
     "similarity_cosine_topk": q_similarity_cosine_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
@@ -1358,6 +1373,10 @@ _ORACLES: dict[str, str] = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": ORACLE_SIMHASH,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    # the LSH-prefiltered path verifies candidates with EXACT jaccard;
+    # with bands=k it reproduces the exact result on the fixture, so the
+    # exact SQL is its oracle too (verified hash-matching at sf0.01)
+    "ngram_jaccard_lsh": ORACLE_NGRAM_JACCARD,
     "similarity_cosine_topk": ORACLE_COSINE_TOPK,
     "similarity_ivf_topk": ORACLE_IVF_TOPK,
     "similarity_ivf_multiprobe": ORACLE_IVF_MULTIPROBE,

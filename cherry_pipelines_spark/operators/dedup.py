@@ -276,27 +276,41 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    lsh_prefilter: bool = False,
+    lsh_k: int = 8,
+    lsh_bands: int = 4,
+    lsh_max_bucket: int = 10_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+    """n-gram Jaccard similarity pairs, exact or LSH-prefiltered.
 
     |A∩B| comes from the shingle equi-join; |A∪B| = |A|+|B|-|A∩B|.
-    Emits (doc_a < doc_b, jaccard) with jaccard ≥ threshold, in
-    decimal(18,6) for exact oracle comparison.
+    Emits (doc_a < doc_b, jaccard) with jaccard ≥ threshold.
 
-    Scale shape: the per-doc shingle count is computed while shingling
-    (no shuffle) and carried through the fan-out, so no post-hoc size
-    joins are needed; the self-join's two sides are then *identical*
-    subplans shuffled on the same key, which Catalyst executes as one
-    exchange (ReusedExchange).
+    Scale shape (exact mode): the per-doc shingle count is computed
+    while shingling (no shuffle) and carried through the fan-out, so no
+    post-hoc size joins are needed; the self-join's two sides are then
+    *identical* subplans shuffled on the same key, which Catalyst
+    executes as one exchange (ReusedExchange).
 
-    ``max_df`` is the corpus-scale guard: a shingle occurring in N
-    documents fans the join out N²/2 on that one key (a stop-phrase at
-    100 TB is a job-killer).  When set, shingles with document
-    frequency > ``max_df`` are dropped from the *join* before pairing —
-    the standard df-cut approximation: per-doc sizes still count every
-    shingle, so jaccard for surviving pairs is underestimated, never
-    inflated; pairs supported only by ubiquitous shingles disappear.
-    Default None keeps the exact semantics (and the SQL oracle)."""
+    ``max_df`` is the corpus-scale guard for exact mode: a shingle
+    occurring in N documents fans the join out N²/2 on that one key (a
+    stop-phrase at 100 TB is a job-killer).  When set, shingles with
+    document frequency > ``max_df`` are dropped from the *join* before
+    pairing — the standard df-cut approximation: per-doc sizes still
+    count every shingle, so jaccard for surviving pairs is
+    underestimated, never inflated; pairs supported only by ubiquitous
+    shingles disappear.  Default None keeps the exact semantics (and
+    the SQL oracle).
+
+    ``lsh_prefilter=True`` is the 100 TB default recipe: generate
+    candidate pairs with :func:`minhash_lsh_candidates` first, then
+    compute exact jaccard ONLY for candidates — the verify join is
+    pair-driven (candidates ⨝ doc_a's shingles, then an equi-join on
+    (doc_b, shingle)), so its size is |candidates|·shingles/doc no
+    matter how common any shingle is: the stop-shingle N² blowup of the
+    self-join cannot occur.  Jaccard values for surviving pairs are
+    identical to exact mode; pairs that collide in no LSH band are
+    missed (recall is the bands/k dial, same as the LSH operator)."""
     sh = _shingle_rows(df, text_col, ngram)
     if max_df is not None:
         rare = (
@@ -306,6 +320,28 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle")
+    if lsh_prefilter:
+        cands = minhash_lsh_candidates(
+            df, text_col, k=lsh_k, bands=lsh_bands, ngram=ngram,
+            max_bucket=lsh_max_bucket,
+        )
+        a = sh.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n_sh").alias("size_a"),
+            "shingle",
+        )
+        b = sh.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_sh").alias("size_b"),
+            "shingle",
+        )
+        inter = (
+            cands.join(a, "doc_a")  # fan out: one row per (pair, shingle of A)
+            .join(b, ["doc_b", "shingle"])  # equi-probe: shingle also in B?
+            .groupBy("doc_a", "doc_b", "size_a", "size_b")
+            .agg(F.count("*").cast("long").alias("n_common"))
+        )
+        return _jaccard_tail(inter, threshold)
     # shuffle-hash, not broadcast: the exploded shingle table is |docs|×
     # |shingles/doc| rows — far over any broadcast threshold at scale,
     # and the identical l/r subplans share one exchange.  No sort needed
@@ -325,6 +361,11 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").cast("long").alias("n_common"))
     )
+    return _jaccard_tail(inter, threshold)
+
+
+def _jaccard_tail(inter: DataFrame, threshold: float) -> DataFrame:
+    """Shared jaccard projection: |A∪B| = |A|+|B|-|A∩B|, threshold, select."""
     return (
         inter.withColumn(
             "jaccard",

@@ -215,3 +215,54 @@ def test_dot_fold_ragged_null_element_yields_null(spark):
     ).collect()
     assert got[0]["udf"] == got[0]["jvm"] == 11.0
     assert got[1]["udf"] is None and got[1]["jvm"] is None
+
+
+def test_ngram_jaccard_lsh_prefilter_matches_exact_for_candidates(spark):
+    """With generous LSH params (bands=k → collide on any one minhash)
+    the prefiltered path returns the same pairs and the SAME jaccard
+    values as exact mode — the prefilter only prunes, never rescores."""
+    from cherry_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),   # near-dup of 1
+            (3, "one two three four five six"),
+            (4, "one two three four five six"),          # exact dup of 3
+            (5, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    pre = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(
+               docs, threshold=0.3, lsh_prefilter=True, lsh_k=8, lsh_bands=8
+           ).collect()}
+    assert set(pre) <= set(exact)  # prefilter can only prune
+    assert (3, 4) in pre and (1, 2) in pre  # dups collide in some band
+    for p, j in pre.items():
+        assert float(j) == float(exact[p])  # identical scoring
+
+
+def test_ngram_jaccard_lsh_prefilter_plan_is_candidate_driven(spark):
+    """The prefiltered plan must contain no shingle=shingle self-join:
+    the verify join is keyed on (doc_b, shingle) driven by the candidate
+    pairs, so a stop shingle cannot fan out N² rows."""
+    from cherry_pipelines_spark.operators.dedup import ngram_jaccard_pairs
+    from cherry_pipelines_spark.plans import explain_str
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text body shared") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = explain_str(
+        ngram_jaccard_pairs(docs, lsh_prefilter=True), mode="extended"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the exact-mode self-join condition (shingle = shingle with a
+    # doc_id < doc_id residual) must not appear anywhere in the plan
+    import re
+
+    assert not re.search(r"doc_id#\d+L? < doc_id#\d+", plan)
