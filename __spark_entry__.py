@@ -1041,15 +1041,19 @@ FROM f
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-frame feature extraction (decode → frames → features): exact
     byte statistics as the codec-free stand-in for an image/audio
-    descriptor; output shape feeds similarity search."""
-    from cherry_pipelines_spark.operators.multimodal import frame_features, sample_frames
+    descriptor; output shape feeds similarity search.
+
+    Uses the FUSED sample+features kernel (one mapInPandas pass,
+    offset-driven reduceat — frame bytes never cross Arrow twice);
+    differential-pinned to the chained sample_frames→frame_features in
+    tests/test_scale_ops.py, ~1.6× faster at sf0.1."""
+    from cherry_pipelines_spark.operators.multimodal import sampled_frame_features
 
     (d,) = _load(spark, sf_dir, "documents")
     blobs = d.select(
         F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("blob")
     )
-    frames = sample_frames(blobs, frame_size=32, every_k=2)
-    return frame_features(frames).select(
+    return sampled_frame_features(blobs, frame_size=32, every_k=2).select(
         "media_id", "frame_index", "n_frame_bytes",
         "byte_min", "byte_max", "byte_sum", "byte_mean",
     )

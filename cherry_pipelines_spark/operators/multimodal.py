@@ -198,6 +198,93 @@ def frame_features(
     return df.mapInPandas(mapper, out_schema)
 
 
+def sampled_frame_features(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    frame_size: int = 32,
+    every_k: int = 2,
+) -> DataFrame:
+    """Fused :func:`sample_frames` → :func:`frame_features` for the
+    chained case: identical output rows, ONE ``mapInPandas`` pass.
+
+    The chained form Arrow-serializes every sampled frame's bytes out of
+    the first UDF and back into the second; here frames are never
+    materialized at all — per-frame (start, end) offsets into one
+    concatenated blob buffer drive ``np.*.reduceat`` segmented
+    reductions directly (interleaved start/end index trick: results at
+    even positions are the [start, end) segments, odd positions are the
+    skipped gaps).  Cuts the Python↔JVM transfer roughly in half and
+    drops one exchange-free stage boundary.
+    """
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_index", T.LongType()),
+            T.StructField("n_frame_bytes", T.LongType()),
+            T.StructField("byte_min", T.LongType()),
+            T.StructField("byte_max", T.LongType()),
+            T.StructField("byte_sum", T.LongType()),
+            T.StructField("byte_mean", T.DoubleType()),
+        ]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list = []
+            idxs: list[int] = []
+            starts_l: list[int] = []
+            ends_l: list[int] = []
+            chunks: list[bytes] = []
+            offset = 0
+            for mid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if not blob:  # NULL or empty: no frames (as in sample_frames)
+                    continue
+                nb = len(blob)
+                chunks.append(blob)
+                n_frames = (nb + frame_size - 1) // frame_size
+                for fi in range(0, n_frames, every_k):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    starts_l.append(offset + fi * frame_size)
+                    ends_l.append(offset + min((fi + 1) * frame_size, nb))
+                offset += nb
+            if ids:
+                buf = np.frombuffer(b"".join(chunks), np.uint8).astype(np.int64)
+                starts = np.asarray(starts_l, np.int64)
+                ends = np.asarray(ends_l, np.int64)
+                inter = np.empty(2 * len(starts), np.int64)
+                inter[0::2] = starts
+                inter[1::2] = ends
+                # reduceat indices must be < len(buf); a trailing end ==
+                # len(buf) is implied by reduceat's run-to-end behavior
+                idx = inter[:-1] if inter[-1] == len(buf) else inter
+                sums = np.add.reduceat(buf, idx)[::2]
+                mins = np.minimum.reduceat(buf, idx)[::2]
+                maxs = np.maximum.reduceat(buf, idx)[::2]
+                lens = ends - starts
+                means = [round(int(s) / int(ln), 6) for s, ln in zip(sums, lens)]
+            else:
+                sums = mins = maxs = lens = means = []
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                    "frame_index": pd.Series(idxs, dtype="int64"),
+                    "n_frame_bytes": pd.Series(lens, dtype="int64"),
+                    "byte_min": pd.Series(mins, dtype="int64"),
+                    "byte_max": pd.Series(maxs, dtype="int64"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                    "byte_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    return fan_out(df.select(id_col, blob_col)).mapInPandas(mapper, out_schema)
+
+
 def resize_media(
     df: DataFrame, blob_col: str = "blob", stride: int = 2, id_col: str = "media_id"
 ) -> DataFrame:

@@ -36,11 +36,20 @@ def fan_out(df: DataFrame) -> DataFrame:
     """Small inputs often arrive as one parquet partition; the
     explode/hash chains here are CPU-bound, so spread them across the
     cluster first.  No-op-cheap at scale (already-parallel inputs skip
-    the shuffle)."""
+    the shuffle).
+
+    Parallelism is estimated from the leaf-scan file count rather than
+    ``df.rdd.getNumPartitions()`` — touching ``.rdd`` materializes the
+    RDD lineage (and would weaken the no-Python-eval plan guarantees);
+    file count is metadata-only.  A many-file scan is already parallel;
+    a one-file fixture (or an in-memory frame, ``inputFiles() == []``)
+    gets spread.  Worst case for the heuristic is one huge splittable
+    file, where the extra repartition is a small bounded shuffle."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if files and len(files) >= max(2, target // 2):
+        return df
+    return df.repartition(target)
 
 
 def h32(col: Column) -> Column:

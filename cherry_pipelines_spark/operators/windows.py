@@ -44,3 +44,50 @@ def trailing_range_agg(
     # withColumn-per-agg loop plans a separate Sort+Window per aggregate
     # because the interleaved Projects block Catalyst's CollapseWindow
     return df.select("*", *[expr.over(w).alias(name) for name, expr in aggs.items()])
+
+
+def chunked_trailing_range_agg(
+    df: DataFrame,
+    range_col: str,
+    width: int,
+    aggs: dict[str, Column],
+    partition_cols: Sequence[str] = (),
+    chunk: int = 4096,
+) -> DataFrame:
+    """Scalable variant of :func:`trailing_range_agg` for unbounded /
+    low-key-cardinality inputs.
+
+    ``Window.partitionBy()`` (or a handful of hot keys) funnels ALL rows
+    of a key into one task — fine for a 200-slot batch, a single-task
+    bottleneck over full history.  Here rows are hashed into
+    ``chunk``-wide range chunks of ``range_col``; rows within ``width``
+    of a chunk's end are additionally replicated into the next chunk as
+    lookback-only feeders, so every row still sees its full
+    ``[value-width, value]`` trailing window while no window partition
+    exceeds ``chunk + width`` range units.  Cost: ~``width/chunk`` row
+    duplication (default <0.5%) and one extra union — the same
+    bucket-expansion trick as ``operators/ranges.interval_join``.
+
+    Requires ``width <= chunk`` (a window never spans more than two
+    chunks) and non-negative aggregate inputs are NOT required — results
+    are exact, row-for-row equal to the unchunked form.
+    """
+    if width > chunk:
+        raise ValueError(f"chunk ({chunk}) must be >= width ({width})")
+    v = F.col(range_col).cast("long")
+    native = df.withColumn("_w_chunk", F.floor(v / chunk)).withColumn(
+        "_w_feeder", F.lit(False)
+    )
+    spill = (
+        df.filter(F.pmod(v, F.lit(chunk)) >= chunk - width)
+        .withColumn("_w_chunk", F.floor(v / chunk) + 1)
+        .withColumn("_w_feeder", F.lit(True))
+    )
+    both = native.unionByName(spill)
+    w = (
+        Window.partitionBy(*partition_cols, "_w_chunk")
+        .orderBy(v)
+        .rangeBetween(-width, 0)
+    )
+    out = both.select("*", *[expr.over(w).alias(name) for name, expr in aggs.items()])
+    return out.filter(~F.col("_w_feeder")).drop("_w_chunk", "_w_feeder")

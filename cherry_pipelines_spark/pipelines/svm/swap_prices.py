@@ -24,6 +24,10 @@ from pyspark.sql import functions as F
 
 from cherry_pipelines_spark.engine.checkpoint import get_min_block, get_next_block
 from cherry_pipelines_spark.functions.crypto import base58_decode
+from cherry_pipelines_spark.operators.windows import (
+    chunked_trailing_range_agg,
+    trailing_range_agg,
+)
 from cherry_pipelines_spark.sinks.parquet import ParquetSink
 
 TABLE_NAME = "swap_prices"
@@ -41,6 +45,10 @@ USD_COINS = (USDC, USDT)
 WSOL = base58_decode("So11111111111111111111111111111111111111112")
 
 DEC = "decimal(38,9)"
+
+# sol-leg window chunk for single-plan backfills: bounds any one window
+# task to ~BACKFILL_CHUNK slots of history (see chunked_trailing_range_agg)
+BACKFILL_CHUNK = 4096
 
 
 def _directional_swaps(swaps: DataFrame) -> DataFrame:
@@ -78,23 +86,31 @@ def _directional_swaps(swaps: DataFrame) -> DataFrame:
 
 
 def _windowed_totals(
-    df: DataFrame, from_block: int, partition_cols: tuple[str, ...]
+    df: DataFrame,
+    from_block: int,
+    partition_cols: tuple[str, ...],
+    chunk: int | None = None,
 ) -> DataFrame:
     """Trailing 20-slot totals, replicating the reference's
     join+group_by fan-out: per-row window sums, then summed per
-    (slot[, mint]) group — total = n_anchor_rows × window_sum."""
-    w = (
-        Window.partitionBy(*partition_cols)
-        .orderBy(F.col("block_slot").cast("long"))
-        .rangeBetween(-WINDOW_RANGE, 0)
-    )
-    # both window sums in one select → a single Sort+Window pass (a
-    # withColumn chain plans one Window per aggregate)
-    per_row = df.select(
-        "*",
-        F.sum("input_amount").over(w).alias("w_input"),
-        F.sum("output_amount").over(w).alias("w_output"),
-    )
+    (slot[, mint]) group — total = n_anchor_rows × window_sum.
+
+    ``chunk`` switches to the chunked boundary-replicated window
+    (operators/windows.chunked_trailing_range_agg) so an unbounded
+    backfill never funnels a whole partition-key's history into one
+    task; results are identical."""
+    aggs = {
+        "w_input": F.sum("input_amount"),
+        "w_output": F.sum("output_amount"),
+    }
+    if chunk is None:
+        per_row = trailing_range_agg(
+            df, "block_slot", WINDOW_RANGE, aggs, partition_cols
+        )
+    else:
+        per_row = chunked_trailing_range_agg(
+            df, "block_slot", WINDOW_RANGE, aggs, partition_cols, chunk=chunk
+        )
     # anchors must be inside the batch proper (lookback rows only feed
     # windows; swap_prices.py:193,274)
     per_row = per_row.filter(F.col("block_slot") >= from_block)
@@ -105,10 +121,25 @@ def _windowed_totals(
 
 
 def compute_prices(
-    spark: SparkSession, swaps: DataFrame, from_block: int, to_block: int
+    spark: SparkSession,
+    swaps: DataFrame,
+    from_block: int,
+    to_block: int,
+    batch_origin: int | None = None,
+    batch_step: int | None = None,
+    chunk: int | None = None,
 ) -> DataFrame:
     """One batch of the derived pipeline (swap_prices.py:149-300).
-    ``swaps`` must already include the 20-slot lookback rows."""
+    ``swaps`` must already include the 20-slot lookback rows.
+
+    ``batch_origin``/``batch_step``/``chunk`` are the single-plan
+    backfill knobs: the reference's batch loop only prices token swaps
+    whose slot falls inside the CURRENT batch (lookback token rows have
+    no price row to join, swap_prices.py:252-265), so token windows
+    truncate at batch starts.  A full-range plan reproduces that exactly
+    by partitioning the token window on the batch id; the sol leg has no
+    such truncation (lookback sol swaps need no price join) and uses the
+    chunked window to stay bounded per task."""
     data = _directional_swaps(
         swaps.filter((F.col("input_amount") != 0) & (F.col("output_amount") != 0))
     )
@@ -118,7 +149,7 @@ def compute_prices(
         F.col("output_mint") == F.lit(USD_COINS[1])
     )
     sol_to_usd = data.filter((F.col("input_mint") == F.lit(WSOL)) & out_usd)
-    sol_totals = _windowed_totals(sol_to_usd, from_block, ())
+    sol_totals = _windowed_totals(sol_to_usd, from_block, (), chunk=chunk)
     sol_prices = (
         sol_totals.filter(F.col("total_output") > TOTAL_AMOUNT_THRESHOLD)
         .select(
@@ -167,7 +198,19 @@ def compute_prices(
         F.col("input_amount"),
         F.col("output_price").alias("output_amount"),  # reuse the window helper
     )
-    token_totals = _windowed_totals(token_window_input, from_block, ("input_mint",))
+    token_partition: tuple[str, ...] = ("input_mint",)
+    if batch_step is not None:
+        # replicate the loop's per-batch token-window truncation: a
+        # window partitioned on the batch id cannot see the previous
+        # batch's (price-less in the loop) token rows
+        token_window_input = token_window_input.withColumn(
+            "_batch",
+            F.floor(
+                (F.col("block_slot") - F.lit(batch_origin)) / F.lit(batch_step)
+            ),
+        )
+        token_partition = ("input_mint", "_batch")
+    token_totals = _windowed_totals(token_window_input, from_block, token_partition)
     token_prices = token_totals.select(
         (F.col("total_output") / F.col("total_input")).cast(DEC).alias("price"),
         "block_slot",
@@ -184,10 +227,25 @@ def run(
     raydium_swaps_path: str,
     sink_path: str,
     from_block: int = 0,
+    mode: str = "incremental",
+    batch_range: int = BATCH_RANGE,
 ) -> int:
-    """Batch loop with 200-slot batches + 20-slot lookback
-    (swap_prices.py:86-317): bounds from the source table's min/max,
-    resume from the sink's max block."""
+    """Derived-pipeline driver (swap_prices.py:86-317): bounds from the
+    source table's min/max, resume from the sink's max block.
+
+    ``mode="incremental"`` is the reference's loop — ``batch_range``-slot
+    batches with a ``WINDOW_RANGE``-slot lookback refetch, one Spark job
+    per batch.  Right for tail-following a live table.
+
+    ``mode="backfill"`` processes the whole remaining range in ONE plan:
+    the trailing ``rangeBetween(-WINDOW_RANGE, 0)`` window plus the
+    ``block_slot >= start`` anchor guard already make batch edges exact,
+    so the loop adds nothing but per-batch driver/job overhead — at a
+    100× history that is thousands of sequential Spark jobs.  Output is
+    stamped with the same ``_batch_start`` partition each row would have
+    landed in under the loop, so the on-disk layout (and per-batch
+    replay idempotence) is identical.
+    """
     src = spark.read.parquet(raydium_swaps_path)
     min_block = get_min_block(spark, raydium_swaps_path, "block_slot")
     end_block = get_next_block(spark, raydium_swaps_path, "block_slot")
@@ -201,15 +259,43 @@ def run(
     if start >= end_block:
         return 0
     start = start + WINDOW_RANGE
+    step = batch_range + 1
+
+    if mode == "backfill":
+        last = end_block - 1
+        if start > last:
+            return 0
+        # No cache: a full-history backfill cannot pin the source in
+        # memory; each branch re-scans parquet with its own pushed
+        # filters (input/output mint, block_slot range) instead.
+        window_src = src.filter(
+            (F.col("block_slot") >= max(0, start - WINDOW_RANGE))
+            & (F.col("block_slot") <= last)
+        )
+        prices = compute_prices(
+            spark,
+            window_src,
+            start,
+            last,
+            batch_origin=start,
+            batch_step=step,
+            chunk=BACKFILL_CHUNK,
+        )
+        batch_expr = F.lit(start) + F.floor(
+            (F.col("block_slot") - F.lit(start)) / F.lit(step)
+        ) * F.lit(step)
+        sink.write(spark, {TABLE_NAME: prices}, start, last, batch_expr=batch_expr)
+        return (last - start) // step + 1
+
     n_batches = 0
     cur = start
     while cur < end_block:
-        batch_end = min(end_block - 1, cur + BATCH_RANGE)
+        batch_end = min(end_block - 1, cur + batch_range)
         window_src = src.filter(
             (F.col("block_slot") >= max(0, cur - WINDOW_RANGE))
             & (F.col("block_slot") <= batch_end)
         ).cache()
-        # one batch is ≤ BATCH_RANGE+WINDOW_RANGE slots — caching it
+        # one batch is ≤ batch_range+WINDOW_RANGE slots — caching it
         # keeps the sol/token/flip branches (6 plan references) from
         # re-scanning the source per branch; released after the write
         try:
@@ -217,6 +303,6 @@ def run(
             sink.write(spark, {TABLE_NAME: prices}, cur, batch_end)
         finally:
             window_src.unpersist()
-        cur += BATCH_RANGE + 1
+        cur += step
         n_batches += 1
     return n_batches

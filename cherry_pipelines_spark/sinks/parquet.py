@@ -52,9 +52,14 @@ class ParquetSink:
         return os.path.join(self.base_path, name)
 
     def _write_one(
-        self, name: str, df: DataFrame, from_block: int
+        self, name: str, df: DataFrame, from_block: int, batch_expr=None
     ) -> None:
-        df = df.withColumn(BATCH_COL, F.lit(from_block).cast("long"))
+        # batch_expr lets a single-plan backfill stamp each row with the
+        # batch partition it would have landed in under the batch loop,
+        # keeping the on-disk layout (and idempotent per-batch replay)
+        # identical between the two modes.
+        expr = F.lit(from_block) if batch_expr is None else batch_expr
+        df = df.withColumn(BATCH_COL, expr.cast("long"))
         sort_cols = (self.sort_within_partitions or {}).get(name)
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
@@ -66,13 +71,20 @@ class ParquetSink:
         )
 
     def write(
-        self, spark: SparkSession, bundle: TableBundle, from_block: int, to_block: int
+        self,
+        spark: SparkSession,
+        bundle: TableBundle,
+        from_block: int,
+        to_block: int,
+        batch_expr=None,
     ) -> None:
         names = [n for n in bundle if n != self.anchor_table]
         for name in names:
-            self._write_one(name, bundle[name], from_block)
+            self._write_one(name, bundle[name], from_block, batch_expr)
         if self.anchor_table in bundle:
-            self._write_one(self.anchor_table, bundle[self.anchor_table], from_block)
+            self._write_one(
+                self.anchor_table, bundle[self.anchor_table], from_block, batch_expr
+            )
 
     def next_block(self, spark: SparkSession) -> int:
         return get_next_block(

@@ -100,3 +100,44 @@ def test_four_indexed_params_all_null(spark):
     ).collect()
     assert len(out) == 1
     assert all(out[0][c] is None for c in ("a", "b", "c", "d"))
+
+
+def test_decode_events_df_wide_uint_overflow(spark):
+    """SURVEY §7.3 overflow policy through the VECTORIZED Spark path
+    (abi.py wide-uint branch), not just decode_event_row: a full 78-digit
+    uint256 (2^256-1) and the 10^38 boundary decode to NULL Decimal(38,0)
+    with the lossless 32-byte raw preserved; 10^38-1 stays numeric.
+    Mirrors reference erc20_transfers.py:41 Decimal256 semantics."""
+    a, b = b"\x11" * 20, b"\x22" * 20
+    max_dec = 10**38 - 1
+    over = 10**38
+    full = 2**256 - 1  # 78 decimal digits
+    rows = [
+        (0, _addr_topic(a), _addr_topic(b), None, _u256(max_dec)),
+        (1, _addr_topic(a), _addr_topic(b), None, _u256(over)),
+        (2, _addr_topic(a), _addr_topic(b), None, _u256(full)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("log_index", T.LongType()),
+            T.StructField("topic1", T.BinaryType()),
+            T.StructField("topic2", T.BinaryType()),
+            T.StructField("topic3", T.BinaryType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    out = decode_events_df(spark.createDataFrame(rows, schema), SIG).orderBy(
+        "log_index"
+    ).collect()
+    assert out[0]["amount"] == Decimal(max_dec)
+    assert out[1]["amount"] is None
+    assert out[2]["amount"] is None
+    # amount_raw is lossless for all three, overflowed or not
+    assert [bytes(r["amount_raw"]) for r in out] == [
+        _u256(max_dec),
+        _u256(over),
+        _u256(full),
+    ]
+    # the schema itself must carry Decimal(38,0), not double/long
+    decoded_schema = decode_events_df(spark.createDataFrame(rows, schema), SIG).schema
+    assert decoded_schema["amount"].dataType == T.DecimalType(38, 0)

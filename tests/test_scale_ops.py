@@ -194,3 +194,75 @@ def test_resize_media_stride_and_null(spark):
     assert bytes(rows[1]["blob_out"]) == bytes([0, 3, 6, 9])
     assert (rows[1]["n_bytes_in"], rows[1]["n_bytes_out"]) == (10, 4)
     assert rows[2]["blob_out"] is None and rows[2]["n_bytes_in"] is None
+
+
+def test_chunked_trailing_window_matches_plain(spark):
+    """chunked_trailing_range_agg (boundary-replicated, bounded
+    partitions) must equal the single-partition rangeBetween form
+    row-for-row, including chunk-edge anchors and duplicate range
+    values."""
+    from cherry_pipelines_spark.operators.windows import (
+        chunked_trailing_range_agg,
+        trailing_range_agg,
+    )
+
+    # deterministic data with gaps, duplicates, and two keys; chunk=16,
+    # width=5 -> many chunk boundaries in 0..200
+    df = spark.range(0, 400).select(
+        (F.col("id") % 2).alias("k"),
+        ((F.col("id") * 7) % 200).alias("pos"),
+        (F.col("id") * 3 % 11).alias("v"),
+    )
+    aggs = {"s": F.sum("v"), "c": F.count("v"), "m": F.max("v")}
+
+    def key(rows):
+        return sorted((r["k"], r["pos"], r["v"], r["s"], r["c"], r["m"]) for r in rows)
+
+    plain = key(trailing_range_agg(df, "pos", 5, aggs, ("k",)).collect())
+    chunked = key(
+        chunked_trailing_range_agg(df, "pos", 5, aggs, ("k",), chunk=16).collect()
+    )
+    assert plain == chunked
+
+    # empty partition_cols (the swap_prices sol-leg shape)
+    plain0 = key(
+        r
+        for r in trailing_range_agg(df.withColumn("k", F.lit(0)), "pos", 5, aggs).collect()
+    )
+    chunk0 = key(
+        chunked_trailing_range_agg(
+            df.withColumn("k", F.lit(0)), "pos", 5, aggs, chunk=16
+        ).collect()
+    )
+    assert plain0 == chunk0
+
+
+def test_fused_frame_features_matches_chain(spark):
+    """sampled_frame_features (one Arrow pass, offset-driven reduceat)
+    must equal sample_frames -> frame_features row-for-row, including
+    NULL/empty blobs and short trailing frames."""
+    from cherry_pipelines_spark.operators.multimodal import (
+        frame_features,
+        sample_frames,
+        sampled_frame_features,
+    )
+
+    blobs = [
+        (1, bytes(range(100))),
+        (2, None),
+        (3, b""),
+        (4, bytes([255] * 33)),  # short tail frame (1 byte)
+        (5, b"\x00" * 64),
+    ]
+    df = spark.createDataFrame(blobs, "media_id long, blob binary")
+    cols = ["media_id", "frame_index", "n_frame_bytes",
+            "byte_min", "byte_max", "byte_sum", "byte_mean"]
+    chained = sorted(
+        tuple(r[c] for c in cols)
+        for r in frame_features(sample_frames(df, frame_size=32, every_k=2)).collect()
+    )
+    fused = sorted(
+        tuple(r[c] for c in cols)
+        for r in sampled_frame_features(df, frame_size=32, every_k=2).collect()
+    )
+    assert chained == fused and len(fused) > 0
