@@ -79,7 +79,12 @@ def build_pipeline(
     blocks_path: str,
     sink_path: str,
     chain_id: int,
+    sink=None,
 ) -> Pipeline:
+    """``sink`` overrides the default partitioned ParquetSink — e.g. a
+    ``sinks.jdbc.JdbcSink`` for ClickHouse-parity deployment (reference
+    erc20_transfers.py:118-124 writes ClickHouse MergeTree); any object
+    with the Sink protocol's write/next_block works."""
     source = ParquetSource(
         tables={
             "logs": TableSpec(
@@ -91,14 +96,15 @@ def build_pipeline(
             "blocks": TableSpec(path=blocks_path, block_column="number", columns=BLOCK_FIELDS),
         }
     )
-    sink = ParquetSink(
-        base_path=sink_path,
-        anchor_table=TABLE_NAME,
-        block_column="block_number",
-        partition_by=("chain_id",),
-        sort_within_partitions={TABLE_NAME: ("block_number", "log_index")},
-        chain_id=chain_id,
-    )
+    if sink is None:
+        sink = ParquetSink(
+            base_path=sink_path,
+            anchor_table=TABLE_NAME,
+            block_column="block_number",
+            partition_by=("chain_id",),
+            sort_within_partitions={TABLE_NAME: ("block_number", "log_index")},
+            chain_id=chain_id,
+        )
     steps = [
         PyStep(_decode_step, name="evm_decode_events"),
         SqlStep(statements={TABLE_NAME: _JOIN_SQL}, drop=("blocks",), name="join_blocks"),
