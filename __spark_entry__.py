@@ -1302,6 +1302,238 @@ SELECT DISTINCT user_id FROM events
 
 
 # =====================================================================
+# training-data pipeline operators II: sessions, sampling, PII,
+# repetition, tf-idf keywords, benchmark contamination
+# =====================================================================
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sessionization (gaps-and-islands, 8h gap): one
+    shuffle on user_id, O(1) window state per row."""
+    from cherry_pipelines_spark.operators.sessionize import session_stats
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.expr("ts div 1000000000").alias("secs"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    out = session_stats(
+        base,
+        ["user_id"],
+        "secs",
+        gap=28800,
+        aggs={"sum_value": F.sum("v").cast("double")},
+        order_cols=("event_id",),
+    )
+    return out.select(
+        "user_id",
+        "session_idx",
+        F.col("session_start").cast("long").alias("session_start"),
+        F.col("session_end").cast("long").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH b AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS secs,
+                  CAST(value AS DECIMAL(18,6)) AS v FROM events),
+l AS (SELECT *, CASE WHEN secs - lag(secs) OVER w > 28800 THEN 1 ELSE 0 END AS brk
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY secs, event_id)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY secs, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx FROM l)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+       min(secs)::BIGINT AS session_start, max(secs)::BIGINT AS session_end,
+       count(*)::BIGINT AS n_events, round(CAST(sum(v) AS DOUBLE), 6) AS sum_value
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessions through Spark's NATIVE session_window operator
+    (identical plan batch/streaming; watermark-evictable state on a
+    stream) — session_end here is last_event + gap, the window close."""
+    from cherry_pipelines_spark.streaming.windows import session_window_agg
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("tstamp"),
+    )
+    out = session_window_agg(
+        base,
+        "tstamp",
+        "28800 seconds",
+        {"n_events": F.count(F.lit(1)).cast("long")},
+        ("user_id",),
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_close"),
+        "n_events",
+    )
+
+
+ORACLE_SESSIONIZE_NATIVE = """
+WITH b AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS secs FROM events),
+l AS (SELECT *, CASE WHEN secs - lag(secs) OVER w > 28800 THEN 1 ELSE 0 END AS brk
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY secs)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY secs
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM l)
+SELECT user_id, min(secs)::BIGINT AS session_start,
+       (max(secs) + 28800)::BIGINT AS session_close, count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling (training-mix lever):
+    map-only, partition-layout independent, engine-portable hash."""
+    from cherry_pipelines_spark.operators.sampling import stratified_sample
+
+    (d,) = _load(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d,
+        "lang",
+        {"en": 0.3, "de": 1.0, "es": 0.5, "fr": 0.0},
+        key=F.col("doc_id"),
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+ORACLE_STRATIFIED = """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 <
+      CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 10000
+                WHEN 'es' THEN 5000 WHEN 'fr' THEN 0 ELSE 1000 END
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails + phone-shaped digit runs): pure-JVM
+    regexp, map-only.  The fixture text is clean, so deterministic PII
+    is appended to a third of the documents first — the scrub then has
+    real positives AND real negatives to get right."""
+    from cherry_pipelines_spark.operators.text import pii_scrub
+
+    (d,) = _load(spark, sf_dir, "documents")
+    salted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com or 555-123-4567"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = pii_scrub(salted)
+    return out.select("doc_id", "n_redactions", "text_scrubbed")
+
+
+ORACLE_PII = """
+WITH salted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact u' || doc_id::VARCHAR
+                        || '@mail.example.com or 555-123-4567'
+              ELSE text END AS text
+  FROM documents),
+e AS (SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g') AS t1
+      FROM salted)
+SELECT doc_id,
+       (n_email + len(regexp_extract_all(t1, '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')))::BIGINT AS n_redactions,
+       regexp_replace(t1, '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '[REDACTED]', 'g') AS text_scrubbed
+FROM e
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition/boilerplate signals: unique-word and
+    top word/bigram fractions; all shuffle keys carry the doc id."""
+    from cherry_pipelines_spark.operators.text import repetition_stats
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return repetition_stats(d)
+
+
+ORACLE_REPETITION = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+ws AS (SELECT doc_id, count(*) AS nu, sum(c) AS nw, max(c) AS tw FROM wc GROUP BY 1),
+bg0 AS (SELECT doc_id, [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)] AS bs
+        FROM tok WHERE len(t) >= 2),
+bg AS (SELECT doc_id, unnest(bs) AS b FROM bg0),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+bs AS (SELECT doc_id, max(c) AS tb, sum(c) AS nb FROM bc GROUP BY 1)
+SELECT ws.doc_id, nw::BIGINT AS n_words, nu::BIGINT AS n_unique_words,
+       round(nu / nw::DOUBLE, 6) AS unique_word_frac,
+       round(tw / nw::DOUBLE, 6) AS top_word_frac,
+       round(tb / nb::DOUBLE, 6) AS top_bigram_frac
+FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+"""
+
+
+def q_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf·idf keywords: corpus size as a broadcast
+    1-row aggregate (no driver collect), deterministic tie-break."""
+    from cherry_pipelines_spark.operators.text import idf_keywords
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return idf_keywords(d, k=3)
+
+
+ORACLE_IDF = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_total FROM documents),
+s AS (SELECT tf.doc_id, tf.w,
+             round(tf.tf * ln(n.n_total::DOUBLE / dfreq.df), 6) AS score
+      FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w ASC) AS rank
+      FROM s)
+SELECT doc_id, w AS keyword, score, rank::BIGINT AS rank FROM r WHERE rank <= 3
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram overlap of every document
+    against a pseudo-benchmark subset (doc_id % 97 == 0), benchmark
+    shingles broadcast so corpus rows never shuffle for the probe."""
+    from cherry_pipelines_spark.operators.contamination import ngram_contamination
+
+    (d,) = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(d, bench, ngram=5)
+
+
+ORACLE_CONTAMINATION = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh0 AS (SELECT doc_id,
+               [concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+                for i in generate_series(1, greatest(len(t)-4, 1))] AS ss
+        FROM tok),
+sh AS (SELECT DISTINCT doc_id, unnest(ss) AS shingle FROM sh0),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+per AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+ov AS (SELECT sh.doc_id, count(*) AS no FROM sh JOIN bench USING (shingle) GROUP BY 1)
+SELECT per.doc_id, ns::BIGINT AS n_shingles, coalesce(no, 0)::BIGINT AS n_overlap,
+       round(coalesce(no, 0) / ns::DOUBLE, 6) AS contamination_frac
+FROM per LEFT JOIN ov ON per.doc_id = ov.doc_id
+"""
+
+
+# =====================================================================
 # public contract
 # =====================================================================
 
@@ -1348,6 +1580,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed": q_stream_windowed,
     "stream_tumbling": q_stream_tumbling,
     "stream_distinct": q_stream_distinct,
+    "sessionize": q_sessionize,
+    "sessionize_native": q_sessionize_native,
+    "stratified_sample": q_stratified_sample,
+    "pii_scrub": q_pii_scrub,
+    "repetition_stats": q_repetition_stats,
+    "idf_keywords": q_idf_keywords,
+    "contamination_check": q_contamination_check,
 }
 
 
@@ -1397,6 +1636,13 @@ _ORACLES: dict[str, str] = {
     "stream_windowed": ORACLE_STREAM,
     "stream_tumbling": ORACLE_STREAM_TUMBLING,
     "stream_distinct": ORACLE_STREAM_DISTINCT,
+    "sessionize": ORACLE_SESSIONIZE,
+    "sessionize_native": ORACLE_SESSIONIZE_NATIVE,
+    "stratified_sample": ORACLE_STRATIFIED,
+    "pii_scrub": ORACLE_PII,
+    "repetition_stats": ORACLE_REPETITION,
+    "idf_keywords": ORACLE_IDF,
+    "contamination_check": ORACLE_CONTAMINATION,
 }
 
 

@@ -1,0 +1,72 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`df.sample()` is seed-dependent per partition layout — re-running after
+a repartition yields a different sample, which breaks reproducible
+dataset releases.  These operators hash a stable key instead: the same
+row is kept or dropped regardless of partitioning, cluster size, or
+engine (the sha256-based ``h32`` matches the DuckDB oracle bit-for-bit).
+
+Scale notes: both samplers are map-only — no shuffle, no driver state;
+they compose with scan pushdown (the hash filter evaluates after column
+pruning).  ``group_topk`` is one shuffle on the group key plus a
+per-group window (rank state only).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.operators.text import h32
+
+# hash buckets for rate resolution: 1e-4 granularity
+_MOD = 10_000
+
+
+def hash_sample(df: DataFrame, key: Column, rate: float) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by stable key hash
+    (content-addressed sampling: same key → same verdict everywhere)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(F.pmod(h32(key.cast("string")), _MOD) < int(rate * _MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Mapping[str, float],
+    key: Column,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — e.g. downsample dominant
+    languages while keeping the tail (the standard training-mix lever:
+    ``{"en": 0.3, "zh": 1.0}``).  Strata absent from ``rates`` keep
+    ``default_rate``."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1], got {r}")
+    threshold = F.lit(int(default_rate * _MOD))
+    for s, r in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == F.lit(s), F.lit(int(r * _MOD))
+        ).otherwise(threshold)
+    return df.filter(F.pmod(h32(key.cast("string")), _MOD) < threshold)
+
+
+def group_topk(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    out_col: str = "rank_in_group",
+) -> DataFrame:
+    """Deterministic per-group top-k (quality-quota sampling: keep the k
+    best documents per source/language).  ``order_by`` must be a total
+    order for reproducibility — include a unique id as the last key."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn(out_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(out_col) <= k)
+    )

@@ -158,3 +158,118 @@ def fingerprint(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFr
         F.array_max(hashes).alias("fp_max"),
         F.size(hashes).cast("long").alias("n_shingles"),
     )
+
+
+# email + digit-run redaction patterns, kept to syntax shared by Java
+# regex (Spark) and RE2 (DuckDB) so the oracle matches byte-for-byte
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", replacement: str = "[REDACTED]"
+) -> DataFrame:
+    """PII scrubbing: redact email addresses and phone-shaped digit runs,
+    reporting per-document redaction counts.  Pure JVM regexp — no UDF;
+    map-only, so it composes with scan pruning at any scale.  The
+    pattern set is the *plumbing* contract; a production deployment
+    extends PII patterns, not the operator."""
+    c = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0))
+    scrubbed1 = F.regexp_replace(c, PII_EMAIL, replacement)
+    n_phone = F.size(F.regexp_extract_all(scrubbed1, F.lit(PII_PHONE), 0))
+    scrubbed = F.regexp_replace(scrubbed1, PII_PHONE, replacement)
+    return df.withColumn("n_redactions", (n_email + n_phone).cast("long")).withColumn(
+        text_col + "_scrubbed", scrubbed
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition / boilerplate signals (the Gopher-rule family): unique
+    word fraction, most-frequent-word fraction, most-frequent-bigram
+    fraction.  Highly repetitive documents (templated spam, boilerplate,
+    generation loops) score low unique-fraction / high top-fractions and
+    get filtered before training.
+
+    Plan: two explode→groupBy branches (words, bigrams) joined on the
+    doc id.  All shuffle keys include the doc id, so partitions stay
+    bounded by single-document size; no UDFs, all whole-stage codegen.
+    Documents with fewer than 2 tokens get NULL bigram stats."""
+    t = tokens(F.col(text_col))
+    words = df.select(F.col(id_col), F.explode(t).alias("w"))
+    wc = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c"))
+    word_stats = wc.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_words"),
+        F.sum("c").cast("long").alias("n_words"),
+        F.max("c").cast("long").alias("top_word_count"),
+    )
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.size(t) >= 2, shingle_array(t, 2)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("b"),
+    )
+    bc = bigrams.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+    bigram_stats = bc.groupBy(id_col).agg(
+        F.max("c").cast("long").alias("top_bigram_count"),
+        F.sum("c").cast("long").alias("n_bigrams"),
+    )
+    return (
+        word_stats.join(bigram_stats, id_col, "left")
+        .select(
+            id_col,
+            "n_words",
+            "n_unique_words",
+            F.round(
+                F.col("n_unique_words").cast("double") / F.col("n_words"), 6
+            ).alias("unique_word_frac"),
+            F.round(
+                F.col("top_word_count").cast("double") / F.col("n_words"), 6
+            ).alias("top_word_frac"),
+            F.round(
+                F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+def idf_keywords(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-k keywords by tf·idf (ln(N/df) form, round 6),
+    deterministic tie-break (score desc, token asc).
+
+    Plan: one explode→groupBy for term frequencies, a groupBy over
+    distinct (doc, word) for document frequencies, the corpus size as a
+    broadcast 1-row aggregate (no driver-side collect), then a per-doc
+    row_number window.  Every shuffle is keyed by word or doc id — no
+    global sort, no UDF."""
+    from pyspark.sql import Window
+
+    t = tokens(F.col(text_col))
+    words = df.select(F.col(id_col), F.explode(t).alias("w"))
+    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_total = df.agg(F.countDistinct(F.col(id_col)).alias("n_total"))
+    scored = (
+        tf.join(docfreq, "w")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_total").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("w").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("w").alias("keyword"), "score", "rank")
+    )

@@ -45,3 +45,38 @@ def tumbling_window_agg(
         )
     )
     return out
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap_duration: str,
+    aggs: dict[str, Column],
+    extra_keys: Sequence[str] = (),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Aggregate per event-time SESSION window (dynamic-length windows
+    that close after ``gap_duration`` of per-key silence) — Spark's
+    native ``session_window``, identical plan for batch and streaming.
+
+    On a stream, pass ``watermark`` so a session's state is evicted once
+    the watermark passes its close; without eviction, per-key session
+    state grows forever.  Session merge semantics: an event extends a
+    session if it lands within ``gap_duration`` of the previous event
+    INCLUSIVE (an exact-gap event merges — adjacent windows coalesce),
+    i.e. a new session starts only when ``ts - prev_ts > gap``; the same
+    rule as the batch ``operators/sessionize`` gaps-and-islands form,
+    pinned against it in tests.
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    out = (
+        src.groupBy(F.session_window(F.col(ts_col), gap_duration), *extra_keys)
+        .agg(*[expr.alias(name) for name, expr in aggs.items()])
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *extra_keys,
+            *aggs.keys(),
+        )
+    )
+    return out

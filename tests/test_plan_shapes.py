@@ -91,3 +91,36 @@ def test_decoders_are_arrow_batched(spark, sf_dir, queries):
         plan = plan_of(queries[name](spark, sf_dir))
         assert "MapInPandas" in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_stratified_sample_is_map_only(spark, sf_dir, queries):
+    """Deterministic sampling must stay a scan+filter: no shuffle, no
+    Python eval — it composes with pushdown at any scale."""
+    plan = plan_of(queries["stratified_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir, queries):
+    plan = plan_of(queries["pii_scrub"](spark, sf_dir))
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir, queries):
+    """The benchmark-shingle probe must be a broadcast join (corpus rows
+    never shuffle for it) and never a nested loop."""
+    s = plan_summary(queries["contamination_check"](spark, sf_dir))
+    assert s.get("BroadcastHashJoin", 0) >= 1
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir, queries):
+    """Gaps-and-islands sessionization: lag + running sum + group-by all
+    reuse ONE hash partitioning on user_id — exactly one shuffle."""
+    s = plan_summary(queries["sessionize"](spark, sf_dir))
+    assert s.get("Exchange", 0) == 1
+    assert not any("Join" in k for k in s)

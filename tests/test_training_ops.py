@@ -1,0 +1,190 @@
+"""Tests for the training-data pipeline operators added beyond the
+reference surface: sessionization (batch + native session_window),
+deterministic sampling, PII scrubbing, repetition stats, tf-idf
+keywords, and benchmark-contamination checks."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.operators.contamination import ngram_contamination
+from cherry_pipelines_spark.operators.sampling import (
+    group_topk,
+    hash_sample,
+    stratified_sample,
+)
+from cherry_pipelines_spark.operators.sessionize import session_stats, sessionize
+from cherry_pipelines_spark.streaming.windows import session_window_agg
+
+
+# ------------------------------------------------------------- sessions
+
+
+def _session_rows():
+    # user 1: gaps 5, 10(=gap, merges), 11(>gap, splits); user 2: single
+    return [
+        (1, 100), (1, 105), (1, 115), (1, 126),
+        (2, 500),
+    ]
+
+
+def test_sessionize_gap_semantics(spark):
+    df = spark.createDataFrame(_session_rows(), "user_id long, secs long")
+    out = sessionize(df, ["user_id"], "secs", gap=10)
+    got = {(r["user_id"], r["secs"]): r["session_idx"] for r in out.collect()}
+    assert got == {
+        (1, 100): 0, (1, 105): 0, (1, 115): 0,  # exact gap merges
+        (1, 126): 1,                             # 11 > 10 splits
+        (2, 500): 0,
+    }
+
+
+def test_session_stats_and_native_session_window_agree(spark):
+    """The batch gaps-and-islands form and Spark's native session_window
+    must produce the same sessions (start, end-of-last-event, count)."""
+    df = spark.createDataFrame(_session_rows(), "user_id long, secs long")
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_stats(df, ["user_id"], "secs", gap=10).collect()
+    }
+    native = session_window_agg(
+        df.withColumn("ts", F.timestamp_seconds("secs")),
+        "ts",
+        "10 seconds",
+        {"n_events": F.count(F.lit(1)).cast("long"), "first_secs": F.min("secs")},
+        ("user_id",),
+    )
+    native_set = {
+        (r["user_id"], r["first_secs"], r["n_events"]) for r in native.collect()
+    }
+    assert batch == native_set == {(1, 100, 3), (1, 126, 1), (2, 500, 1)}
+
+
+# ------------------------------------------------------------- sampling
+
+
+def test_hash_sample_partition_invariant(spark):
+    df = spark.range(0, 2000).select(F.col("id"))
+    a = {r["id"] for r in hash_sample(df, F.col("id"), 0.3).collect()}
+    b = {
+        r["id"]
+        for r in hash_sample(df.repartition(17), F.col("id"), 0.3).collect()
+    }
+    assert a == b  # layout-independent
+    assert 0.2 < len(a) / 2000 < 0.4  # near the nominal rate
+    # monotone: a lower rate selects a subset
+    c = {r["id"] for r in hash_sample(df, F.col("id"), 0.1).collect()}
+    assert c <= a
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "en").when(F.col("id") % 3 == 1, "de")
+        .otherwise("zh").alias("lang"),
+    )
+    out = stratified_sample(
+        df, "lang", {"en": 1.0, "de": 0.2}, F.col("id"), default_rate=0.0
+    )
+    got = Counter(r["lang"] for r in out.collect())
+    assert got["en"] == 1000          # rate 1.0 keeps everything
+    assert 120 < got["de"] < 280      # ~200
+    assert got["zh"] == 0             # default 0.0
+
+
+def test_group_topk_deterministic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 30.0), ("b", 4, 5.0)],
+        "g string, id long, score double",
+    )
+    out = group_topk(df, ["g"], [F.col("score").desc(), F.col("id").asc()], k=2)
+    got = sorted((r["g"], r["id"], r["rank_in_group"]) for r in out.collect())
+    assert got == [("a", 2, 1), ("a", 3, 2), ("b", 4, 1)]
+
+
+# ------------------------------------------------------------- text ops
+
+
+def test_pii_scrub(spark):
+    from cherry_pipelines_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "reach me at bob.smith+x@example.co.uk or 555-123-4567 ok"),
+        (2, "clean text only"),
+        (3, "a@b.io and c.d@e.org twice"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_redactions"] == 2
+    assert got[1]["text_scrubbed"] == "reach me at [REDACTED] or [REDACTED] ok"
+    assert got[2]["n_redactions"] == 0
+    assert got[2]["text_scrubbed"] == "clean text only"
+    assert got[3]["n_redactions"] == 2
+
+
+def test_repetition_stats(spark):
+    from cherry_pipelines_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam"),          # 1 unique / 4; top bigram 3/3
+        (2, "all words here differ now"),    # 5 unique / 5
+        (3, "solo"),                         # 1 token -> NULL bigram stats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_words"] == 4 and got[1]["n_unique_words"] == 1
+    assert got[1]["unique_word_frac"] == 0.25
+    assert got[1]["top_word_frac"] == 1.0
+    assert got[1]["top_bigram_frac"] == 1.0  # "spam spam" x3 of 3
+    assert got[2]["unique_word_frac"] == 1.0
+    assert got[2]["top_word_frac"] == 0.2
+    assert got[3]["top_bigram_frac"] is None
+    assert got[3]["n_words"] == 1
+
+
+def test_idf_keywords(spark):
+    from cherry_pipelines_spark.operators.text import idf_keywords
+
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "banana cherry shared shared"),
+        (3, "cherry shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = idf_keywords(df, k=2).collect()
+    got = {(r["doc_id"], r["rank"]): (r["keyword"], r["score"]) for r in out}
+    # doc 1: apple tf=2 idf=ln(3/1) -> top; banana tf=1 idf=ln(3/2)
+    assert got[(1, 1)][0] == "apple"
+    assert math.isclose(got[(1, 1)][1], round(2 * math.log(3 / 1), 6))
+    assert got[(1, 2)][0] == "banana"
+    # doc 3: cherry (ln(3/2)) beats shared (ln(3/3)=0)
+    assert got[(3, 1)][0] == "cherry"
+    # ties broken by token asc; every doc has exactly k or fewer rows
+    assert all(r["rank"] <= 2 for r in out)
+
+
+# ------------------------------------------------------- contamination
+
+
+def test_ngram_contamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely novel words appear in this document here"),
+            (3, "the quick brown fox differs after four tokens only"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_contamination(corpus, bench, ngram=5).collect()}
+    # doc 1 shares the 5-gram "the quick brown fox jumps"
+    assert out[1]["n_overlap"] == 1 and out[1]["n_shingles"] == 5
+    assert out[1]["contamination_frac"] == 0.2
+    assert out[2]["n_overlap"] == 0 and out[2]["contamination_frac"] == 0.0
+    assert out[3]["n_overlap"] == 0  # shares only a 4-gram prefix
