@@ -1301,6 +1301,79 @@ SELECT DISTINCT user_id FROM events
 """
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    explicit-state sessionization with O(1) state per key, closed by a
+    successor event or by event-time timeout when the watermark passes
+    session_end + gap.  Emitted set is deterministic: every session with
+    a successor, plus timeout-closed sessions (end + gap < max event
+    time at watermark 0s delay)."""
+    from cherry_pipelines_spark.streaming.stateful import streaming_sessionize
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import hashlib as _hl
+    import tempfile as _tf
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    shim = os.path.join(
+        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
+    )
+    os.makedirs(shim, exist_ok=True)
+    link = os.path.join(shim, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(shim)
+        .select(
+            "user_id",
+            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("tstamp"),
+        )
+        .withWatermark("tstamp", "0 seconds")
+    )
+    out = streaming_sessionize(stream, "user_id", "tstamp", gap_seconds=28800)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_sessionize_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_sessionize_out").select(
+        "key", "session_start", "session_end", "n_events"
+    )
+
+
+ORACLE_STREAM_SESSIONIZE = """
+WITH b AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS secs FROM events),
+l AS (SELECT *, CASE WHEN secs - lag(secs) OVER w > 28800 THEN 1 ELSE 0 END AS brk
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY secs)),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY secs
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM l),
+agg AS (SELECT user_id, sid, min(secs) AS session_start, max(secs) AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid),
+mx AS (SELECT max(secs) AS m FROM b)
+SELECT user_id::VARCHAR AS key, session_start::BIGINT AS session_start,
+       session_end::BIGINT AS session_end, n_events::BIGINT AS n_events
+FROM agg, mx
+WHERE sid < (SELECT max(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+   OR session_end + 28800 < m
+"""
+
+
 # =====================================================================
 # training-data pipeline operators II: sessions, sampling, PII,
 # repetition, tf-idf keywords, benchmark contamination
@@ -1580,6 +1653,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_windowed": q_stream_windowed,
     "stream_tumbling": q_stream_tumbling,
     "stream_distinct": q_stream_distinct,
+    "stream_sessionize": q_stream_sessionize,
     "sessionize": q_sessionize,
     "sessionize_native": q_sessionize_native,
     "stratified_sample": q_stratified_sample,
@@ -1636,6 +1710,7 @@ _ORACLES: dict[str, str] = {
     "stream_windowed": ORACLE_STREAM,
     "stream_tumbling": ORACLE_STREAM_TUMBLING,
     "stream_distinct": ORACLE_STREAM_DISTINCT,
+    "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
     "sessionize": ORACLE_SESSIONIZE,
     "sessionize_native": ORACLE_SESSIONIZE_NATIVE,
     "stratified_sample": ORACLE_STRATIFIED,

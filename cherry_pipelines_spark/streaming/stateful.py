@@ -54,3 +54,83 @@ def streaming_distinct(df: DataFrame, key_col: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    df: DataFrame, key_col: str, ts_col: str, gap_seconds: int
+) -> DataFrame:
+    """Explicit-state streaming sessionization: the applyInPandasWithState
+    form of ``operators/sessionize`` (same ``> gap`` split rule), for
+    when the session payload outgrows what ``session_window`` aggregates
+    can express (running custom stats, early triggers, side outputs).
+
+    Emits one row per CLOSED session: ``(key, session_start,
+    session_end, n_events)`` with start/end in epoch seconds.  A session
+    closes when a later event in the same key arrives past the gap, or
+    when the event-time watermark passes ``last_event + gap`` (state
+    timeout) — so state per key is one open session, O(1), evicted by
+    the watermark like native session windows.  The input must carry
+    ``withWatermark`` on ``ts_col``; the last open session of a finite
+    stream stays unemitted until the watermark moves past it (standard
+    append-mode semantics).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("session_start", T.LongType()),
+            T.StructField("session_end", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType()),
+            T.StructField("last", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def sessions(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        k = str(key[0])
+        closed: list[tuple[str, int, int, int]] = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(k, start, last, n)],
+                columns=["key", "session_start", "session_end", "n_events"],
+            )
+            return
+        cur = list(state.get) if state.exists else None
+        secs_all = []
+        for pdf in pdfs:
+            if len(pdf):
+                secs_all.append((pdf[ts_col].astype("int64") // 1_000_000_000))
+        if secs_all:
+            for s in sorted(pd.concat(secs_all).tolist()):
+                if cur is None:
+                    cur = [s, s, 1]
+                elif s - cur[1] > gap_seconds:
+                    closed.append((k, cur[0], cur[1], cur[2]))
+                    cur = [s, s, 1]
+                else:
+                    cur[1] = max(cur[1], s)
+                    cur[2] += 1
+        if cur is not None:
+            state.update(tuple(cur))
+            # close via watermark once no event can extend the session
+            state.setTimeoutTimestamp((cur[1] + gap_seconds) * 1000 + 1)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["key", "session_start", "session_end", "n_events"]
+            )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        sessions,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -266,3 +266,52 @@ def test_fused_frame_features_matches_chain(spark):
         for r in sampled_frame_features(df, frame_size=32, every_k=2).collect()
     )
     assert chained == fused and len(fused) > 0
+
+
+def test_streaming_sessionize_across_batches(spark, tmp_path):
+    """Explicit-state sessionization: a session spanning two
+    micro-batches merges; a gap inside a batch closes one session; the
+    watermark (advanced by a later batch) closes the rest via state
+    timeout."""
+    from cherry_pipelines_spark.streaming.stateful import streaming_sessionize
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(rows, "k string, secs long").select(
+        "k", F.timestamp_seconds("secs").alias("ts")
+    )
+    # batch 1: user a events at 100, 105 (one open session; offset from
+    # epoch 0 so the initial watermark's late-row filter can't eat them)
+    mk([("a", 100), ("a", 105)]).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src).withWatermark("ts", "5 seconds")
+    q = (
+        streaming_sessionize(stream, "k", "ts", gap_seconds=10)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a@112 extends the open session (112-105<=10); a@140
+        # splits; b@600 will advance the watermark next batch
+        mk([("a", 112), ("a", 140), ("b", 600)]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        mid = {(r["key"], r["session_start"], r["session_end"], r["n_events"])
+               for r in spark.table("sess_out").collect()}
+        # watermark is already past 140+10 thanks to b@600 (wm=595), so
+        # a's second session [140,140] times out on the empty micro-batch
+        mk([("c", 2000)]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        final = {(r["key"], r["session_start"], r["session_end"], r["n_events"])
+                 for r in spark.table("sess_out").collect()}
+    finally:
+        q.stop()
+    # the cross-batch merge: [100,105]+112 -> closed as [100,112] x3
+    # when 140 arrived
+    assert ("a", 100, 112, 3) in mid
+    assert ("a", 140, 140, 1) in final
+    # b's session closes once c@2000 pushes the watermark past 610
+    assert ("b", 600, 600, 1) in final
