@@ -414,6 +414,58 @@ FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.secs >= r.secs
 """
 
 
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof parity,
+    differential-tested in tests/test_asof_and_clusters.py): each event
+    gets the order closest in time either direction, ties backward.
+    Same union+window plan — both direction fills share one shuffle."""
+    from cherry_pipelines_spark.operators.asof import asof_join
+
+    e, o = _load(spark, sf_dir, "events", "orders")
+    left = e.select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.expr("ts div 1000000000").alias("secs"),
+    )
+    right = o.select(
+        F.col("o_custkey").alias("k"),
+        F.unix_timestamp("o_orderdate").alias("secs"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    wr = Window.partitionBy("k", "secs").orderBy(F.col("price").desc(), F.col("okey").desc())
+    right = (
+        right.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("k", "secs", "price")
+    )
+    return asof_join(
+        left, right, ts_col="secs", by=("k",), value_cols=("price",),
+        direction="nearest",
+    )
+
+
+ORACLE_ASOF_NEAREST = """
+WITH l AS (SELECT event_id, user_id AS k, epoch_us(ts) // 1000000 AS secs FROM events),
+r0 AS (SELECT o_custkey AS k, epoch(o_orderdate)::BIGINT AS secs,
+              CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+              row_number() OVER (PARTITION BY o_custkey, epoch(o_orderdate)
+                                 ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey DESC) AS rn
+       FROM orders),
+r AS (SELECT k, secs, price FROM r0 WHERE rn = 1),
+b AS (SELECT l.event_id, l.k, l.secs, r.secs AS m_secs, r.price
+      FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.secs >= r.secs),
+f AS (SELECT l.event_id, r.secs AS m_secs, r.price
+      FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.secs <= r.secs)
+SELECT b.event_id, b.k, b.secs,
+       CASE WHEN b.m_secs IS NULL THEN f.price
+            WHEN f.m_secs IS NULL THEN b.price
+            WHEN (b.secs - b.m_secs) <= (f.m_secs - b.secs) THEN b.price
+            ELSE f.price END AS price
+FROM b JOIN f ON b.event_id = f.event_id
+"""
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic interval (point-in-range) join — the theta-join shape
     Spark would otherwise plan as BroadcastNestedLoopJoin — via bucket
@@ -1622,6 +1674,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "percentile_value": q_percentile_value,
     "positional_adjacency": q_positional_adjacency,
     "asof_join": q_asof_join,
+    "asof_join_nearest": q_asof_join_nearest,
     "interval_join": q_interval_join,
     "trailing_window": q_trailing_window,
     "union_typed_null": q_union_typed_null,
@@ -1676,6 +1729,7 @@ _ORACLES: dict[str, str] = {
     "percentile_value": ORACLE_PERCENTILE,
     "positional_adjacency": ORACLE_ADJACENCY,
     "asof_join": ORACLE_ASOF,
+    "asof_join_nearest": ORACLE_ASOF_NEAREST,
     "interval_join": ORACLE_INTERVAL_JOIN,
     "trailing_window": ORACLE_TRAILING,
     "union_typed_null": ORACLE_UNION,

@@ -1,5 +1,7 @@
-"""As-of join: match each left row with the latest right row at or
-before its timestamp (per key group).
+"""As-of join: match each left row with the nearest right row at/before
+(backward), at/after (forward), or closest in either direction
+(nearest) of its timestamp, per key group — pandas ``merge_asof``
+parity.
 
 The reference approximates this with its positional adjacency join
 (SURVEY §2.3 J2 note: "the positional J2 is the reference's substitute
@@ -14,21 +16,26 @@ uses the union+window trick instead:
    value columns, left rows carrying NULLs;
 2. one shuffle on the ``by`` keys, sort by (ts, side) within groups;
 3. ``last_value(..., ignorenulls=True)`` over an unbounded-preceding
-   window fills each left row with the most recent right value;
+   window (backward) / ``first_value`` over unbounded-following
+   (forward) fills each left row with the nearest right value struct;
 4. keep the left rows.
 
-One exchange + one sort — the same cost as a windowed aggregation,
-independent of how many right rows precede each left row.
+One exchange + one sort per direction — the same cost as a windowed
+aggregation, independent of how many right rows precede each left row.
+``nearest`` evaluates both fills in the same shuffled partition (a
+second in-partition sort, no extra exchange) and picks the closer one,
+ties to the backward match.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE = "_asof_side"  # 0 = right (quotes), 1 = left (events)
+_TS = "_asof_ts"  # matched right row's ts, for nearest-distance choice
 
 
 def asof_join(
@@ -38,15 +45,21 @@ def asof_join(
     by: Sequence[str] = (),
     value_cols: Sequence[str] | None = None,
     allow_exact_match: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every ``left`` row gets the ``value_cols``
-    of the newest ``right`` row with ``right.ts <= left.ts`` (strict
-    ``<`` when ``allow_exact_match=False``) within the same ``by`` keys;
-    NULLs when no such row exists.
+    """As-of join ``left`` with ``right`` on ``ts_col`` within ``by``.
+
+    ``direction="backward"``: newest right row with ``right.ts <=
+    left.ts``; ``"forward"``: earliest right row with ``right.ts >=
+    left.ts``; ``"nearest"``: whichever of the two is closer in absolute
+    distance (ties → the backward match).  ``allow_exact_match=False``
+    makes each inequality strict.  NULLs when no row qualifies.
 
     ``value_cols`` defaults to all right columns except ``ts_col`` and
     ``by``.  Output: all left columns + the value columns.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     keys = list(by)
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (*keys, ts_col)]
@@ -71,29 +84,53 @@ def asof_join(
         *value_cols,
         F.lit(0).alias(_SIDE),
     )
-    # with exact matches allowed, a right row at ts must sort BEFORE a
-    # left row at the same ts (side 0 < 1); for strict inequality, after
-    side_order = F.col(_SIDE).asc() if allow_exact_match else F.col(_SIDE).desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), side_order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    combined = l.unionByName(r)
+    # the matched row travels as ONE struct (ts + all value columns):
+    # per-column fills would back-fill a NULL in the nearest matching
+    # row from a farther row, stitching the output from different right
+    # rows (pandas merge_asof / DuckDB ASOF keep the matched row's NULL)
+    right_struct = F.when(
+        F.col(_SIDE) == 0,
+        F.struct(F.col(ts_col).cast("long").alias(_TS), *[F.col(c) for c in value_cols]),
     )
-    # fill ONE struct of all value columns per right row, not one
-    # independent last() per column: per-column fills would back-fill a
-    # NULL in the newest matching row from an older row, stitching the
-    # output from different right rows (pandas merge_asof / DuckDB ASOF
-    # keep the newest row's NULL — so do we).
-    vals = "_asof_vals"
-    filled = l.unionByName(r).select(
-        *left_cols,
-        F.col(_SIDE).alias(_SIDE),
-        F.last(
-            F.when(F.col(_SIDE) == 0, F.struct(*[F.col(c) for c in value_cols])),
-            ignorenulls=True,
+
+    def fill(dir_: str) -> Column:
+        if dir_ == "backward":
+            # exact match allowed → a right row at the same ts must sort
+            # BEFORE the left row (side 0 < 1) so the preceding-window
+            # sees it; strict → after
+            side_order = F.col(_SIDE).asc() if allow_exact_match else F.col(_SIDE).desc()
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(F.col(ts_col).asc(), side_order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            return F.last(right_struct, ignorenulls=True).over(w)
+        # forward: mirror image — exact match needs the equal-ts right
+        # row AFTER the left row so the following-window sees it
+        side_order = F.col(_SIDE).desc() if allow_exact_match else F.col(_SIDE).asc()
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), side_order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        .over(w)
-        .alias(vals),
+        return F.first(right_struct, ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        b, f = fill("backward"), fill("forward")
+        ts = F.col(ts_col).cast("long")
+        chosen = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            .when((ts - b.getField(_TS)) <= (f.getField(_TS) - ts), b)
+            .otherwise(f)
+        )
+    else:
+        chosen = fill(direction)
+
+    vals = "_asof_vals"
+    filled = combined.select(
+        *left_cols, F.col(_SIDE).alias(_SIDE), chosen.alias(vals)
     )
     return filled.filter(F.col(_SIDE) == 1).select(
         *left_cols,

@@ -190,3 +190,44 @@ def test_interval_join_left_null_point_column_not_duplicated(spark):
     out = interval_join(points, intervals, "p", "s", "e", bucket_width=4, how="left")
     rows = sorted((r["point_id"], r["iv_id"]) for r in out.collect())
     assert rows == [(1, 100), (3, None)]
+
+
+def test_asof_directions_match_pandas(spark):
+    """Differential oracle: every (direction, allow_exact_match) combo
+    must match pandas merge_asof on data with duplicate timestamps,
+    NULL values in matched rows, and keys with no match at all."""
+    import pandas as pd
+    from cherry_pipelines_spark.operators.asof import asof_join
+
+    left_rows = [
+        ("a", 10), ("a", 15), ("a", 20), ("a", 3),
+        ("b", 7), ("b", 100),
+        ("c", 50),  # key with no right rows
+    ]
+    right_rows = [
+        ("a", 5, 1.0), ("a", 10, None), ("a", 15, 3.0), ("a", 30, 4.0),
+        ("b", 7, 5.0), ("b", 90, None), ("b", 110, 7.0),
+    ]
+    lpdf = pd.DataFrame(left_rows, columns=["k", "ts"]).sort_values("ts")
+    rpdf = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts")
+    ldf = spark.createDataFrame(left_rows, "k string, ts long")
+    rdf = spark.createDataFrame(right_rows, "k string, ts long, v double")
+
+    for direction in ("backward", "forward", "nearest"):
+        for exact in (True, False):
+            exp = pd.merge_asof(
+                lpdf, rpdf, on="ts", by="k",
+                direction=direction, allow_exact_matches=exact,
+            )
+            expected = {
+                (r.k, r.ts): (None if pd.isna(r.v) else r.v)
+                for r in exp.itertuples()
+            }
+            got = {
+                (r["k"], r["ts"]): r["v"]
+                for r in asof_join(
+                    ldf, rdf, "ts", by=["k"],
+                    direction=direction, allow_exact_match=exact,
+                ).collect()
+            }
+            assert got == expected, (direction, exact, got, expected)
