@@ -334,6 +334,38 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 # §2.3 J5 / §2.4 A2-A4 — trailing range window
 # =====================================================================
 
+def q_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (range x range) via two-sided bucket
+    expansion with canonical-bucket dedup - no nested loop, no distinct
+    shuffle (operators/ranges.overlap_join)."""
+    from cherry_pipelines_spark.operators.ranges import overlap_join
+
+    e, sup = _load(spark, sf_dir, "events", "supplier")
+    ls = F.col("event_id") % 50000
+    lefts = e.select(
+        F.col("event_id").alias("lid"),
+        ls.alias("ls"),
+        (ls + (F.col("event_id") * 13) % 200).alias("le"),
+    )
+    rs = (F.col("s_suppkey") * 9973) % 50000
+    rights = sup.select(
+        F.col("s_suppkey").alias("rid"),
+        rs.alias("rs"),
+        (rs + (F.col("s_suppkey") * 31) % 400).alias("re"),
+    )
+    return overlap_join(lefts, rights, "ls", "le", "rs", "re", bucket_width=256)
+
+
+ORACLE_OVERLAP_JOIN = """
+WITH l AS (SELECT event_id AS lid, event_id % 50000 AS ls,
+                  event_id % 50000 + (event_id * 13) % 200 AS le FROM events),
+r AS (SELECT s_suppkey AS rid, (s_suppkey * 9973) % 50000 AS rs,
+             (s_suppkey * 9973) % 50000 + (s_suppkey * 31) % 400 AS re FROM supplier)
+SELECT l.lid, l.ls, l.le, r.rid, r.rs, r.re
+FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
+"""
+
+
 def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5→rangeBetween rewrite: per-user trailing 600-second sum/count."""
     (e,) = _load(spark, sf_dir, "events")
@@ -1676,6 +1708,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "asof_join_nearest": q_asof_join_nearest,
     "interval_join": q_interval_join,
+    "overlap_join": q_overlap_join,
     "trailing_window": q_trailing_window,
     "union_typed_null": q_union_typed_null,
     "range_const_frames": q_range_const_frames,
@@ -1731,6 +1764,7 @@ _ORACLES: dict[str, str] = {
     "asof_join": ORACLE_ASOF,
     "asof_join_nearest": ORACLE_ASOF_NEAREST,
     "interval_join": ORACLE_INTERVAL_JOIN,
+    "overlap_join": ORACLE_OVERLAP_JOIN,
     "trailing_window": ORACLE_TRAILING,
     "union_typed_null": ORACLE_UNION,
     "range_const_frames": ORACLE_RANGE_CONST,

@@ -97,3 +97,63 @@ def interval_join(
     for c in intervals.columns:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(intervals.schema[c].dataType))
     return matched.unionByName(unmatched)
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join (range × range): every pair with
+    ``left_start <= right_end AND right_start <= left_end`` (closed
+    bounds) — the genomic/temporal overlap query Spark would otherwise
+    plan as a nested loop.
+
+    Same bucket-expansion shape as :func:`interval_join`, applied to
+    BOTH sides.  A pair whose intervals share several buckets would
+    match once per shared bucket; instead of a distinct (an extra
+    shuffle over the full result), each pair is emitted only in its
+    canonical bucket — the first bucket where both intervals exist,
+    ``greatest(floor(l_start/w), floor(r_start/w))`` — which is
+    guaranteed to be a shared bucket of every overlapping pair.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"column names must be disjoint; shared: {sorted(overlap)}")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def _b(c: str) -> Column:
+        return F.floor(F.col(c).cast("long") / F.lit(bucket_width)).cast("long")
+
+    lb = left.withColumn(_BUCKET, F.explode(F.sequence(_b(left_start), _b(left_end))))
+    rb = right.withColumn(_BUCKET, F.explode(F.sequence(_b(right_start), _b(right_end))))
+    matched = (
+        lb.join(rb, _BUCKET, "inner")
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col(_BUCKET) == F.greatest(_b(left_start), _b(right_start)))
+        )
+        .drop(_BUCKET)
+    )
+    if how == "inner":
+        return matched
+    m = matched.select(
+        *[F.col(c).alias(f"_m_{c}") for c in left.columns]
+    ).distinct()
+    cond = reduce(
+        and_,
+        [F.col(c).eqNullSafe(F.col(f"_m_{c}")) for c in left.columns],
+    )
+    unmatched = left.join(m, cond, "left_anti")
+    for c in right.columns:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    return matched.unionByName(unmatched)

@@ -231,3 +231,38 @@ def test_asof_directions_match_pandas(spark):
                 ).collect()
             }
             assert got == expected, (direction, exact, got, expected)
+
+
+def test_overlap_join_matches_naive(spark):
+    """Bucketed overlap join must equal the naive theta-join on random
+    intervals, with no duplicate pairs from shared buckets."""
+    from cherry_pipelines_spark.operators.ranges import overlap_join
+
+    left = spark.range(0, 120).select(
+        F.col("id").alias("lid"),
+        ((F.col("id") * 37) % 500).alias("ls"),
+        (((F.col("id") * 37) % 500) + (F.col("id") * 13) % 90).alias("le"),
+    )
+    right = spark.range(0, 90).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 53) % 500).alias("rs"),
+        (((F.col("id") * 53) % 500) + (F.col("id") * 7) % 140).alias("re"),
+    )
+    naive = left.crossJoin(right).filter(
+        (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+    )
+    expected = sorted((r["lid"], r["rid"]) for r in naive.collect())
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in overlap_join(left, right, "ls", "le", "rs", "re", 32).collect()
+    )
+    assert got == expected and len(got) > 100
+
+    # left mode keeps matchless intervals with NULL right columns
+    lonely = spark.createDataFrame([(999, 10_000, 10_005)], "lid long, ls long, le long")
+    out = overlap_join(
+        left.unionByName(lonely), right, "ls", "le", "rs", "re", 32, how="left"
+    )
+    rows = {r["lid"]: r for r in out.collect() if r["lid"] == 999}
+    assert rows[999]["rid"] is None
+    assert out.count() == len(expected) + 1
