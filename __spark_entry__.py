@@ -1690,6 +1690,72 @@ FROM per LEFT JOIN ov ON per.doc_id = ov.doc_id
 """
 
 
+def q_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation funnel (quality gate -> exact dedup ->
+    decontamination -> deterministic stratified sample) as one plan over
+    the documents table - the composition the curate pipeline runs per
+    id-range batch (pipelines/docs/curate.py)."""
+    from cherry_pipelines_spark.operators.contamination import ngram_contamination
+    from cherry_pipelines_spark.operators.sampling import stratified_sample
+    from cherry_pipelines_spark.operators.text import repetition_stats
+
+    (d,) = _load(spark, sf_dir, "documents")
+    rep = repetition_stats(d)
+    quality = d.join(
+        rep.filter(
+            (F.col("n_words") >= 20)
+            & (F.col("unique_word_frac") >= 0.3)
+            & (F.col("top_word_frac") <= 0.2)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    hashed = quality.withColumn("_h", F.sha2(F.col("text"), 256))
+    canonical = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
+    deduped = hashed.join(canonical, ["_h", "doc_id"]).drop("_h")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    contam = ngram_contamination(deduped, bench, ngram=5)
+    clean = deduped.join(
+        contam.filter(F.col("n_overlap") == 0).select("doc_id"), "doc_id"
+    )
+    sampled = stratified_sample(
+        clean, "lang", {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0},
+        key=F.col("doc_id"), default_rate=0.0,
+    )
+    return sampled.select("doc_id", "lang", "source")
+
+
+ORACLE_DOCS_CURATION = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (SELECT doc_id, unnest(t) AS w FROM tok),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+ws AS (SELECT doc_id, count(*) AS nu, sum(c) AS nw, max(c) AS tw FROM wc GROUP BY 1),
+quality AS (
+  SELECT b.* FROM documents b JOIN ws USING (doc_id)
+  WHERE nw >= 20 AND nu / nw::DOUBLE >= 0.3 AND tw / nw::DOUBLE <= 0.2),
+dedup AS (
+  SELECT q.* FROM quality q
+  JOIN (SELECT sha256(text) AS h, min(doc_id) AS doc_id
+        FROM quality GROUP BY 1) c USING (doc_id)),
+dtok AS (SELECT doc_id, string_split(text, ' ') AS t FROM dedup),
+sh0 AS (SELECT doc_id,
+               [concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+                for i in generate_series(1, greatest(len(t)-4, 1))] AS ss
+        FROM dtok),
+sh AS (SELECT DISTINCT doc_id, unnest(ss) AS shingle FROM sh0),
+btok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0),
+bs0 AS (SELECT doc_id,
+               [concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])
+                for i in generate_series(1, greatest(len(t)-4, 1))] AS ss
+        FROM btok),
+bench AS (SELECT DISTINCT unnest(ss) AS shingle FROM bs0),
+contaminated AS (SELECT DISTINCT doc_id FROM sh JOIN bench USING (shingle)),
+clean AS (SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT doc_id, lang, source FROM clean
+WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 <
+      CASE lang WHEN 'en' THEN 5000 ELSE 10000 END
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -1747,6 +1813,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "idf_keywords": q_idf_keywords,
     "contamination_check": q_contamination_check,
+    "docs_curation": q_docs_curation,
 }
 
 
@@ -1806,6 +1873,7 @@ _ORACLES: dict[str, str] = {
     "repetition_stats": ORACLE_REPETITION,
     "idf_keywords": ORACLE_IDF,
     "contamination_check": ORACLE_CONTAMINATION,
+    "docs_curation": ORACLE_DOCS_CURATION,
 }
 
 

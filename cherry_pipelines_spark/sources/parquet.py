@@ -46,6 +46,10 @@ class TableSpec:
     format: str = "parquet"
     options: dict[str, str] = field(default_factory=dict)
     schema: str | None = None  # DDL string, e.g. "a long, b string"
+    # False = load the whole table every batch (dimension / reference
+    # tables — e.g. a decontamination benchmark — must not be sliced by
+    # the batch's block range)
+    range_filter: bool = True
 
     def load(self, spark: SparkSession) -> DataFrame:
         reader = spark.read.format(self.format).options(**self.options)
@@ -78,10 +82,11 @@ class ParquetSource:
         bundle: TableBundle = {}
         for name, spec in self.tables.items():
             df: DataFrame = spec.load(spark)
-            df = df.filter(
-                (F.col(spec.block_column) >= from_block)
-                & (F.col(spec.block_column) <= to_block)
-            )
+            if spec.range_filter:
+                df = df.filter(
+                    (F.col(spec.block_column) >= from_block)
+                    & (F.col(spec.block_column) <= to_block)
+                )
             if spec.predicate is not None:
                 df = df.filter(spec.predicate)
             if spec.columns is not None:
