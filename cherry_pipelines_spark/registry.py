@@ -18,6 +18,7 @@ from pyspark.sql import SparkSession
 from cherry_pipelines_spark.config import EvmConfig, SvmConfig, load_evm_config, load_svm_config
 from cherry_pipelines_spark.engine.pipeline import Pipeline
 from cherry_pipelines_spark.pipelines import dims
+from cherry_pipelines_spark.pipelines.docs import curate as docs_curate
 from cherry_pipelines_spark.pipelines.evm import erc20_transfers
 from cherry_pipelines_spark.pipelines.svm import (
     meteora_swaps,
@@ -69,6 +70,21 @@ SVM_PIPELINES: dict[str, Callable[[SvmConfig], Pipeline]] = {
 }
 
 
+def _docs_curation(cfg: EvmConfig) -> Pipeline:
+    # reuses the generic env config: data_path holds documents.parquet
+    # (+ benchmark.parquet for decontamination)
+    return docs_curate.build_pipeline(
+        docs_path=os.path.join(cfg.data_path, "documents.parquet"),
+        benchmark_path=os.path.join(cfg.data_path, "benchmark.parquet"),
+        sink_path=cfg.sink_path,
+    )
+
+
+DOCS_PIPELINES: dict[str, Callable[[EvmConfig], Pipeline]] = {
+    "curate": _docs_curation,
+}
+
+
 def main(spark: SparkSession) -> int:
     """Env-driven dispatch (reference: scripts/main.py:300-330).
     Returns the number of batches executed (0 for init_db mode)."""
@@ -82,6 +98,9 @@ def main(spark: SparkSession) -> int:
     elif kind == "svm":
         cfg = load_svm_config()
         registry = SVM_PIPELINES
+    elif kind == "docs":
+        cfg = load_evm_config()  # same env surface; chain fields unused
+        registry = DOCS_PIPELINES
     else:
         raise ValueError(f"unknown CHERRY_PIPELINE_KIND {kind!r}")
 

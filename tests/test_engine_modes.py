@@ -153,3 +153,33 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+def test_registry_docs_kind(spark, tmp_path, monkeypatch):
+    """CHERRY_PIPELINE_KIND=docs dispatches the curation pipeline
+    through the same env-driven entry as evm/svm."""
+    import shutil
+
+    from cherry_pipelines_spark import registry
+
+    data = tmp_path / "data"
+    data.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", data / "documents.parquet")
+    # tiny benchmark: reuse the documents file (everything contaminated
+    # except... nothing: then sampled output is empty) — instead build a
+    # one-doc benchmark so the funnel keeps most rows
+    import duckdb
+
+    duckdb.sql(
+        f"COPY (SELECT * FROM read_parquet('{data}/documents.parquet') LIMIT 1) "
+        f"TO '{data}/benchmark.parquet' (FORMAT parquet)"
+    )
+    monkeypatch.setenv("CHERRY_PIPELINE_KIND", "docs")
+    monkeypatch.setenv("CHERRY_PIPELINE_NAME", "curate")
+    monkeypatch.setenv("CHERRY_DATA_PATH", str(data))
+    monkeypatch.setenv("CHERRY_SINK_PATH", str(tmp_path / "sink"))
+    monkeypatch.setenv("CHERRY_BATCH_SIZE", "250")
+    n = registry.main(spark)
+    assert n == 2  # 500 ids in batches of 250
+    out = spark.read.parquet(str(tmp_path / "sink" / "curated_docs"))
+    assert out.count() > 100
