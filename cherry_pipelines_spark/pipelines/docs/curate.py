@@ -94,6 +94,10 @@ def build_pipeline(
         hashed = quality.withColumn("_h", F.sha2(F.col("text"), 256))
         canonical = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
         deduped = hashed.join(canonical, ["_h", "doc_id"]).drop("_h")
+        # the dedup subtree feeds contamination shingles, the clean join,
+        # and the sampled output — batch-cache it once instead of
+        # recomputing scan+quality+dedup per branch (released post-write)
+        deduped = ctx.batch_cache(deduped)
         stats.append(_stage_count(deduped, "dedup", spark))
 
         # 3. decontamination: drop any doc overlapping the benchmark
