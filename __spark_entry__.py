@@ -1756,6 +1756,34 @@ WHERE ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 <
 """
 
 
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / crosstab (wide aggregation): per-user event counts as one
+    column per event type.  Explicit pivot values keep the plan
+    single-pass (no distinct-values pre-scan) and the schema stable."""
+    (e,) = _load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+
+
+ORACLE_EVENT_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')::BIGINT AS click,
+       count(*) FILTER (event_type = 'error')::BIGINT AS error,
+       count(*) FILTER (event_type = 'purchase')::BIGINT AS purchase,
+       count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+       count(*) FILTER (event_type = 'view')::BIGINT AS view
+FROM events GROUP BY user_id
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -1814,6 +1842,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idf_keywords": q_idf_keywords,
     "contamination_check": q_contamination_check,
     "docs_curation": q_docs_curation,
+    "event_pivot": q_event_pivot,
 }
 
 
@@ -1874,6 +1903,7 @@ _ORACLES: dict[str, str] = {
     "idf_keywords": ORACLE_IDF,
     "contamination_check": ORACLE_CONTAMINATION,
     "docs_curation": ORACLE_DOCS_CURATION,
+    "event_pivot": ORACLE_EVENT_PIVOT,
 }
 
 
