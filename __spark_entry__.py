@@ -38,6 +38,10 @@ def _session_confs(spark: SparkSession) -> None:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.ansi.enabled", "false"),
+        # Arrow transfer for toPandas/createDataFrame: a perf conf, not a
+        # correctness one (mapInPandas is Arrow-batched regardless), but
+        # the driver's toPandas compare is much faster with it on
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)
