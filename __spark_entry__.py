@@ -1788,6 +1788,141 @@ FROM events GROUP BY user_id
 """
 
 
+def q_percentile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (interpolated, matching quantile_cont):
+    p50/p90 of value per event type."""
+    (e,) = _load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+ORACLE_PCT_GROUP = """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90, count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (lang, source): all four aggregation
+    levels in one pass (map-side partial aggregation per level)."""
+    (d,) = _load(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+ORACLE_CUBE = """
+SELECT lang, source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+def q_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface (SURVEY §2.8): Arrow-batched grouped-agg
+    pandas_udf — geometric mean of value per event type.  The UDF sees
+    one Arrow column per group; no row-at-a-time Python."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # this module uses `from __future__ import annotations`, which turns
+    # hints into strings pandas_udf can't infer from — set real objects
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    (e,) = _load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(geomean("value"), 6).alias("geomean_value")
+    )
+
+
+ORACLE_GEOMEAN = """
+SELECT event_type, round(exp(avg(ln(value))), 6) AS geomean_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + a time-range
+    constraint (SURVEY §2.7 extension): purchases matched to the same
+    user's clicks in the preceding hour.  Both sides carry watermarks so
+    join state is evicted once the range can no longer match."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    import hashlib as _hl
+    import tempfile as _tf
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    shim = os.path.join(
+        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
+    )
+    os.makedirs(shim, exist_ok=True)
+    link = os.path.join(shim, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+
+    def side(kind, alias):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(shim)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.timestamp_seconds(F.expr("ts div 1000000000")).alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    purchases, clicks = side("purchase", "p"), side("click", "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    q = (
+        joined.select("p_id", "c_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_ss_join_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_ss_join_out")
+
+
+ORACLE_STREAM_SS_JOIN = """
+WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000000000 AS secs
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS c_id, user_id, epoch_ns(ts) // 1000000000 AS secs
+      FROM events WHERE event_type = 'click')
+SELECT p.p_id, c.c_id
+FROM p JOIN c ON p.user_id = c.user_id
+             AND c.secs >= p.secs - 3600 AND c.secs <= p.secs
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -1847,6 +1982,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_check": q_contamination_check,
     "docs_curation": q_docs_curation,
     "event_pivot": q_event_pivot,
+    "percentile_by_group": q_percentile_by_group,
+    "cube_revenue": q_cube_revenue,
+    "geomean_udaf": q_geomean_udaf,
+    "stream_stream_join": q_stream_stream_join,
 }
 
 
@@ -1908,6 +2047,10 @@ _ORACLES: dict[str, str] = {
     "contamination_check": ORACLE_CONTAMINATION,
     "docs_curation": ORACLE_DOCS_CURATION,
     "event_pivot": ORACLE_EVENT_PIVOT,
+    "percentile_by_group": ORACLE_PCT_GROUP,
+    "cube_revenue": ORACLE_CUBE,
+    "geomean_udaf": ORACLE_GEOMEAN,
+    "stream_stream_join": ORACLE_STREAM_SS_JOIN,
 }
 
 
