@@ -29,10 +29,13 @@ def _session_confs(spark: SparkSession) -> None:
     """Pin the session confs every query depends on, regardless of which
     harness built the SparkSession.
 
-    The driver's fixtures store ``events.ts`` as INT64 TIMESTAMP(NANOS),
-    which Spark rejects unless ``nanosAsLong`` is on; timestamp filters
-    and the decode kernels additionally assume UTC and non-ANSI
-    semantics.  All three are runtime-settable.
+    Round 2's broken queries came from trusting a conf that silently
+    did not matter: ``nanosAsLong`` only affects INT64 TIMESTAMP(NANOS)
+    parquet columns (one historical shape of the events fixture).  With
+    it on, a NANOS fixture reads as bigint and ``_ts_secs`` adapts; a
+    MICROS fixture is unaffected and reads as TIMESTAMP_NTZ.  The
+    correctness-critical confs (UTC, non-ANSI) are VERIFIED after the
+    set — a locked conf now fails loudly instead of corrupting results.
     """
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
@@ -46,7 +49,83 @@ def _session_confs(spark: SparkSession) -> None:
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # conf locked by the harness; proceed with its value
+            pass  # conf locked by the harness; verified below if critical
+    # every epoch conversion assumes UTC and every decimal division
+    # assumes non-ANSI NULL-on-overflow semantics
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    ansi = str(spark.conf.get("spark.sql.ansi.enabled", "false")).lower()
+    if tz != "UTC" or ansi != "false":
+        raise RuntimeError(
+            f"required session confs not applied (timeZone={tz!r}, "
+            f"ansi.enabled={ansi!r}); results would be silently wrong"
+        )
+
+
+def _ts_secs(df: DataFrame, col: str = "ts"):
+    """Epoch-seconds expression adapted to the fixture's ACTUAL ts dtype.
+
+    The driver has shipped ``events.ts`` both as parquet INT64
+    TIMESTAMP(NANOS) (reads as bigint under ``nanosAsLong``) and as
+    TIMESTAMP(MICROS) (reads natively as TIMESTAMP_NTZ).  Branching on
+    ``df.dtypes`` — not on a conf we hope applied — means a future
+    fixture regeneration cannot silently shift the time scale again.
+    """
+    dtype = dict(df.dtypes)[col]
+    if dtype == "bigint":  # INT64 epoch-nanos
+        return F.expr(f"{col} div 1000000000")
+    if dtype in ("timestamp", "timestamp_ntz"):
+        # unix_micros interprets the cast NTZ value in the session tz;
+        # _session_confs pins and verifies UTC, re-checked here so this
+        # expression can never run under a non-UTC session
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", None)
+        if tz != "UTC":
+            raise RuntimeError(f"_ts_secs requires UTC session tz, got {tz!r}")
+        return F.expr(f"unix_micros(cast({col} as timestamp)) div 1000000")
+    raise TypeError(f"unsupported dtype {dtype!r} for ts column {col!r}")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events fixture with normalized time columns.
+
+    Returns a streaming DataFrame carrying the fixture's own columns
+    plus ``secs`` (epoch seconds, long) and ``tstamp``
+    (``timestamp_seconds(secs)``, for watermarks / time windows).  The
+    ``ts`` field type is probed from the parquet footer via a batch
+    read, so the declared stream schema always matches the file and the
+    conversion goes through the same adaptive ``_ts_secs`` as the batch
+    queries — declaring LongType over a MICROS file silently yielded
+    micros-as-"nanos" in round 2.
+
+    The streaming file source needs a *directory*; a symlink shim is
+    built around the single-file fixture.
+    """
+    import hashlib as _hl
+    import tempfile as _tf
+
+    _session_confs(spark)
+    src_file = os.path.join(sf_dir, "events.parquet")
+    shim = os.path.join(
+        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
+    )
+    os.makedirs(shim, exist_ok=True)
+    link = os.path.join(shim, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    ts_type = spark.read.parquet(src_file).schema["ts"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(shim)
+    return stream.withColumn("secs", _ts_secs(stream)).withColumn(
+        "tstamp", F.timestamp_seconds(F.col("secs"))
+    )
 
 
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
@@ -375,11 +454,10 @@ def q_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e,) = _load(spark, sf_dir, "events")
     from cherry_pipelines_spark.operators.windows import trailing_range_agg
 
-    # ts arrives as epoch-nanos (long); integer-div to whole seconds
     base = e.select(
         "event_id",
         "user_id",
-        F.expr("ts div 1000000000").alias("secs"),
+        _ts_secs(e).alias("secs"),
         F.col("value").cast("decimal(18,6)").alias("v"),
     )
     out = trailing_range_agg(
@@ -418,7 +496,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = e.select(
         "event_id",
         F.col("user_id").alias("k"),
-        F.expr("ts div 1000000000").alias("secs"),
+        _ts_secs(e).alias("secs"),
     )
     right = o.select(
         F.col("o_custkey").alias("k"),
@@ -461,7 +539,7 @@ def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = e.select(
         "event_id",
         F.col("user_id").alias("k"),
-        F.expr("ts div 1000000000").alias("secs"),
+        _ts_secs(e).alias("secs"),
     )
     right = o.select(
         F.col("o_custkey").alias("k"),
@@ -1219,35 +1297,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_ops.py)."""
     from cherry_pipelines_spark.streaming.windows import tumbling_window_agg
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # epoch nanos
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    import hashlib as _hl
-    import tempfile as _tf
-
-    src_file = os.path.join(sf_dir, "events.parquet")
-    shim = os.path.join(
-        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
-    )
-    os.makedirs(shim, exist_ok=True)
-    link = os.path.join(shim, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(shim)
-        .select(
-            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts_ts"),
-            "event_type",
-            F.col("value").cast("decimal(18,6)").alias("v"),
-        )
+    stream = _events_stream(spark, sf_dir).select(
+        F.col("tstamp").alias("ts_ts"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
     )
     agg = tumbling_window_agg(
         stream,
@@ -1287,34 +1340,8 @@ FROM events GROUP BY 1, 2
 def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 streaming: Structured Streaming micro-batch over the events
     parquet (complete-mode agg to a memory sink, driven to completion)."""
-    from pyspark.sql import types as T
-
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # epoch nanos
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    # the streaming file source needs a *directory*; shim one around the
-    # single-file fixture with a symlink
-    import hashlib as _hl
-    import tempfile as _tf
-
-    src_file = os.path.join(sf_dir, "events.parquet")
-    shim = os.path.join(
-        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
-    )
-    os.makedirs(shim, exist_ok=True)
-    link = os.path.join(shim, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(shim)
+        _events_stream(spark, sf_dir)
         .groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -1348,28 +1375,9 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     key set is returned and oracle-checked."""
     from cherry_pipelines_spark.streaming.stateful import streaming_distinct
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "props", "secs"
     )
-    import hashlib as _hl
-    import tempfile as _tf
-
-    src_file = os.path.join(sf_dir, "events.parquet")
-    shim = os.path.join(
-        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
-    )
-    os.makedirs(shim, exist_ok=True)
-    link = os.path.join(shim, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
-    stream = spark.readStream.schema(schema).parquet(shim)
     out = streaming_distinct(stream, "user_id")
     q = (
         out.writeStream.outputMode("append")
@@ -1398,34 +1406,9 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     time at watermark 0s delay)."""
     from cherry_pipelines_spark.streaming.stateful import streaming_sessionize
 
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    import hashlib as _hl
-    import tempfile as _tf
-
-    src_file = os.path.join(sf_dir, "events.parquet")
-    shim = os.path.join(
-        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
-    )
-    os.makedirs(shim, exist_ok=True)
-    link = os.path.join(shim, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
     stream = (
-        spark.readStream.schema(schema)
-        .parquet(shim)
-        .select(
-            "user_id",
-            F.timestamp_seconds(F.expr("ts div 1000000000")).alias("tstamp"),
-        )
+        _events_stream(spark, sf_dir)
+        .select("user_id", "tstamp")
         .withWatermark("tstamp", "0 seconds")
     )
     out = streaming_sessionize(stream, "user_id", "tstamp", gap_seconds=28800)
@@ -1477,7 +1460,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select(
         "user_id",
         "event_id",
-        F.expr("ts div 1000000000").alias("secs"),
+        _ts_secs(e).alias("secs"),
         F.col("value").cast("decimal(18,6)").alias("v"),
     )
     out = session_stats(
@@ -1521,7 +1504,7 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     (e,) = _load(spark, sf_dir, "events")
     base = e.select(
         "user_id",
-        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("tstamp"),
+        F.timestamp_seconds(_ts_secs(e)).alias("tstamp"),
     )
     out = session_window_agg(
         base,
@@ -1855,37 +1838,14 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraint (SURVEY §2.7 extension): purchases matched to the same
     user's clicks in the preceding hour.  Both sides carry watermarks so
     join state is evicted once the range can no longer match."""
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    import hashlib as _hl
-    import tempfile as _tf
-
-    src_file = os.path.join(sf_dir, "events.parquet")
-    shim = os.path.join(
-        _tf.gettempdir(), "cherry_stream_" + _hl.sha256(src_file.encode()).hexdigest()[:12]
-    )
-    os.makedirs(shim, exist_ok=True)
-    link = os.path.join(shim, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
-
     def side(kind, alias):
         return (
-            spark.readStream.schema(schema)
-            .parquet(shim)
+            _events_stream(spark, sf_dir)
             .filter(F.col("event_type") == kind)
             .select(
                 F.col("event_id").alias(f"{alias}_id"),
                 F.col("user_id").alias(f"{alias}_user"),
-                F.timestamp_seconds(F.expr("ts div 1000000000")).alias(f"{alias}_ts"),
+                F.col("tstamp").alias(f"{alias}_ts"),
             )
             .withWatermark(f"{alias}_ts", "1 hour")
         )

@@ -48,21 +48,33 @@ def main() -> None:
     # warm up the JVM / file listing with one tiny action (not timed)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    timings: dict[str, float] = {}
+    # one broken query must cost one entry, not the whole artifact: build
+    # and run under try/except, record the error string, keep timing the
+    # rest (round 2's bench died at plan-build of a single query)
+    timings: dict[str, object] = {}
+    errors = 0
     for name in bench_queries:
-        df = qs[name](spark, sf_dir)
-        best = None
-        for _ in range(RUNS_PER_QUERY):
-            t0 = time.monotonic()
-            df.write.mode("overwrite").format("noop").save()
-            el = time.monotonic() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
-    total = round(sum(timings.values()), 3)
+        try:
+            df = qs[name](spark, sf_dir)
+            best = None
+            for _ in range(RUNS_PER_QUERY):
+                t0 = time.monotonic()
+                df.write.mode("overwrite").format("noop").save()
+                el = time.monotonic() - t0
+                best = el if best is None else min(best, el)
+            timings[name] = round(best, 3)
+        except Exception as ex:
+            timings[name] = {"err": f"{type(ex).__name__}: {ex}"[:300]}
+            errors += 1
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     print(
         json.dumps(
             {
-                "metric": f"total wall seconds, {len(bench_queries)} headline queries (noop sink, best of {RUNS_PER_QUERY})",
+                "metric": (
+                    f"total wall seconds, {len(bench_queries) - errors}/"
+                    f"{len(bench_queries)} declared queries "
+                    f"(noop sink, best of {RUNS_PER_QUERY})"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -107,7 +107,12 @@ def streaming_sessionize(
         secs_all = []
         for pdf in pdfs:
             if len(pdf):
-                secs_all.append((pdf[ts_col].astype("int64") // 1_000_000_000))
+                # datetime64 unit (ns vs us) depends on the Arrow transfer;
+                # normalize through datetime64[s] so the epoch scale can
+                # never silently shift with the input resolution
+                secs_all.append(
+                    pd.Series(pdf[ts_col].to_numpy().astype("datetime64[s]").astype("int64"))
+                )
         if secs_all:
             for s in sorted(pd.concat(secs_all).tolist()):
                 if cur is None:

@@ -57,10 +57,18 @@ def test_session_stats_and_native_session_window_agree(spark):
         {"n_events": F.count(F.lit(1)).cast("long"), "first_secs": F.min("secs")},
         ("user_id",),
     )
-    native_set = {
-        (r["user_id"], r["first_secs"], r["n_events"]) for r in native.collect()
-    }
+    rows = native.collect()
+    native_set = {(r["user_id"], r["first_secs"], r["n_events"]) for r in rows}
     assert batch == native_set == {(1, 100, 3), (1, 126, 1), (2, 500, 1)}
+    # window close = last event + gap, even when the last event landed
+    # exactly `gap` seconds after its predecessor (the (1,115) row) —
+    # pins the oracle convention used by the sessionize_native query
+    closes = {
+        (r["user_id"], int(r["session_start"].timestamp())):
+            int(r["session_end"].timestamp())
+        for r in rows
+    }
+    assert closes == {(1, 100): 125, (1, 126): 136, (2, 500): 510}
 
 
 # ------------------------------------------------------------- sampling
