@@ -1883,6 +1883,87 @@ FROM p JOIN c ON p.user_id = c.user_id
 """
 
 
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-25 tokens by frequency with a
+    deterministic (count desc, token asc) tiebreak — partial-agg
+    shuffle + TakeOrdered, never a global sort of the corpus."""
+    from cherry_pipelines_spark.operators.text import vocab_topk
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return vocab_topk(d, k=25)
+
+
+ORACLE_VOCAB_TOPK = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, count(*)::BIGINT AS n
+FROM tok GROUP BY token
+ORDER BY n DESC, token LIMIT 25
+"""
+
+
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-side of near-dedup: one canonical document per LSH
+    duplicate cluster (longest doc wins, id tiebreak), annotated with
+    the cluster size for weighting/audit."""
+    from cherry_pipelines_spark.operators.dedup import (
+        canonical_per_cluster,
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+    from cherry_pipelines_spark.operators.text import tokens
+
+    (d,) = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, k=8, bands=4)
+    clusters = duplicate_clusters(d, pairs)
+    scores = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return canonical_per_cluster(clusters, scores, "n_tokens")
+
+
+# reuse the recursive connected-components walk from the clusters
+# oracle; append the per-cluster canonical pick
+_CLUSTERS_HEAD = ORACLE_DEDUP_CLUSTERS.rsplit("SELECT node AS doc_id", 1)[0]
+ORACLE_CLUSTER_CANONICAL = _CLUSTERS_HEAD + """,
+cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM walk GROUP BY node),
+q AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+r AS (SELECT cl.doc_id, cl.cluster_id,
+             count(*) OVER (PARTITION BY cl.cluster_id) AS cluster_size,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY q.n_tokens DESC, cl.doc_id) AS rn
+      FROM cl JOIN q USING (doc_id))
+SELECT doc_id, cluster_id, cluster_size::BIGINT AS cluster_size FROM r WHERE rn = 1
+"""
+
+
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample-only rebalance toward a target language mix
+    (en .5 / de .25 / es .25): the scarcest stratum binds the total,
+    thresholds broadcast back onto the facts, deterministic hash keep."""
+    from cherry_pipelines_spark.operators.sampling import rebalance_to_mix
+
+    (d,) = _load(spark, sf_dir, "documents")
+    out = rebalance_to_mix(
+        d, "lang", {"en": 0.5, "de": 0.25, "es": 0.25}, key=F.col("doc_id")
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+ORACLE_TRAINING_MIX = """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+t(lang, share) AS (VALUES ('de', 0.25), ('en', 0.5), ('es', 0.25)),
+sc AS (SELECT c.lang, c.n, t.share FROM c JOIN t USING (lang)),
+tt AS (SELECT min(n / share) AS total FROM sc),
+thr AS (SELECT lang, floor(10000.0 * share * tt.total / n)::BIGINT AS keep_thr
+        FROM sc, tt)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE ('0x' || substr(sha256(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < thr.keep_thr
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -1946,6 +2027,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_revenue": q_cube_revenue,
     "geomean_udaf": q_geomean_udaf,
     "stream_stream_join": q_stream_stream_join,
+    "vocab_topk": q_vocab_topk,
+    "cluster_canonical": q_cluster_canonical,
+    "training_mix": q_training_mix,
 }
 
 
@@ -2011,6 +2095,9 @@ _ORACLES: dict[str, str] = {
     "cube_revenue": ORACLE_CUBE,
     "geomean_udaf": ORACLE_GEOMEAN,
     "stream_stream_join": ORACLE_STREAM_SS_JOIN,
+    "vocab_topk": ORACLE_VOCAB_TOPK,
+    "cluster_canonical": ORACLE_CLUSTER_CANONICAL,
+    "training_mix": ORACLE_TRAINING_MIX,
 }
 
 

@@ -24,7 +24,7 @@ import warnings
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -377,4 +377,36 @@ def _jaccard_tail(inter: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def canonical_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick ONE canonical document per duplicate cluster — the
+    keep-side of near-dedup: highest ``score_col`` wins, ``id_col``
+    breaks ties, and the emitted row carries the cluster size so the
+    caller can weight or audit the collapse.
+
+    Input ``clusters`` is ``(id_col, cluster_id)`` (e.g. from
+    ``duplicate_clusters``); ``scores`` is ``(id_col, score_col)`` (e.g.
+    ``quality_score``'s n_tokens).  Plan: one equi-join on the doc id,
+    then a single hash shuffle on cluster_id feeding two window
+    functions over the same partitioning (rank + cluster count) — no
+    second join, no global sort.  Cluster keys are near-unique (most
+    docs are their own cluster), so the window partitions are tiny and
+    skew-free by construction."""
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w_size = Window.partitionBy("cluster_id")
+    return (
+        clusters.join(scores.select(id_col, score_col), id_col)
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w_size).cast("long"))
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster_id", "cluster_size")
     )

@@ -70,3 +70,54 @@ def group_topk(
         df.withColumn(out_col, F.row_number().over(w).cast("long"))
         .filter(F.col(out_col) <= k)
     )
+
+
+def rebalance_to_mix(
+    df: DataFrame,
+    strata_col: str,
+    target_shares: Mapping[str, float],
+    key: Column,
+) -> DataFrame:
+    """Move the corpus toward a target stratum mix by downsampling only
+    (no stratum is upsampled): the achievable total is bounded by the
+    stratum that is scarcest relative to its target share, every other
+    stratum gets a deterministic hash-sampled keep-rate, and strata
+    outside the target are dropped.
+
+    E.g. ``{"en": .5, "de": .25, "es": .25}`` with counts en=9000,
+    de=500, es=3000 → de binds (500/.25 = 2000 total), so keep all 500
+    de, ~1000 en, ~500 es.
+
+    The whole computation stays in-plan: one column-pruned groupBy for
+    stratum counts, a broadcast 1-row min-aggregate for the binding
+    total, and a broadcast threshold join onto the fact table — no
+    driver collect, so it composes inside a pipeline at any scale.
+    Sampling uses the engine-portable ``h32`` hash at 1e-4 rate
+    granularity: the kept set is stable under repartitioning and
+    re-runs, which is what a reproducible dataset release needs."""
+    for s, p in target_shares.items():
+        if p <= 0.0:
+            raise ValueError(f"target share for {s!r} must be > 0, got {p}")
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        sorted(target_shares.items()), schema=f"{strata_col} string, share double"
+    )
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    scoped = counts.join(F.broadcast(shares), strata_col)
+    total = scoped.agg(F.min(F.col("n") / F.col("share")).alias("total"))
+    thresholds = scoped.crossJoin(F.broadcast(total)).select(
+        strata_col,
+        # floor at hash-bucket granularity; share*total/n <= 1 by
+        # construction of the binding total (left-to-right evaluation
+        # order mirrors the SQL oracle for bit-identical doubles)
+        F.floor(F.lit(float(_MOD)) * F.col("share") * F.col("total") / F.col("n"))
+        .cast("long")
+        .alias("keep_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(F.pmod(h32(key.cast("string")), _MOD) < F.col("keep_thr"))
+        .drop("keep_thr")
+    )

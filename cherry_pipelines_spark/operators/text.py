@@ -273,3 +273,26 @@ def idf_keywords(
         .filter(F.col("rank") <= k)
         .select(id_col, F.col("w").alias("keyword"), "score", "rank")
     )
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 100
+) -> DataFrame:
+    """Corpus-wide token vocabulary: the ``k`` most frequent tokens with
+    counts (the first step of any tokenizer/vocab build over a corpus).
+
+    Plan: explode → hash agg on token.  Catalyst makes the count
+    partial-first (map-side combine), so the shuffle carries one row per
+    distinct token per input partition — not one row per token
+    occurrence; the final top-k is a TakeOrdered over the (small)
+    distinct-token aggregate, not a global sort of the corpus.  The
+    (count desc, token asc) tiebreak makes the selected set
+    deterministic, so the operator is reproducible run-to-run at any
+    parallelism."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

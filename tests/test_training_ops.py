@@ -196,3 +196,70 @@ def test_ngram_contamination(spark):
     assert out[1]["contamination_frac"] == 0.2
     assert out[2]["n_overlap"] == 0 and out[2]["contamination_frac"] == 0.0
     assert out[3]["n_overlap"] == 0  # shares only a 4-gram prefix
+
+
+# -------------------------------------------------- vocab / canonical / mix
+
+
+def test_vocab_topk_counts_and_tiebreak(spark):
+    from cherry_pipelines_spark.operators.text import vocab_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b b c"), (2, "b c d"), (3, "c d")], "doc_id long, text string"
+    )
+    out = [(r["token"], r["n"]) for r in vocab_topk(df, k=3).collect()]
+    # b and c tie at 3 -> token asc breaks it; d (2) beats a (1)
+    assert out == [("b", 3), ("c", 3), ("d", 2)]
+
+
+def test_canonical_per_cluster(spark):
+    from cherry_pipelines_spark.operators.dedup import canonical_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (5, 2), (6, 2)],
+        "doc_id long, n_tokens long",
+    )
+    got = {
+        r["cluster_id"]: (r["doc_id"], r["cluster_size"])
+        for r in canonical_per_cluster(clusters, scores, "n_tokens").collect()
+    }
+    # cluster 1: docs 2,3 tie at 30 -> lower id wins; singleton keeps itself
+    assert got == {1: (2, 3), 4: (4, 1), 5: (5, 2)}
+
+
+def test_rebalance_to_mix(spark):
+    from cherry_pipelines_spark.operators.sampling import rebalance_to_mix
+
+    rows = (
+        [(i, "en") for i in range(900)]
+        + [(i + 1000, "de") for i in range(50)]
+        + [(i + 2000, "es") for i in range(300)]
+        + [(i + 3000, "fr") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_to_mix(
+        df, "lang", {"en": 0.5, "de": 0.25, "es": 0.25}, key=F.col("doc_id")
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # de binds: 50/.25 = 200 total -> all 50 de kept, ~100 en, ~50 es;
+    # fr is outside the target mix and must vanish entirely
+    assert "fr" not in by_lang
+    assert by_lang["de"] == 50  # binding stratum keeps everything
+    assert abs(by_lang["en"] - 100) <= 20  # hash-rate tolerance
+    assert abs(by_lang["es"] - 50) <= 15
+    # deterministic under repartitioning (reproducible release)
+    again = {
+        r["doc_id"]
+        for r in rebalance_to_mix(
+            df.repartition(13), "lang",
+            {"en": 0.5, "de": 0.25, "es": 0.25}, key=F.col("doc_id"),
+        ).collect()
+    }
+    assert {r["doc_id"] for r in out.collect()} == again
