@@ -124,3 +124,39 @@ def test_sessionize_single_user_shuffle(spark, sf_dir, queries):
     s = plan_summary(queries["sessionize"](spark, sf_dir))
     assert s.get("Exchange", 0) == 1
     assert not any("Join" in k for k in s)
+
+
+def test_vocab_topk_is_take_ordered_not_global_sort(spark, sf_dir, queries):
+    """Top-k over the token aggregate must be TakeOrdered (per-partition
+    heap + driver merge of k rows), never a full range-partitioned sort
+    of the distinct-token table."""
+    plan = plan_of(queries["vocab_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+    # partial-first aggregation: map-side combine before the shuffle
+    assert "partial_count" in plan
+
+
+def test_training_mix_thresholds_broadcast(spark, sf_dir, queries):
+    """The per-stratum keep-thresholds must come back to the fact table
+    as a broadcast join (the fact side never shuffles) and stay fully
+    JVM-side.  The single BroadcastNestedLoopJoin allowed is the 1-row
+    binding-total cross join — the sanctioned broadcast-scalar pattern
+    (same as idf_keywords' corpus count)."""
+    plan = plan_of(queries["training_mix"](spark, sf_dir))
+    s = plan_summary(queries["training_mix"](spark, sf_dir))
+    assert s.get("BroadcastHashJoin", 0) >= 1
+    assert s.get("BroadcastNestedLoopJoin", 0) <= 1
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan  # 1-row scalar
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    # the fact-table scan only shuffles nothing: its join is broadcast
+    assert "CartesianProduct" not in s
+
+
+def test_cluster_canonical_single_cluster_shuffle(spark, sf_dir, queries):
+    """Rank + size windows must share ONE hash partitioning on
+    cluster_id: exactly one Window-feeding exchange beyond the
+    cluster-building subtree, and never a global range sort."""
+    plan = plan_of(queries["cluster_canonical"](spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("hashpartitioning(cluster_id") == 1
