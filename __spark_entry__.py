@@ -1964,6 +1964,138 @@ WHERE ('0x' || substr(sha256(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < thr.ke
 """
 
 
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: overlapping 32-token windows every 24
+    tokens — pure JVM sequence/posexplode/slice, map-side only."""
+    from cherry_pipelines_spark.operators.text import doc_chunks
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return doc_chunks(d, chunk=32, overlap=8)
+
+
+ORACLE_DOC_CHUNKS = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (SELECT doc_id, t,
+              unnest(range(0, len(t), 24)) AS start,
+              generate_subscripts(range(0, len(t), 24), 1) - 1 AS chunk_idx
+       FROM tok)
+SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, start::BIGINT AS start,
+       least(32, len(t) - start)::BIGINT AS n_tokens,
+       array_to_string(t[start+1 : start+32], ' ') AS chunk_text
+FROM st
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-pretraining layout: documents concatenated in stable
+    hash-bucketed streams, token stream cut every 2048 tokens; each doc
+    learns its (bucket, sequence, offset) — one bucket shuffle, O(1)
+    window state, no global sort."""
+    from cherry_pipelines_spark.operators.sampling import pack_sequences
+    from cherry_pipelines_spark.operators.text import tokens
+
+    (d,) = _load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(sized, "n_tokens", budget=2048, key=F.col("doc_id"), buckets=8)
+    return out.select("doc_id", "n_tokens", "pack_bucket", "seq_id", "seq_offset")
+
+
+ORACLE_PACK_SEQUENCES = """
+WITH s AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+                  ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS pack_bucket
+           FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM s)
+SELECT doc_id, n_tokens, pack_bucket, (start // 2048)::BIGINT AS seq_id,
+       (start % 2048)::BIGINT AS seq_offset
+FROM c
+"""
+
+
+def q_quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: keep documents at or above their
+    language's 25th-percentile token count (exact interpolated
+    percentile, thresholds broadcast back onto the facts)."""
+    from cherry_pipelines_spark.operators.sampling import quantile_gate
+    from cherry_pipelines_spark.operators.text import tokens
+
+    (d,) = _load(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return quantile_gate(s, ["lang"], "n_tokens", 0.25).select(
+        "doc_id", "lang", "n_tokens"
+    )
+
+
+ORACLE_QUALITY_QUANTILE = """
+WITH s AS (SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents),
+t AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS thr FROM s GROUP BY lang)
+SELECT s.doc_id, s.lang, s.n_tokens
+FROM s JOIN t USING (lang) WHERE s.n_tokens >= t.thr
+"""
+
+
+def q_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-against-the-training-set: new-corpus docs (source src0)
+    that LSH-collide with NO reference-corpus doc survive — band rows
+    from map-only signatures, one cross-corpus (band, key) equi-join,
+    then an anti-join."""
+    from cherry_pipelines_spark.operators.dedup import cross_corpus_near_dups
+
+    (d,) = _load(spark, sf_dir, "documents")
+    new = d.filter(F.col("source") == "src0")
+    ref = d.filter(F.col("source") != "src0")
+    hits = cross_corpus_near_dups(new, ref, k=8, bands=4)
+    return new.join(hits, "doc_id", "left_anti").select("doc_id", "lang", "source")
+
+
+def _lsh_band_cte(prefix: str, where: str) -> str:
+    """DuckDB CTE chain reproducing minhash-LSH band rows (k=8, bands=4)
+    for a filtered subset of documents — mirrors _banded()."""
+    return f"""
+{prefix}tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE {where}),
+{prefix}sh0 AS (SELECT doc_id,
+                unnest([concat_ws(' ', t[i], t[i+1], t[i+2])
+                        for i in generate_series(1, greatest(len(t)-2, 1))]) AS shingle
+         FROM {prefix}tok),
+{prefix}sh AS (SELECT DISTINCT doc_id, shingle FROM {prefix}sh0),
+{prefix}h AS (SELECT doc_id, ('0x' || substr(sha256(shingle), 1, 8))::BIGINT AS h
+       FROM {prefix}sh),
+{prefix}sig AS (SELECT doc_id,
+    min((37*h+101) % 4294967311) AS mh0, min((49*h+198) % 4294967311) AS mh1,
+    min((61*h+295) % 4294967311) AS mh2, min((73*h+392) % 4294967311) AS mh3,
+    min((85*h+489) % 4294967311) AS mh4, min((97*h+586) % 4294967311) AS mh5,
+    min((109*h+683) % 4294967311) AS mh6, min((121*h+780) % 4294967311) AS mh7
+    FROM {prefix}h GROUP BY doc_id),
+{prefix}band AS (
+  SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS key FROM {prefix}sig
+  UNION ALL SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM {prefix}sig
+  UNION ALL SELECT doc_id, 2, mh4::VARCHAR || '_' || mh5::VARCHAR FROM {prefix}sig
+  UNION ALL SELECT doc_id, 3, mh6::VARCHAR || '_' || mh7::VARCHAR FROM {prefix}sig)"""
+
+
+ORACLE_CROSS_DEDUP = (
+    "WITH "
+    + _lsh_band_cte("n", "source = 'src0'")
+    + ","
+    + _lsh_band_cte("r", "source <> 'src0'")
+    + """
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.source = 'src0' AND d.doc_id NOT IN (
+  SELECT DISTINCT n.doc_id
+  FROM nband n JOIN rband r ON n.band = r.band AND n.key = r.key)
+"""
+)
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2030,6 +2162,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_topk": q_vocab_topk,
     "cluster_canonical": q_cluster_canonical,
     "training_mix": q_training_mix,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
+    "quality_quantile_filter": q_quality_quantile_filter,
+    "cross_dedup": q_cross_dedup,
 }
 
 
@@ -2098,6 +2234,10 @@ _ORACLES: dict[str, str] = {
     "vocab_topk": ORACLE_VOCAB_TOPK,
     "cluster_canonical": ORACLE_CLUSTER_CANONICAL,
     "training_mix": ORACLE_TRAINING_MIX,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,
+    "cross_dedup": ORACLE_CROSS_DEDUP,
 }
 
 

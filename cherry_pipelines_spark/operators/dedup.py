@@ -188,6 +188,60 @@ def minhash_signatures(
     )
 
 
+def _banded(
+    df: DataFrame, text_col: str, k: int, bands: int, ngram: int
+) -> DataFrame:
+    """(doc_id, band, key) LSH band rows from map-only signatures."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(df, text_col, k, ngram)
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("key"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def cross_corpus_near_dups(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-duplicate hits of a NEW corpus against a REFERENCE corpus
+    (dedup-against-the-training-set): every new doc that LSH-collides
+    with at least one reference doc, with the hit count and the smallest
+    colliding reference id for audit.  Anti-join the result against the
+    new corpus to keep only novel documents.
+
+    Scale shape: both corpora reduce to band rows via the map-only
+    signature producer (b rows/doc), and the only shuffle is the
+    (band, key) equi-join between them — the reference corpus is never
+    self-joined and never rescanned per new-batch beyond its band rows,
+    which at steady state can be precomputed once and stored as the
+    dedup index of the training set."""
+    nb = _banded(new_df, text_col, k, bands, ngram)
+    rb = _banded(ref_df, text_col, k, bands, ngram).select(
+        F.col("doc_id").alias("ref_id"), "band", "key"
+    )
+    return (
+        nb.join(rb, ["band", "key"])
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ref_id").cast("long").alias("n_ref_hits"),
+            F.min("ref_id").alias("first_ref_id"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -209,20 +263,7 @@ def minhash_lsh_candidates(
     per bucket pair up.  For dedup that loses nothing — members of a
     saturated bucket still pair with the bucket minimum, so connected
     components still merge the whole cluster."""
-    rows_per_band = k // bands
-    sig = minhash_signatures(df, text_col, k, ngram)
-    band_structs = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("key"),
-        )
-        for bi in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = _banded(df, text_col, k, bands, ngram)
     # single-pass bucket expansion instead of a self-join: the signature
     # subtree is computed once, buckets collapse in one shuffle, and
     # pairs are generated inside each (band, key) bucket.  Buckets are

@@ -121,3 +121,69 @@ def rebalance_to_mix(
         .filter(F.pmod(h32(key.cast("string")), _MOD) < F.col("keep_thr"))
         .drop("keep_thr")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    key: Column,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Assign every document its place in packed fixed-budget training
+    sequences — the standard pretraining layout where documents are
+    concatenated in a deterministic order and the token stream is cut
+    every ``budget`` tokens (sequences may span document boundaries).
+
+    Emits ``(…, pack_bucket, seq_id, seq_offset)``: the document's
+    tokens start at ``seq_offset`` of sequence ``seq_id`` within its
+    bucket.  Documents are spread over ``buckets`` independent streams
+    by stable hash so the packing parallelizes: one shuffle on the
+    bucket id, a per-bucket running sum (O(1) window state), no global
+    sort.  Order within a bucket is the hash-then-key order, so the
+    layout is reproducible across runs, partitionings, and engines."""
+    b = F.pmod(h32(key.cast("string")), buckets)
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(size_col)).over(w)
+    # integer div/mod, not float floor: exact at any stream length
+    return (
+        df.withColumn("pack_bucket", b.cast("long"))
+        .withColumn("_start", (cum - F.col(size_col)).cast("long"))
+        .withColumn("seq_id", F.expr(f"_start div {int(budget)}"))
+        .withColumn("seq_offset", F.pmod("_start", F.lit(int(budget))).cast("long"))
+        .drop("_start")
+    )
+
+
+def quantile_gate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    q: float,
+    keep: str = "ge",
+) -> DataFrame:
+    """Per-group exact-quantile threshold filter: keep rows whose
+    ``value_col`` is ≥ (``keep="ge"``) or ≤ (``"le"``) their group's
+    interpolated ``q``-quantile — the "drop the worst X% per language"
+    curation lever, with the cut computed from the data itself.
+
+    The thresholds table is one row per group (broadcast back onto the
+    facts: the fact side never shuffles).  ``percentile`` is the exact
+    interpolated form (matches DuckDB ``quantile_cont``); at extreme
+    group cardinalities swap in ``approx_percentile`` — same plan shape,
+    bounded agg state — and lose oracle exactness only."""
+    if keep not in ("ge", "le"):
+        raise ValueError(f"keep must be 'ge' or 'le', got {keep!r}")
+    thr = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {q})").alias("_thr")
+    )
+    cond = (
+        F.col(value_col) >= F.col("_thr")
+        if keep == "ge"
+        else F.col(value_col) <= F.col("_thr")
+    )
+    return df.join(F.broadcast(thr), list(group_cols)).filter(cond).drop("_thr")

@@ -296,3 +296,47 @@ def vocab_topk(
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def doc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks (the
+    context-window chunking step before embedding or long-doc training):
+    windows of ``chunk`` tokens starting every ``chunk - overlap``
+    tokens; the final window may be short; every doc yields ≥ 1 chunk.
+
+    Pure JVM: ``sequence`` generates the start offsets, ``posexplode``
+    fans them out, ``slice`` + ``concat_ws`` rebuild the chunk text —
+    map-side only (the explode multiplies rows ~n_tokens/stride but
+    involves no shuffle), so it composes with pushdown and scales
+    embarrassingly."""
+    if overlap >= chunk:
+        raise ValueError(f"overlap {overlap} must be < chunk {chunk}")
+    step = chunk - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    return (
+        df.select(F.col(id_col), t.alias("_t"), starts.alias("_starts"))
+        .select(
+            id_col,
+            F.posexplode("_starts").alias("chunk_idx", "start"),
+            F.col("_t"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start").cast("long").alias("start"),
+            F.least(F.lit(chunk), F.size("_t") - F.col("start"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.concat_ws(" ", F.slice(F.col("_t"), F.col("start") + 1, chunk)).alias(
+                "chunk_text"
+            ),
+        )
+    )

@@ -263,3 +263,83 @@ def test_rebalance_to_mix(spark):
         ).collect()
     }
     assert {r["doc_id"] for r in out.collect()} == again
+
+
+# --------------------------------------- chunking / packing / gating
+
+
+def test_doc_chunks_windows(spark):
+    from cherry_pipelines_spark.operators.text import doc_chunks
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in doc_chunks(df, chunk=4, overlap=2).collect()
+    }
+    # doc 1: 10 tokens, stride 2 -> starts 0,2,4,6,8
+    assert [k for k in sorted(rows) if k[0] == 1] == [(1, i) for i in range(5)]
+    assert rows[(1, 0)]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[(1, 1)]["chunk_text"] == "w2 w3 w4 w5"
+    assert rows[(1, 4)]["chunk_text"] == "w8 w9" and rows[(1, 4)]["n_tokens"] == 2
+    # short docs still yield exactly one chunk
+    assert rows[(2, 0)]["chunk_text"] == "a b" and (2, 1) not in rows
+    assert rows[(3, 0)]["n_tokens"] == 1
+
+
+def test_pack_sequences_layout(spark):
+    from cherry_pipelines_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 60) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(
+        df, "n_tokens", budget=100, key=F.col("doc_id"), buckets=1
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # single bucket, docs in id order, 60 tokens each: doc k starts at 60k
+    for k in range(10):
+        assert by_id[k]["pack_bucket"] == 0
+        assert by_id[k]["seq_id"] == (60 * k) // 100
+        assert by_id[k]["seq_offset"] == (60 * k) % 100
+    # total stream = 600 tokens -> last doc starts in sequence 5
+    assert by_id[9]["seq_id"] == 5
+
+
+def test_quantile_gate(spark):
+    from cherry_pipelines_spark.operators.sampling import quantile_gate
+
+    df = spark.createDataFrame(
+        [("en", i, float(i)) for i in range(1, 5)] + [("de", 10, 7.0)],
+        "lang string, doc_id long, v double",
+    )
+    kept = {
+        r["doc_id"]
+        for r in quantile_gate(df, ["lang"], "v", 0.5).collect()
+    }
+    # en median (interpolated) = 2.5 -> keeps 3,4; de singleton keeps itself
+    assert kept == {3, 4, 10}
+    low = {
+        r["doc_id"]
+        for r in quantile_gate(df, ["lang"], "v", 0.5, keep="le").collect()
+    }
+    assert low == {1, 2, 10}
+
+
+def test_cross_corpus_near_dups(spark):
+    from cherry_pipelines_spark.operators.dedup import cross_corpus_near_dups
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    new = spark.createDataFrame(
+        [(1, base), (2, "totally different words with no overlap at all")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, base), (101, "other reference content goes right here")],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r for r in cross_corpus_near_dups(new, ref).collect()}
+    assert 1 in hits and hits[1]["first_ref_id"] == 100  # exact dup collides
+    assert 2 not in hits                                  # novel doc is clean
