@@ -2096,6 +2096,88 @@ WHERE d.source = 'src0' AND d.doc_id NOT IN (
 )
 
 
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-interleaved layout key over (user_id, event_id) — pure
+    JVM mask-shift bit spreading (operators/zorder.py), the sort key for
+    multi-dimensional row-group pruning."""
+    from cherry_pipelines_spark.operators.zorder import zorder_key
+
+    (e,) = _load(spark, sf_dir, "events")
+    b = e.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("x"),
+        F.col("event_id").bitwiseAND(F.lit(65535)).alias("y"),
+    )
+    return b.withColumn("z", zorder_key(["x", "y"]))
+
+
+ORACLE_ZORDER = """
+WITH b AS (SELECT event_id, user_id & 65535 AS x, event_id & 65535 AS y FROM events),
+p1 AS (SELECT event_id, x, y, (x | (x << 8)) & 16711935 AS xs,
+              (y | (y << 8)) & 16711935 AS ys FROM b),
+p2 AS (SELECT event_id, x, y, (xs | (xs << 4)) & 252645135 AS xs,
+              (ys | (ys << 4)) & 252645135 AS ys FROM p1),
+p3 AS (SELECT event_id, x, y, (xs | (xs << 2)) & 858993459 AS xs,
+              (ys | (ys << 2)) & 858993459 AS ys FROM p2),
+p4 AS (SELECT event_id, x, y, (xs | (xs << 1)) & 1431655765 AS xs,
+              (ys | (ys << 1)) & 1431655765 AS ys FROM p3)
+SELECT event_id, x, y, (xs | (ys << 1))::BIGINT AS z FROM p4
+"""
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup (engine/rollup.py): the events
+    table arrives as two batches, partial aggregates merge into stored
+    state, and the final state must equal one aggregation over
+    everything — decimal sums so the merge is exact, not
+    float-order-dependent."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from cherry_pipelines_spark.engine.rollup import IncrementalRollup
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    path = os.path.join(
+        _tf.gettempdir(),
+        "cherry_rollup_" + _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    for suffix in ("", "._rollup_tmp", "._rollup_old"):
+        _sh.rmtree(path + suffix, ignore_errors=True)
+    r = IncrementalRollup(
+        spark,
+        path,
+        ["event_type"],
+        {"n": ("count", "v"), "total": ("sum", "v"),
+         "lo": ("min", "v"), "hi": ("max", "v")},
+    )
+    r.apply(base.filter(F.col("event_id") % 2 == 0))
+    state = r.apply(base.filter(F.col("event_id") % 2 == 1))
+    return state.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total").cast("double").alias("total"),
+        F.col("lo").cast("double").alias("lo"),
+        F.col("hi").cast("double").alias("hi"),
+    )
+
+
+ORACLE_INCREMENTAL_ROLLUP = """
+SELECT event_type, count(value)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+       CAST(CAST(min(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS lo,
+       CAST(CAST(max(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS hi
+FROM events GROUP BY event_type
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2166,6 +2248,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "quality_quantile_filter": q_quality_quantile_filter,
     "cross_dedup": q_cross_dedup,
+    "zorder_key": q_zorder_key,
+    "incremental_rollup": q_incremental_rollup,
 }
 
 
@@ -2238,6 +2322,8 @@ _ORACLES: dict[str, str] = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,
     "cross_dedup": ORACLE_CROSS_DEDUP,
+    "zorder_key": ORACLE_ZORDER,
+    "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
 }
 
 

@@ -1,0 +1,103 @@
+"""Z-order layout keys and incrementally-maintained rollups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.engine.rollup import IncrementalRollup
+from cherry_pipelines_spark.operators.zorder import zorder_key, zorder_write_layout
+
+
+def _interleave2(x: int, y: int, bits: int = 16) -> int:
+    out = 0
+    for b in range(bits - 1, -1, -1):
+        out = (out << 1) | ((x >> b) & 1)
+        out = (out << 1) | ((y >> b) & 1)
+    return out
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (5, 3), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(["x", "y"])).collect()
+    }
+    for x, y in rows:
+        # spread(x) holds even bit positions, y's bits sit above — the
+        # per-bit model interleaves (x_b, y_b) pairs MSB-first
+        assert got[(x, y)] == _interleave2(y, x), (x, y)
+
+
+def test_zorder_key_3dim_and_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    (row,) = df.withColumn("z", zorder_key(["a", "b", "c"], bits=4)).collect()
+    ref = 0
+    for b in range(3, -1, -1):
+        for v in (1, 2, 3):
+            ref = (ref << 1) | ((v >> b) & 1)
+    assert row["z"] == ref
+    with pytest.raises(ValueError):
+        zorder_key(["a"])
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b", "c"], bits=22)
+
+
+def test_zorder_layout_preserves_rows(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("a"), (F.col("id") * 31 % 89).alias("b"),
+        F.col("id"),
+    )
+    out = zorder_write_layout(df, ["a", "b"], bits=8)
+    assert out.count() == 1000
+    assert {r["id"] for r in out.collect()} == set(range(1000))
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    r = IncrementalRollup(
+        spark,
+        path,
+        ["k"],
+        {
+            "n": ("count", "v"),
+            "total": ("sum", "v"),
+            "lo": ("min", "v"),
+            "hi": ("max", "v"),
+        },
+    )
+    b1 = spark.createDataFrame([("a", 1), ("a", 5), ("b", 2)], "k string, v long")
+    b2 = spark.createDataFrame([("a", 3), ("c", 7)], "k string, v long")
+    r.apply(b1)
+    state = {row["k"]: row for row in r.apply(b2).collect()}
+    full = {
+        row["k"]: row
+        for row in b1.unionByName(b2)
+        .groupBy("k")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(state) == set(full) == {"a", "b", "c"}
+    for k in full:
+        for c in ("n", "total", "lo", "hi"):
+            assert state[k][c] == full[k][c], (k, c)
+    # empty batch is a no-op
+    empty = spark.createDataFrame([], "k string, v long")
+    state2 = {row["k"]: row for row in r.apply(empty).collect()}
+    assert {k: (v["n"], v["total"]) for k, v in state2.items()} == {
+        k: (v["n"], v["total"]) for k, v in state.items()
+    }
+
+
+def test_incremental_rollup_rejects_non_decomposable(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        IncrementalRollup(spark, str(tmp_path / "x"), ["k"], {"m": ("avg", "v")})
