@@ -101,3 +101,41 @@ def test_incremental_rollup_rejects_non_decomposable(spark, tmp_path):
 
     with pytest.raises(ValueError):
         IncrementalRollup(spark, str(tmp_path / "x"), ["k"], {"m": ("avg", "v")})
+
+
+def test_streaming_foreachbatch_maintains_rollup(spark, tmp_path):
+    """The incremental rollup composes with Structured Streaming: a
+    foreachBatch sink folds every micro-batch into the stored state,
+    and the final state equals one aggregation over all data seen."""
+    from pyspark.sql import types as T
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    b1 = spark.createDataFrame([("a", 1), ("b", 2)], schema)
+    b2 = spark.createDataFrame([("a", 4), ("c", 8)], schema)
+    b1.write.mode("overwrite").parquet(str(src / "f1"))
+
+    r = IncrementalRollup(
+        spark, str(tmp_path / "state"), ["k"],
+        {"n": ("count", "v"), "total": ("sum", "v")},
+    )
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .foreachBatch(lambda df, _id: r.apply(df) and None)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("overwrite").parquet(str(src / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    state = {row["k"]: (row["n"], row["total"]) for row in r.read().collect()}
+    assert state == {"a": (2, 5), "b": (1, 2), "c": (1, 8)}
