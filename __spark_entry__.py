@@ -2178,6 +2178,69 @@ FROM events GROUP BY event_type
 """
 
 
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids as (label, dim, centroid, n) rows:
+    decimal-exact sums, one (label, dim) shuffle — the IVF training /
+    class-prototype aggregation."""
+    from cherry_pipelines_spark.operators.stats import embedding_centroids
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    return embedding_centroids(em, "label", "embedding").select(
+        F.col("label").cast("int").alias("label"), "dim", "centroid", "n"
+    )
+
+
+ORACLE_EMBEDDING_CENTROIDS = """
+WITH e AS (SELECT label, unnest(embedding) AS v,
+                  generate_subscripts(embedding, 1)::BIGINT AS dim
+           FROM embeddings)
+SELECT label, dim,
+       round(CAST(sum(CAST(v AS DECIMAL(18,9))) AS DOUBLE) / count(v), 6) AS centroid,
+       count(v)::BIGINT AS n
+FROM e GROUP BY label, dim
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index: token -> exact document frequency +
+    capped sorted posting list (hot-key-safe index build)."""
+    from cherry_pipelines_spark.operators.text import inverted_index
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return inverted_index(d, max_postings=20)
+
+
+ORACLE_INVERTED_INDEX = """
+WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents)
+SELECT token, count(*)::BIGINT AS df,
+       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+FROM w GROUP BY token
+"""
+
+
+def q_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outlier screen: events more than 2 sample
+    standard deviations from their type mean (stats broadcast back, the
+    fact side never shuffles)."""
+    from cherry_pipelines_spark.operators.stats import zscore_outliers
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select("event_id", "event_type", "value")
+    return zscore_outliers(base, ["event_type"], "value", threshold=2.0)
+
+
+ORACLE_OUTLIER_EVENTS = """
+WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN s USING (event_type)
+WHERE s.sd IS NOT NULL AND abs((e.value - s.m) / s.sd) > 2.0
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2250,6 +2313,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cross_dedup": q_cross_dedup,
     "zorder_key": q_zorder_key,
     "incremental_rollup": q_incremental_rollup,
+    "embedding_centroids": q_embedding_centroids,
+    "inverted_index": q_inverted_index,
+    "outlier_events": q_outlier_events,
 }
 
 
@@ -2324,6 +2390,9 @@ _ORACLES: dict[str, str] = {
     "cross_dedup": ORACLE_CROSS_DEDUP,
     "zorder_key": ORACLE_ZORDER,
     "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
+    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
+    "inverted_index": ORACLE_INVERTED_INDEX,
+    "outlier_events": ORACLE_OUTLIER_EVENTS,
 }
 
 

@@ -1,0 +1,74 @@
+"""Distributed statistics operators for corpus / embedding QA.
+
+Both operators are pure DataFrame compositions (no UDFs).  Where a
+result feeds an exact cross-engine comparison, sums run in fixed-point
+decimal — decimal addition is associative, so partition order and
+partial-aggregation splits cannot change the answer (float sums are
+order-dependent and differ between engines at ~1e-13, which a
+hash-compare oracle would catch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroids as (group, dim, centroid, n) rows —
+    the training step of an IVF index, a class-prototype probe, or a
+    drift monitor over an embedding corpus.
+
+    Plan: posexplode the vectors (map-side), one hash shuffle on
+    (group, dim), decimal-exact sums with a double division at the very
+    end.  Per-dim ROWS, not re-assembled arrays: the row form is what a
+    downstream join (assign-to-nearest-centroid) wants, and it keeps
+    the cross-engine comparison on scalars.  Shuffle volume is
+    rows × dims — the same as any dense-vector aggregation; dims are
+    bounded (model width), groups are bounded, so the reduce side is
+    tiny at any corpus size."""
+    e = df.select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    ).select(
+        group_col,
+        (F.col("pos") + 1).cast("long").alias("dim"),  # 1-based like SQL
+        F.col("v").cast("decimal(18,9)").alias("v"),
+    )
+    # exact decimal sum → ONE double cast → double division: every step
+    # is bit-identical cross-engine (decimal÷int scale rules are not)
+    return e.groupBy(group_col, "dim").agg(
+        F.round(F.sum("v").cast("double") / F.count("v"), 6).alias("centroid"),
+        F.count("v").cast("long").alias("n"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Rows whose ``value_col`` deviates more than ``threshold`` sample
+    standard deviations from their group mean — the cheap distributed
+    outlier screen for numeric quality columns.
+
+    One aggregation per group (mean + stddev_samp, both partial-first),
+    broadcast back onto the facts: the fact side never shuffles.
+    Single-member groups have NULL stddev and emit no outliers."""
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(value_col).alias("_mean"),
+        F.stddev_samp(value_col).alias("_std"),
+    )
+    z = (F.col(value_col) - F.col("_mean")) / F.col("_std")
+    return (
+        df.join(F.broadcast(stats), list(group_cols))
+        .filter(F.col("_std").isNotNull() & (F.abs(z) > threshold))
+        .drop("_mean", "_std")
+    )

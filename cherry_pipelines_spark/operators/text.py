@@ -340,3 +340,36 @@ def doc_chunks(
             ),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 20,
+) -> DataFrame:
+    """Token → (document frequency, capped sorted posting list) — the
+    build step of a corpus search index.
+
+    One distinct-explode (map-side) and one hash shuffle on the token.
+    Posting lists are capped at ``max_postings`` ids (the full df count
+    is still exact): a stop-word's list would otherwise be |corpus|
+    long — the classic inverted-index hot key — and a capped prefix
+    plus the count is what index shards store for such terms anyway.
+    Postings are emitted as a comma-joined string of sorted ids, which
+    keeps the operator engine-portable (array-of-number formatting is
+    engine-specific; digit strings are not)."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    return words.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list(id_col)), 1, max_postings),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
+    )

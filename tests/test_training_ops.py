@@ -343,3 +343,46 @@ def test_cross_corpus_near_dups(spark):
     hits = {r["doc_id"]: r for r in cross_corpus_near_dups(new, ref).collect()}
     assert 1 in hits and hits[1]["first_ref_id"] == 100  # exact dup collides
     assert 2 not in hits                                  # novel doc is clean
+
+
+# ------------------------------------------------- stats / index build
+
+
+def test_embedding_centroids(spark):
+    from cherry_pipelines_spark.operators.stats import embedding_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 0.0])],
+        "label int, embedding array<float>",
+    )
+    got = {
+        (r["label"], r["dim"]): (r["centroid"], r["n"])
+        for r in embedding_centroids(df).collect()
+    }
+    assert got == {
+        (0, 1): (2.0, 2), (0, 2): (4.0, 2),
+        (1, 1): (10.0, 1), (1, 2): (0.0, 1),
+    }
+
+
+def test_zscore_outliers(spark):
+    from cherry_pipelines_spark.operators.stats import zscore_outliers
+
+    rows = [("a", i, 10.0) for i in range(10)] + [("a", 99, 1000.0), ("b", 7, 5.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    out = {r["id"] for r in zscore_outliers(df, ["g"], "v", 2.0).collect()}
+    # the 1000.0 spike is the only >2-sigma point; b's singleton group
+    # has NULL stddev and emits nothing
+    assert out == {99}
+
+
+def test_inverted_index(spark):
+    from cherry_pipelines_spark.operators.text import inverted_index
+
+    df = spark.createDataFrame(
+        [(3, "b a"), (1, "a a c"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r["token"]: (r["df"], r["postings"])
+           for r in inverted_index(df, max_postings=2).collect()}
+    # df counts are exact even where the posting list is capped at 2
+    assert got == {"a": (3, "1,2"), "b": (2, "2,3"), "c": (1, "1")}
