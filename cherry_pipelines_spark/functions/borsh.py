@@ -306,6 +306,7 @@ def decode_instructions_df(
         "instruction_address",
     ),
     data_col: str = "data",
+    drop_params: tuple[str, ...] = (),
 ) -> DataFrame:
     """Decode an instructions DataFrame: rows whose ``data`` starts with
     the discriminator become ``<passthrough> + <account name cols> +
@@ -315,8 +316,32 @@ def decode_instructions_df(
 
     Account mapping is a pure column rename: ``a0..a9`` →
     ``accounts_names`` — done JVM-side before the decode UDF.
+
+    ``drop_params`` skips decoding a SUFFIX of the signature's params
+    entirely (borsh layouts are sequential, so an unused tail costs
+    nothing to skip).  This matters when the tail is the one
+    variable-width member of an otherwise fixed-width signature: the
+    whole decode stays on the vectorized fast path (orca v2's
+    ``remaining_accounts_info`` is the canonical case — decoded then
+    dropped by the reference too, it never reaches the sink).  Rows are
+    then validated on the decoded prefix only: a row whose *suffix*
+    bytes are malformed is kept, where a full decode would drop it —
+    acceptable exactly because the dropped tail is unused.
     """
     from pyspark.sql import functions as F
+
+    if drop_params:
+        names = [p.name for p in sig.params]
+        k = len(drop_params)
+        if tuple(names[-k:]) != tuple(drop_params):
+            raise ValueError(
+                f"drop_params {drop_params!r} must be a suffix of {names!r}"
+            )
+        sig = InstructionSignature(
+            discriminator=sig.discriminator,
+            params=sig.params[:-k],
+            accounts_names=sig.accounts_names,
+        )
 
     acct_cols = []
     n_direct = min(len(sig.accounts_names), 10)

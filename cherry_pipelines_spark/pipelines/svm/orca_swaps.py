@@ -215,9 +215,15 @@ def decode_step(bundle: TableBundle, ctx) -> TableBundle:
     out["swaps_v1"] = decode_instructions_df(
         bundle["swaps_v1"], SIGNATURE_V1, passthrough=C.DECODE_PASSTHROUGH
     )
+    # remaining_accounts_info (the one variable-width param) is decoded
+    # then dropped by the reference too — skip it at the source so the
+    # v2 decode stays on the vectorized fixed-width fast path
     out["swaps_v2"] = decode_instructions_df(
-        bundle["swaps_v2"], SIGNATURE_V2, passthrough=C.DECODE_PASSTHROUGH
-    ).drop("remaining_accounts_info")
+        bundle["swaps_v2"],
+        SIGNATURE_V2,
+        passthrough=C.DECODE_PASSTHROUGH,
+        drop_params=("remaining_accounts_info",),
+    )
     out["transfers"] = decode_instructions_df(
         bundle["transfers"], C.TOKEN_TRANSFER_SIGNATURE, passthrough=C.DECODE_PASSTHROUGH
     )

@@ -216,3 +216,52 @@ def test_fixed_fast_path_differential(spark):
             exp = {k: (bytes(v) if isinstance(v, (bytes, bytearray)) else v) for k, v in expect.items()}
             norm = {k: (bytes(v) if isinstance(v, (bytes, bytearray)) else v) for k, v in norm.items()}
             assert norm == exp, f"row {i}: {norm} != {exp}"
+
+
+def test_drop_params_suffix_skip(spark):
+    """A dropped trailing param is skipped entirely (keeping the decode
+    on the fixed-width fast path); non-suffix drops are rejected."""
+    import pytest
+
+    disc = b"\x07"
+    sig = B.InstructionSignature(
+        discriminator=disc,
+        params=(
+            B.ParamInput("amount", B.U64()),
+            B.ParamInput("flag", B.Bool()),
+            # variable-width tail (forces the slow path when decoded)
+            B.ParamInput("extras", B.Option(B.Array(B.U8()))),
+        ),
+        accounts_names=("payer",),
+    )
+    # Option tag present and VALID (Some + 2-element array)
+    valid_tail = disc + struct.pack("<Q?", 42, True) + b"\x01\x02\x00\x00\x00\x09\x09"
+    # Option tag claims Some but the array is truncated — malformed tail
+    bad_tail = disc + struct.pack("<Q?", 43, False) + b"\x01\x05\x00\x00\x00\x09"
+    schema = T.StructType(
+        [
+            T.StructField("block_slot", T.LongType()),
+            T.StructField("transaction_index", T.LongType()),
+            T.StructField("instruction_address", T.ArrayType(T.IntegerType())),
+            T.StructField("a0", T.BinaryType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, 0, [0], b"P", valid_tail), (1, 1, [1], b"P", bad_tail)], schema
+    )
+    out = (
+        B.decode_instructions_df(df, sig, drop_params=("extras",))
+        .orderBy("transaction_index")
+        .collect()
+    )
+    # both rows survive (prefix-validated); no extras column exists
+    assert len(out) == 2
+    assert "extras" not in out[0].asDict()
+    assert out[0]["amount"] == 42 and out[0]["flag"] is True
+    assert out[1]["amount"] == 43 and out[1]["flag"] is False
+    # full decode drops the malformed-tail row — the documented delta
+    full = B.decode_instructions_df(df, sig).collect()
+    assert len(full) == 1 and full[0]["amount"] == 42
+    with pytest.raises(ValueError):
+        B.decode_instructions_df(df, sig, drop_params=("amount",))
