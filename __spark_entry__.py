@@ -2241,6 +2241,67 @@ WHERE s.sd IS NOT NULL AND abs((e.value - s.m) / s.sd) > 2.0
 """
 
 
+
+
+def q_json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing: parse the events JSON props column
+    with an explicit schema (from_json stays JVM-side / codegen, no
+    Python) and aggregate the extracted field per event type."""
+    (e,) = _load(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"].cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS = """
+WITH b AS (SELECT event_type,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT event_type, count(k)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+       min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k
+FROM b GROUP BY event_type
+"""
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join with unmatched rows on BOTH sides (beyond the
+    reference's join surface; Catalyst plans a sort-merge full join)."""
+    o, l = _load(spark, sf_dir, "orders", "lineitem")
+    a = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+    )
+    b = (
+        l.filter(F.col("l_orderkey") % 5 == 0)
+        .groupBy(F.col("l_orderkey").alias("key"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"))
+    )
+    return (
+        a.join(b, "key", "full_outer")
+        .select("key", "price", "qty")
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH a AS (SELECT o_orderkey AS key,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+           FROM orders WHERE o_orderkey % 3 = 0),
+b AS (SELECT l_orderkey AS key,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem WHERE l_orderkey % 5 = 0 GROUP BY l_orderkey)
+SELECT coalesce(a.key, b.key) AS key, a.price, b.qty
+FROM a FULL OUTER JOIN b ON a.key = b.key
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2316,6 +2377,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_centroids": q_embedding_centroids,
     "inverted_index": q_inverted_index,
     "outlier_events": q_outlier_events,
+    "json_props_agg": q_json_props_agg,
+    "full_outer_join": q_full_outer_join,
 }
 
 
@@ -2393,6 +2456,8 @@ _ORACLES: dict[str, str] = {
     "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
     "inverted_index": ORACLE_INVERTED_INDEX,
     "outlier_events": ORACLE_OUTLIER_EVENTS,
+    "json_props_agg": ORACLE_JSON_PROPS,
+    "full_outer_join": ORACLE_FULL_OUTER,
 }
 
 
