@@ -72,7 +72,7 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
 
 
 def zorder_write_layout(
-    df: DataFrame, cols: Sequence[str], bits: int = 16
+    df: DataFrame, cols: Sequence[str], bits: int = 16, num_files: int | None = None
 ) -> DataFrame:
     """Return ``df`` ordered for a z-clustered write: repartition by
     z-key range (so file boundaries follow the curve) and sort within
@@ -80,8 +80,15 @@ def zorder_write_layout(
     .write.parquet(...)`` — row-group stats then prune on either
     column.  The range partitioning is the one global sort this layout
     costs; it replaces the ORDER-BY clustering sort the reference's
-    MergeTree sink already paid (SURVEY §4.5)."""
+    MergeTree sink already paid (SURVEY §4.5).
+
+    Pass ``num_files`` to pin the output file count: without it the
+    partition count follows shuffle-partition settings and AQE may
+    coalesce a small write into one file, which clusters nothing."""
     keyed = df.withColumn("_zkey", zorder_key(list(cols), bits))
-    return keyed.repartitionByRange("_zkey").sortWithinPartitions("_zkey").drop(
-        "_zkey"
+    parts = (
+        keyed.repartitionByRange(num_files, "_zkey")
+        if num_files
+        else keyed.repartitionByRange("_zkey")
     )
+    return parts.sortWithinPartitions("_zkey").drop("_zkey")

@@ -74,3 +74,73 @@ def test_sessionize_matches_bruteforce_property(spark, rows, gap):
             expected[(k, ts)] = idx
             prev = ts
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_docs=st.integers(1, 12),
+    chunk=st.integers(2, 10),
+    overlap_frac=st.integers(0, 9),
+)
+def test_doc_chunks_reconstruction_property(spark, n_docs, chunk, overlap_frac):
+    """Every chunk is exactly the token window it claims; with
+    overlap=0 the chunks concatenate back to the original text."""
+    from cherry_pipelines_spark.operators.text import doc_chunks
+
+    overlap = min(overlap_frac, chunk - 1)
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(1 + (i * 7) % 23)))
+        for i in range(n_docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = doc_chunks(df, chunk=chunk, overlap=overlap)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    texts = dict(rows)
+    step = chunk - overlap
+    for doc_id, chunks in got.items():
+        toks = texts[doc_id].split(" ")
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        for r in chunks:
+            expect = toks[r["start"] : r["start"] + chunk]
+            assert r["chunk_text"].split(" ") == expect
+            assert r["n_tokens"] == len(expect)
+            assert r["start"] == r["chunk_idx"] * step
+        if overlap == 0:
+            rebuilt = " ".join(r["chunk_text"] for r in chunks)
+            assert rebuilt == texts[doc_id]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 300), min_size=1, max_size=40),
+    budget=st.integers(8, 512),
+    buckets=st.integers(1, 4),
+)
+def test_pack_sequences_bruteforce_property(spark, sizes, budget, buckets):
+    """pack_sequences must equal the sequential token-stream model:
+    per bucket, docs in key order, cumulative offsets cut every
+    budget tokens."""
+    import hashlib
+
+    from cherry_pipelines_spark.operators.sampling import pack_sequences
+
+    rows = [(i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["pack_bucket"], r["seq_id"], r["seq_offset"])
+        for r in pack_sequences(
+            df, "n_tokens", budget=budget, key=F.col("doc_id"), buckets=buckets
+        ).collect()
+    }
+    # brute force: same hash → bucket, then running totals per bucket
+    def h32(s: str) -> int:
+        return int.from_bytes(hashlib.sha256(s.encode()).digest()[:4], "big")
+
+    streams: dict[int, int] = {}
+    for doc_id, size in sorted(rows):
+        b = h32(str(doc_id)) % buckets
+        start = streams.get(b, 0)
+        streams[b] = start + size
+        assert got[doc_id] == (b, start // budget, start % budget), doc_id

@@ -139,3 +139,44 @@ def test_streaming_foreachbatch_maintains_rollup(spark, tmp_path):
         q.stop()
     state = {row["k"]: (row["n"], row["total"]) for row in r.read().collect()}
     assert state == {"a": (2, 5), "b": (1, 2), "c": (1, 8)}
+
+
+def test_zorder_layout_narrows_per_file_ranges(spark, tmp_path):
+    """The point of the z-layout: after a z-ordered write, EVERY file's
+    min/max range is narrow on BOTH dimensions, so parquet stats prune
+    scans filtered on either column.  A (a, b)-sorted write only
+    narrows the leading column."""
+    import pyarrow.parquet as pq
+    import glob
+
+    n = 20_000
+    df = spark.range(0, n).select(
+        (F.col("id") * 2654435761 % 256).alias("a"),
+        (F.col("id") * 40503 % 256).alias("b"),
+    )
+
+    def per_file_span(path, col):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            names = md.schema.to_arrow_schema().names
+            idx = names.index(col)
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    plain = str(tmp_path / "plain")
+    df.repartitionByRange(8, "a").sortWithinPartitions("a").write.parquet(plain)
+    zed = str(tmp_path / "zed")
+    zorder_write_layout(df, ["a", "b"], bits=8, num_files=8).write.parquet(zed)
+
+    # the a-sorted layout leaves b unclustered: each file spans ~the full
+    # 0..255 domain on b; the z-layout must do far better on b while
+    # keeping a far better than unclustered
+    assert per_file_span(plain, "b") > 200
+    assert per_file_span(zed, "b") < per_file_span(plain, "b") / 2
+    assert per_file_span(zed, "a") < 200
