@@ -2302,6 +2302,82 @@ FROM a FULL OUTER JOIN b ON a.key = b.key
 """
 
 
+
+
+def q_docs_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 curation funnel: per-language quantile quality gate
+    -> minhash-LSH near-dedup with canonical-doc keep (longest wins) ->
+    downsample-only rebalance to a target language mix.  Every stage is
+    an audited operator; the whole funnel is one composed plan with an
+    exact recursive-CTE oracle."""
+    from cherry_pipelines_spark.operators.dedup import (
+        canonical_per_cluster,
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+    from cherry_pipelines_spark.operators.sampling import (
+        quantile_gate,
+        rebalance_to_mix,
+    )
+    from cherry_pipelines_spark.operators.text import tokens
+
+    (d,) = _load(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id", "lang", "source", "text",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    gated = quantile_gate(s, ["lang"], "n_tokens", 0.25)
+    pairs = minhash_lsh_candidates(gated, k=8, bands=4)
+    clusters = duplicate_clusters(gated, pairs)
+    canon = canonical_per_cluster(
+        clusters, gated.select("doc_id", "n_tokens"), "n_tokens"
+    )
+    keep = gated.join(canon.select("doc_id"), "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+    return rebalance_to_mix(
+        keep, "lang", {"en": 0.5, "de": 0.25, "es": 0.25}, key=F.col("doc_id")
+    ).select("doc_id", "lang", "source")
+
+
+ORACLE_DOCS_CURATION_V2 = (
+    "WITH RECURSIVE "
+    + """s AS (SELECT doc_id, lang, source,
+            len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+qt AS (SELECT lang, quantile_cont(n_tokens, 0.25) AS q FROM s GROUP BY lang),
+gated AS (SELECT s.doc_id, s.lang, s.source, s.n_tokens
+          FROM s JOIN qt USING (lang) WHERE s.n_tokens >= qt.q),"""
+    + _lsh_band_cte("g", "doc_id IN (SELECT doc_id FROM gated)")
+    + """,
+pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM gband l JOIN gband r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(node, root) AS (
+    SELECT doc_id, doc_id FROM gated
+    UNION
+    SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node),
+cl AS (SELECT node AS doc_id, min(root) AS cluster_id FROM walk GROUP BY node),
+rk AS (SELECT cl.doc_id, row_number() OVER (
+           PARTITION BY cl.cluster_id
+           ORDER BY g.n_tokens DESC, cl.doc_id) AS rn
+       FROM cl JOIN gated g USING (doc_id)),
+keep AS (SELECT g.doc_id, g.lang, g.source
+         FROM rk JOIN gated g USING (doc_id) WHERE rk.rn = 1),
+c AS (SELECT lang, count(*)::DOUBLE AS n FROM keep GROUP BY lang),
+t(lang, share) AS (VALUES ('de', 0.25), ('en', 0.5), ('es', 0.25)),
+sc AS (SELECT c.lang, c.n, t.share FROM c JOIN t USING (lang)),
+tt AS (SELECT min(n / share) AS total FROM sc),
+thr AS (SELECT lang, floor(10000.0 * share * tt.total / n)::BIGINT AS keep_thr
+        FROM sc, tt)
+SELECT k.doc_id, k.lang, k.source
+FROM keep k JOIN thr ON k.lang = thr.lang
+WHERE ('0x' || substr(sha256(k.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < thr.keep_thr
+"""
+)
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2379,6 +2455,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "outlier_events": q_outlier_events,
     "json_props_agg": q_json_props_agg,
     "full_outer_join": q_full_outer_join,
+    "docs_curation_v2": q_docs_curation_v2,
 }
 
 
@@ -2458,6 +2535,7 @@ _ORACLES: dict[str, str] = {
     "outlier_events": ORACLE_OUTLIER_EVENTS,
     "json_props_agg": ORACLE_JSON_PROPS,
     "full_outer_join": ORACLE_FULL_OUTER,
+    "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
 }
 
 
