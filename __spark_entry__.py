@@ -2378,6 +2378,46 @@ WHERE ('0x' || substr(sha256(k.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < thr.ke
 )
 
 
+
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 600-second windows sliding
+    every 300 seconds — each event lands in exactly two windows.  Same
+    `window()` operator batch or streaming (Spark expands the slide
+    JVM-side; no explode written by hand)."""
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select(
+        F.timestamp_seconds(_ts_secs(e)).alias("tstamp"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    agg = (
+        base.groupBy(F.window("tstamp", "600 seconds", "300 seconds"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+    )
+    return agg.select(
+        F.unix_timestamp(F.col("window.start")).alias("w_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+ORACLE_HOPPING = """
+WITH b AS (SELECT epoch_us(ts) // 1000000 AS secs, event_type,
+                  CAST(value AS DECIMAL(18,6)) AS v FROM events),
+w AS (SELECT (secs // 300) * 300 AS w_start, event_type, v FROM b
+      UNION ALL
+      SELECT (secs // 300) * 300 - 300, event_type, v FROM b)
+SELECT w_start::BIGINT AS w_start, event_type, count(*)::BIGINT AS n,
+       CAST(sum(v) AS DOUBLE) AS sum_value
+FROM w GROUP BY w_start, event_type
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2456,6 +2496,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_props_agg": q_json_props_agg,
     "full_outer_join": q_full_outer_join,
     "docs_curation_v2": q_docs_curation_v2,
+    "hopping_window": q_hopping_window,
 }
 
 
@@ -2536,6 +2577,7 @@ _ORACLES: dict[str, str] = {
     "json_props_agg": ORACLE_JSON_PROPS,
     "full_outer_join": ORACLE_FULL_OUTER,
     "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
+    "hopping_window": ORACLE_HOPPING,
 }
 
 
