@@ -160,3 +160,44 @@ def test_cluster_canonical_single_cluster_shuffle(spark, sf_dir, queries):
     plan = plan_of(queries["cluster_canonical"](spark, sf_dir))
     assert "rangepartitioning" not in plan.lower()
     assert plan.count("hashpartitioning(cluster_id") == 1
+
+
+def test_cross_dedup_no_nested_loop(spark, sf_dir, queries):
+    """Cross-corpus dedup: band equi-join + anti-join only — a nested
+    loop or cartesian between the corpora would be the O(n·m) failure."""
+    s = plan_summary(queries["cross_dedup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_pack_sequences_single_bucket_shuffle(spark, sf_dir, queries):
+    """Packing: ONE hash exchange (the bucket shuffle) feeding the
+    running-sum window; never a global range sort."""
+    plan = plan_of(queries["pack_sequences"](spark, sf_dir))
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("hashpartitioning(pack_bucket") == 1
+
+
+def test_inverted_index_partial_agg(spark, sf_dir, queries):
+    """Index build: map-side partial aggregation before the token
+    shuffle keeps shuffle volume at distinct-tokens-per-partition."""
+    plan = plan_of(queries["inverted_index"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_outlier_events_facts_never_shuffle(spark, sf_dir, queries):
+    """The z-score screen broadcasts group stats; the fact scan feeds a
+    broadcast join directly (no Exchange between scan and join)."""
+    s = plan_summary(queries["outlier_events"](spark, sf_dir))
+    assert s.get("BroadcastHashJoin", 0) >= 1
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+
+
+def test_zorder_key_stays_codegen(spark, sf_dir, queries):
+    """The Morton key is pure bit arithmetic: no Python eval nodes, no
+    shuffle — it must compose with a write-side sort only."""
+    plan = plan_of(queries["zorder_key"](spark, sf_dir))
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
