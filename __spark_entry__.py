@@ -2418,6 +2418,65 @@ FROM w GROUP BY w_start, event_type
 """
 
 
+
+
+def q_evm_decode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 dynamic types: ABI-decode ERC-1155 TransferBatch logs
+    (uint256[] ids / values via the head-offset/tail layout) synthesized
+    from orders — the ragged-payload decode path."""
+    from cherry_pipelines_spark.functions.abi import decode_events_df
+
+    (o,) = _load(spark, sf_dir, "orders")
+    hex64 = lambda c: F.lpad(F.hex(c), 64, "0")
+    k = (F.col("o_orderkey") % 3 + 1).cast("long")
+    seq = F.sequence(F.lit(0).cast("long"), k - 1)
+    ids_hex = F.concat_ws(
+        "", F.transform(seq, lambda j: hex64(F.col("o_orderkey") * 10 + j))
+    )
+    vals_hex = F.concat_ws(
+        "", F.transform(seq, lambda j: hex64(F.col("o_custkey") + j))
+    )
+    data_hex = F.concat(
+        hex64(F.lit(64)),                     # offset of ids
+        hex64(F.lit(64) + 32 * (k + 1)),      # offset of values
+        hex64(k), ids_hex,
+        hex64(k), vals_hex,
+    )
+    logs = o.select(
+        F.col("o_orderkey").alias("log_index"),
+        F.unhex(hex64(F.col("o_custkey"))).alias("topic1"),
+        F.unhex(hex64(F.col("o_custkey") + 1)).alias("topic2"),
+        F.unhex(hex64(F.col("o_custkey") + 2)).alias("topic3"),
+        F.unhex(data_hex).alias("data"),
+    )
+    dec = decode_events_df(
+        logs,
+        "TransferBatch(address indexed operator, address indexed from, "
+        "address indexed to, uint256[] ids, uint256[] values)",
+    )
+    as_str = lambda c: F.array_join(
+        F.transform(F.col(c), lambda x: x.cast("long").cast("string")), ","
+    )
+    return dec.select(
+        "log_index",
+        F.hex(F.col("operator")).alias("operator_hex"),
+        as_str("ids").alias("ids_str"),
+        as_str("values").alias("values_str"),
+    )
+
+
+ORACLE_EVM_DECODE_BATCH = """
+WITH b AS (SELECT o_orderkey, o_custkey, o_orderkey % 3 + 1 AS k FROM orders)
+SELECT o_orderkey AS log_index,
+       upper(lpad(to_hex(o_custkey), 40, '0')) AS operator_hex,
+       array_to_string([(o_orderkey*10 + j)::VARCHAR
+                        for j in generate_series(0, k-1)], ',') AS ids_str,
+       array_to_string([(o_custkey + j)::VARCHAR
+                        for j in generate_series(0, k-1)], ',') AS values_str
+FROM b
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2497,6 +2556,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "full_outer_join": q_full_outer_join,
     "docs_curation_v2": q_docs_curation_v2,
     "hopping_window": q_hopping_window,
+    "evm_decode_batch": q_evm_decode_batch,
 }
 
 
@@ -2578,6 +2638,7 @@ _ORACLES: dict[str, str] = {
     "full_outer_join": ORACLE_FULL_OUTER,
     "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
     "hopping_window": ORACLE_HOPPING,
+    "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
 }
 
 

@@ -14,11 +14,17 @@ Supported static types (the subset the reference exercises, plus the
 common ones): address, uintN/intN, bool, bytesN.  uint256 decodes to
 ``DecimalType(38,0)`` with overflow→NULL and the raw 32 bytes kept in a
 ``<name>_raw`` BinaryType column for lossless round-trips (overflow
-policy: SURVEY §7.3).
+policy: SURVEY §7.3).  Dynamic types — ``T[]`` of any static base,
+``bytes``, ``string`` (ERC-1155 TransferBatch territory) — decode via
+the standard head-offset/tail layout; indexed dynamic params are
+refused (on-chain they are keccak digests, unrecoverable).
 
 The hot path is :func:`decode_events_df`, which builds an Arrow-batched
 ``mapInPandas`` over the logs table — Python runs only on the byte
-blobs, everything before/after stays JVM-side.
+blobs, everything before/after stays JVM-side.  All-static signatures
+decode as vectorized numpy word matrices; a dynamic param switches that
+signature to a per-row tail walk (ragged layouts have no fixed matrix),
+still inside the same Arrow batches.
 """
 
 from __future__ import annotations
@@ -55,6 +61,10 @@ class EventSignature:
 _TYPE_RE = re.compile(r"^(address|bool|u?int(\d+)?|bytes(\d+)?)$")
 
 
+def _is_dynamic(abi_type: str) -> bool:
+    return abi_type in ("bytes", "string") or abi_type.endswith("[]")
+
+
 def parse_event_signature(signature: str) -> EventSignature:
     m = re.match(r"^\s*(\w+)\s*\((.*)\)\s*$", signature, re.S)
     if not m:
@@ -67,23 +77,42 @@ def parse_event_signature(signature: str) -> EventSignature:
             if not toks:
                 raise ValueError(f"bad parameter {i} in {signature!r}")
             typ = toks[0]
+            suffix = ""
+            if typ.endswith("[]"):
+                typ, suffix = typ[:-2], "[]"
             if typ == "uint":
                 typ = "uint256"
             if typ == "int":
                 typ = "int256"
-            if not _TYPE_RE.match(typ):
-                raise ValueError(f"unsupported ABI type {typ!r} (static subset only)")
+            if not (
+                _TYPE_RE.match(typ)
+                or (suffix == "" and typ in ("bytes", "string"))
+            ):
+                raise ValueError(f"unsupported ABI type {typ + suffix!r}")
+            if suffix and typ in ("bytes", "string"):
+                raise ValueError("arrays of dynamic types are not supported")
+            typ += suffix
             indexed = "indexed" in toks[1:]
+            if indexed and _is_dynamic(typ):
+                # indexed dynamic params are keccak digests on-chain —
+                # the value is unrecoverable, refuse rather than guess
+                raise ValueError(f"indexed dynamic param {typ!r} not decodable")
             pname = toks[-1] if len(toks) > 1 and toks[-1] != "indexed" else f"param{i}"
             params.append(EventParam(pname, typ, indexed))
     return EventSignature(name, tuple(params))
 
 
 def spark_type_for(abi_type: str) -> T.DataType:
+    if abi_type.endswith("[]"):
+        return T.ArrayType(spark_type_for(abi_type[:-2]))
     if abi_type == "address":
         return T.BinaryType()  # 20 raw bytes; hex-render at the sink
     if abi_type == "bool":
         return T.BooleanType()
+    if abi_type == "string":
+        return T.StringType()
+    if abi_type == "bytes":
+        return T.BinaryType()
     m = re.match(r"^(u?)int(\d+)$", abi_type)
     if m:
         bits = int(m.group(2))
@@ -136,6 +165,35 @@ def _wide_uint(abi_type: str) -> bool:
     return bool(m) and int(m.group(2)) > (32 if m.group(1) == "u" else 64)
 
 
+def _decode_dynamic(abi_type: str, data: bytes, head_word: bytes):
+    """Decode one dynamic param from its head word (tail offset).
+    Returns (value, tail_bytes_consumed).  Standard ABI layout: offset →
+    length word → elements (32B each for ``T[]``) / right-padded payload
+    (``bytes``/``string``)."""
+    off = int.from_bytes(head_word, "big")
+    if off + 32 > len(data):
+        raise ValueError("dynamic offset out of bounds")
+    ln = int.from_bytes(data[off : off + 32], "big")
+    if abi_type in ("bytes", "string"):
+        padded = ((ln + 31) // 32) * 32
+        if off + 32 + padded > len(data):
+            raise ValueError("dynamic payload out of bounds")
+        payload = data[off + 32 : off + 32 + ln]
+        return (
+            payload.decode("utf-8") if abi_type == "string" else payload,
+            32 + padded,
+        )
+    base = abi_type[:-2]
+    if off + 32 + 32 * ln > len(data):
+        raise ValueError("dynamic array out of bounds")
+    vals = []
+    for j in range(ln):
+        w = data[off + 32 + 32 * j : off + 64 + 32 * j]
+        v, _raw = _decode_word(base, w)
+        vals.append(v)
+    return vals, 32 + 32 * ln
+
+
 def output_schema(sig: EventSignature) -> T.StructType:
     fields = []
     for p in sig.params:
@@ -155,7 +213,13 @@ def decode_event_row(
         out: dict = {}
         topic_i = 1
         data = data or b""
-        data_i = 0
+        # ABI head layout: one 32-byte word per non-indexed param — the
+        # value itself (static) or the tail offset (dynamic)
+        n_heads = sum(1 for p in sig.params if not p.indexed)
+        if len(data) < 32 * n_heads:
+            raise ValueError("short data")
+        head_i = 0
+        tail_consumed = 0
         for p in sig.params:
             if p.indexed:
                 if topic_i >= len(topics) or topics[topic_i] is None:
@@ -163,8 +227,12 @@ def decode_event_row(
                 word = topics[topic_i]
                 topic_i += 1
             else:
-                word = data[data_i : data_i + 32]
-                data_i += 32
+                word = data[head_i * 32 : (head_i + 1) * 32]
+                head_i += 1
+                if _is_dynamic(p.type):
+                    out[p.name], used = _decode_dynamic(p.type, data, word)
+                    tail_consumed += used
+                    continue
             v, raw = _decode_word(p.type, word)
             out[p.name] = v
             if _wide_uint(p.type):
@@ -173,7 +241,7 @@ def decode_event_row(
         # tokenId in topic3) or leftover/short data mean a different event shape
         if topic_i < len(topics) and topics[topic_i] is not None:
             raise ValueError("extra topic")
-        if data_i != len(data):
+        if 32 * n_heads + tail_consumed != len(data):
             raise ValueError("data length mismatch")
         return out
     except Exception:
@@ -201,6 +269,39 @@ def decode_events_df(
     )
     decoded_names = [f.name for f in out_fields.fields]
     n_topics = len(topic_cols)
+    has_dynamic = any(_is_dynamic(p.type) for p in sig.params)
+
+    def row_mapper(batches):
+        # dynamic params (T[], bytes, string) are ragged — no fixed word
+        # matrix exists, so decode per row via decode_event_row (still
+        # Arrow-batched at the boundary; only the tail walk is Python)
+        for pdf in batches:
+            n = len(pdf)
+            topic_arrays = [pdf[c].to_numpy() for c in topic_cols]
+            data_arr = pdf[data_col].to_numpy()
+            decoded = [
+                decode_event_row(
+                    sig,
+                    [None] + [topic_arrays[k][i] for k in range(n_topics)],
+                    data_arr[i],
+                )
+                for i in range(n)
+            ]
+            if allow_decode_fail:
+                base = pdf[list(passthrough)].reset_index(drop=True)
+                for name in decoded_names:
+                    base[name] = pd.Series(
+                        [d.get(name) if d is not None else None for d in decoded],
+                        dtype=object,
+                    )
+            else:
+                good = [i for i, d in enumerate(decoded) if d is not None]
+                base = pdf.iloc[good][list(passthrough)].reset_index(drop=True)
+                for name in decoded_names:
+                    base[name] = pd.Series(
+                        [decoded[i].get(name) for i in good], dtype=object
+                    )
+            yield base
 
     # every supported ABI type is static (one 32-byte word), so the
     # decode is fully vectorizable: per batch, one byte matrix per word
@@ -344,4 +445,4 @@ def decode_events_df(
     # one partition, which would serialize all rows through one Python
     # worker (no-op when the input is already parallel)
     src = fan_out(logs.select(*passthrough, *topic_cols, data_col))
-    return src.mapInPandas(mapper, schema)
+    return src.mapInPandas(row_mapper if has_dynamic else mapper, schema)

@@ -141,3 +141,78 @@ def test_decode_events_df_wide_uint_overflow(spark):
     # the schema itself must carry Decimal(38,0), not double/long
     decoded_schema = decode_events_df(spark.createDataFrame(rows, schema), SIG).schema
     assert decoded_schema["amount"].dataType == T.DecimalType(38, 0)
+
+
+def _w(v: int) -> bytes:
+    return v.to_bytes(32, "big")
+
+
+def test_dynamic_array_decode(spark):
+    """ERC-1155 TransferBatch shape: two uint256[] params via the
+    standard head-offset/tail layout."""
+    sig = (
+        "TransferBatch(address indexed operator, address indexed from, "
+        "address indexed to, uint256[] ids, uint256[] values)"
+    )
+    ids, values = [7, 8, 9], [100, 200, 300]
+    data = (
+        _w(0x40)                                  # offset of ids
+        + _w(0x40 + 32 * (1 + len(ids)))          # offset of values
+        + _w(len(ids)) + b"".join(_w(i) for i in ids)
+        + _w(len(values)) + b"".join(_w(v) for v in values)
+    )
+    addr = lambda tag: bytes(12) + bytes([tag]) * 20
+    rows = [(1, addr(1), addr(2), addr(3), data),
+            (2, addr(1), addr(2), addr(3), data[:-32])]  # truncated tail
+    schema = T.StructType(
+        [
+            T.StructField("log_index", T.LongType()),
+            T.StructField("topic1", T.BinaryType()),
+            T.StructField("topic2", T.BinaryType()),
+            T.StructField("topic3", T.BinaryType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    out = {r["log_index"]: r for r in
+           decode_events_df(df, sig).orderBy("log_index").collect()}
+    assert [int(x) for x in out[1]["ids"]] == ids
+    assert [int(x) for x in out[1]["values"]] == values
+    assert bytes(out[1]["operator"]) == bytes([1]) * 20
+    # truncated tail -> allow_decode_fail NULLs, row preserved
+    assert out[2]["ids"] is None and out[2]["values"] is None
+
+
+def test_dynamic_bytes_and_string_decode(spark):
+    sig = "LogNote(bytes payload, string memo)"
+    payload, memo = b"\xde\xad\xbe\xef\x01", "hello spark"
+    pad = lambda b: b + bytes((32 - len(b) % 32) % 32)
+    mb = memo.encode()
+    data = (
+        _w(0x40)
+        + _w(0x40 + 32 + len(pad(payload)))
+        + _w(len(payload)) + pad(payload)
+        + _w(len(mb)) + pad(mb)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("log_index", T.LongType()),
+            T.StructField("topic1", T.BinaryType()),
+            T.StructField("topic2", T.BinaryType()),
+            T.StructField("topic3", T.BinaryType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame([(1, None, None, None, data)], schema)
+    (row,) = decode_events_df(df, sig).collect()
+    assert bytes(row["payload"]) == payload
+    assert row["memo"] == memo
+
+
+def test_indexed_dynamic_rejected():
+    import pytest
+
+    from cherry_pipelines_spark.functions.abi import parse_event_signature
+
+    with pytest.raises(ValueError):
+        parse_event_signature("Bad(uint256[] indexed ids)")
