@@ -186,9 +186,27 @@ def _decode_dynamic(abi_type: str, data: bytes, head_word: bytes):
     base = abi_type[:-2]
     if off + 32 + 32 * ln > len(data):
         raise ValueError("dynamic array out of bounds")
+    start = off + 32
+    im = re.match(r"^(u?)int(\d+)$", base)
+    if im and im.group(1) == "u":
+        # hoisted fast path: one type dispatch for the whole tail, not a
+        # regex per element (arrays are where element counts explode)
+        bits = int(im.group(2))
+        lead = 32 - bits // 8
+        vals = []
+        for j in range(ln):
+            w = data[start + 32 * j : start + 32 * (j + 1)]
+            if lead and any(w[:lead]):
+                raise ValueError("dirty uint padding")
+            v = int.from_bytes(w, "big")
+            if bits <= 32:
+                vals.append(v)
+            else:
+                vals.append(Decimal(v) if v <= _DEC38_MAX else None)
+        return vals, 32 + 32 * ln
     vals = []
     for j in range(ln):
-        w = data[off + 32 + 32 * j : off + 64 + 32 * j]
+        w = data[start + 32 * j : start + 32 * (j + 1)]
         v, _raw = _decode_word(base, w)
         vals.append(v)
     return vals, 32 + 32 * ln
