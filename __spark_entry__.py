@@ -2477,6 +2477,33 @@ FROM b
 """
 
 
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quality-quota selection: the 3 longest documents per
+    (lang, source) stratum, deterministic tiebreak on doc_id."""
+    from cherry_pipelines_spark.operators.sampling import group_topk
+
+    (d,) = _load(spark, sf_dir, "documents")
+    out = group_topk(
+        d.select("doc_id", "lang", "source", "n_chars"),
+        ["lang", "source"],
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=3,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars", "rank_in_group")
+
+
+ORACLE_GROUP_TOPK = """
+WITH r AS (SELECT doc_id, lang, source, n_chars,
+                  row_number() OVER (PARTITION BY lang, source
+                                     ORDER BY n_chars DESC, doc_id) AS rank_in_group
+           FROM documents)
+SELECT doc_id, lang, source, n_chars, rank_in_group::BIGINT AS rank_in_group
+FROM r WHERE rank_in_group <= 3
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2557,6 +2584,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curation_v2": q_docs_curation_v2,
     "hopping_window": q_hopping_window,
     "evm_decode_batch": q_evm_decode_batch,
+    "group_topk": q_group_topk,
 }
 
 
@@ -2639,6 +2667,7 @@ _ORACLES: dict[str, str] = {
     "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
     "hopping_window": ORACLE_HOPPING,
     "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
+    "group_topk": ORACLE_GROUP_TOPK,
 }
 
 
