@@ -1821,15 +1821,20 @@ def q_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     _geomean.__annotations__ = {"v": pd.Series, "return": float}
     geomean = pandas_udf(_geomean, "double")
 
+    # geomean is defined over positive values only; larger SFs contain
+    # value=0 rows (ln(0) = -inf / DuckDB range error) — filter them on
+    # BOTH sides so the query is scale-stable
     (e,) = _load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.round(geomean("value"), 6).alias("geomean_value")
+    return (
+        e.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(F.round(geomean("value"), 6).alias("geomean_value"))
     )
 
 
 ORACLE_GEOMEAN = """
 SELECT event_type, round(exp(avg(ln(value))), 6) AS geomean_value
-FROM events GROUP BY event_type
+FROM events WHERE value > 0 GROUP BY event_type
 """
 
 
@@ -2479,6 +2484,85 @@ FROM b
 
 
 
+# uint256 overflow policy (SURVEY §7.3): values straddling 10^38.
+# Word layout per mode (o_orderkey % 4):
+#   0: small value (low 20 bits only)           -> fits
+#   1: HI_FIT<<64 | low  (38-digit, < 10^38)    -> fits, full precision
+#   2: HI_OVF<<64 | low  (> 10^38-1)            -> Decimal overflow -> NULL
+#   3: exactly 10^38-1 (fits) or 10^38 (NULL), by (o_orderkey//4) parity
+_HEX_HI_FIT = "000000000000000000000000000000004B3B4CA85A86C479"  # floor(10^38/2^64)-1
+_HEX_HI_OVF = "000000000000000000000000000000004B3B4CA85A86C47B"  # floor(10^38/2^64)+1
+_HEX_DEC_MAX = "000000000000000000000000000000004B3B4CA85A86C47A098A223FFFFFFFFF"  # 10^38-1
+_HEX_DEC_OVF = "000000000000000000000000000000004B3B4CA85A86C47A098A224000000000"  # 10^38
+
+
+def q_evm_decode_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 overflow policy: uint256 decodes to Decimal(38,0) with
+    overflow→NULL and the raw 32 bytes preserved in ``<name>_raw``
+    (functions/abi.py:15,151).  Payloads straddle 10^38 exactly —
+    including the 10^38-1 / 10^38 boundary pair — and the raw column
+    must round-trip bit-exactly even when the decimal is NULL."""
+    from cherry_pipelines_spark.functions.abi import decode_events_df
+
+    (o,) = _load(spark, sf_dir, "orders")
+    mode = (F.col("o_orderkey") % 4).cast("int")
+    parity = ((F.col("o_orderkey") / F.lit(4)).cast("long") % 2).cast("int")
+    low = (F.col("o_orderkey") % 1048576).cast("long")
+    low16 = F.lpad(F.hex(low), 16, "0")
+    word_hex = (
+        F.when(mode == 0, F.lpad(F.hex(low), 64, "0"))
+        .when(mode == 1, F.concat(F.lit(_HEX_HI_FIT), low16))
+        .when(mode == 2, F.concat(F.lit(_HEX_HI_OVF), low16))
+        .otherwise(
+            F.when(parity == 0, F.lit(_HEX_DEC_MAX)).otherwise(F.lit(_HEX_DEC_OVF))
+        )
+    )
+    logs = o.select(
+        F.col("o_orderkey").alias("log_index"),
+        F.lit(None).cast("binary").alias("topic1"),
+        F.lit(None).cast("binary").alias("topic2"),
+        F.lit(None).cast("binary").alias("topic3"),
+        F.unhex(word_hex).alias("data"),
+    )
+    dec = decode_events_df(logs, "Mint(uint256 amount)")
+    # Decimal(38,0) is rendered as a string for the compare: DuckDB's
+    # pandas bridge widens >18-digit decimals to lossy float64, so the
+    # exact 38-digit value can only round-trip as text
+    return dec.select(
+        "log_index",
+        F.col("amount").cast("string").alias("amount_str"),
+        F.hex(F.col("amount_raw")).alias("amount_raw_hex"),
+        F.col("amount").isNull().alias("overflowed"),
+    )
+
+
+ORACLE_EVM_DECODE_OVERFLOW = """
+WITH b AS (
+  SELECT o_orderkey, o_orderkey % 4 AS mode, (o_orderkey // 4) % 2 AS parity,
+         o_orderkey % 1048576 AS low
+  FROM orders
+)
+SELECT o_orderkey AS log_index,
+  CASE
+    WHEN mode = 0 THEN low::DECIMAL(38,0)::VARCHAR
+    WHEN mode = 1 THEN (5421010862427522169::HUGEINT * 18446744073709551616::HUGEINT
+                        + low::HUGEINT)::DECIMAL(38,0)::VARCHAR
+    WHEN mode = 2 THEN NULL
+    WHEN parity = 0 THEN '99999999999999999999999999999999999999'
+    ELSE NULL
+  END AS amount_str,
+  CASE
+    WHEN mode = 0 THEN lpad(upper(to_hex(low)), 64, '0')
+    WHEN mode = 1 THEN '000000000000000000000000000000004B3B4CA85A86C479' || lpad(upper(to_hex(low)), 16, '0')
+    WHEN mode = 2 THEN '000000000000000000000000000000004B3B4CA85A86C47B' || lpad(upper(to_hex(low)), 16, '0')
+    WHEN parity = 0 THEN '000000000000000000000000000000004B3B4CA85A86C47A098A223FFFFFFFFF'
+    ELSE '000000000000000000000000000000004B3B4CA85A86C47A098A224000000000'
+  END AS amount_raw_hex,
+  (mode = 2 OR (mode = 3 AND parity = 1)) AS overflowed
+FROM b
+"""
+
+
 def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group quality-quota selection: the 3 longest documents per
     (lang, source) stratum, deterministic tiebreak on doc_id."""
@@ -2585,6 +2669,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hopping_window": q_hopping_window,
     "evm_decode_batch": q_evm_decode_batch,
     "group_topk": q_group_topk,
+    "evm_decode_overflow": q_evm_decode_overflow,
 }
 
 
@@ -2668,6 +2753,7 @@ _ORACLES: dict[str, str] = {
     "hopping_window": ORACLE_HOPPING,
     "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
     "group_topk": ORACLE_GROUP_TOPK,
+    "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
 }
 
 

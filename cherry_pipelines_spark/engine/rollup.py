@@ -55,6 +55,7 @@ class IncrementalRollup:
         path: str,
         group_cols: list[str],
         aggs: Mapping[str, tuple[str, str]],
+        empty_schema: "str | None" = None,
     ) -> None:
         for name, (fn, _src) in aggs.items():
             if fn not in _MERGE:
@@ -66,23 +67,46 @@ class IncrementalRollup:
         self.path = path
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
+        # schema (DDL string) for read() before the first apply(); the
+        # persisted parquet is authoritative afterwards.  Without it the
+        # pre-first-apply read() guesses string groups / long aggregates,
+        # which breaks a union against later decimal/double state.
+        self.empty_schema = empty_schema
 
     # ---------------------------------------------------------- state io
 
-    def _exists(self) -> bool:
+    def _fs_paths(self):
         jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
+        dst = jvm.org.apache.hadoop.fs.Path(self.path)
+        tmp = jvm.org.apache.hadoop.fs.Path(self.path + _TMP_SUFFIX)
+        old = jvm.org.apache.hadoop.fs.Path(self.path + _OLD_SUFFIX)
+        fs = dst.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, dst, tmp, old
+
+    def _recover(self) -> None:
+        """Crash recovery: the commit protocol renames dst→old then
+        tmp→dst; a crash between the two leaves no dst but an intact
+        ``old``.  Roll BACK by restoring old→dst (the interrupted
+        apply() never returned, so the caller re-applies its batch —
+        rolling forward the tmp would double-count it on retry).
+        Never deletes old/tmp while dst is absent."""
+        fs, dst, _tmp, old = self._fs_paths()
+        if not fs.exists(dst) and fs.exists(old):
+            fs.rename(old, dst)
+
+    def _exists(self) -> bool:
+        self._recover()
+        fs, dst, _tmp, _old = self._fs_paths()
+        return bool(fs.exists(dst))
 
     def read(self) -> DataFrame:
-        """Current rollup state (empty-state safe)."""
+        """Current rollup state (empty-state and crash safe)."""
         if not self._exists():
-            cols = ", ".join(
+            schema = self.empty_schema or ", ".join(
                 [f"{c} string" for c in self.group_cols]
                 + [f"{n} long" for n in self.aggs]
             )
-            return self.spark.createDataFrame([], cols)
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.path)
 
     # ------------------------------------------------------------- apply

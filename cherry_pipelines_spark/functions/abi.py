@@ -165,12 +165,23 @@ def _wide_uint(abi_type: str) -> bool:
     return bool(m) and int(m.group(2)) > (32 if m.group(1) == "u" else 64)
 
 
-def _decode_dynamic(abi_type: str, data: bytes, head_word: bytes):
+def _decode_dynamic(
+    abi_type: str, data: bytes, head_word: bytes, expect_off: int | None = None
+):
     """Decode one dynamic param from its head word (tail offset).
     Returns (value, tail_bytes_consumed).  Standard ABI layout: offset →
     length word → elements (32B each for ``T[]``) / right-padded payload
-    (``bytes``/``string``)."""
+    (``bytes``/``string``).
+
+    ``expect_off`` enforces the CANONICAL encoding (tails tightly
+    packed, in head order): the offset must point exactly where the
+    previous tail ended.  Spec-legal but non-canonical layouts (gapped,
+    out-of-order, shared tails) are rejected — intentionally: no real
+    ABI encoder emits them, and accepting them would let a shared-tail
+    + short-data payload slip past the total-length check."""
     off = int.from_bytes(head_word, "big")
+    if expect_off is not None and off != expect_off:
+        raise ValueError("non-canonical tail offset")
     if off + 32 > len(data):
         raise ValueError("dynamic offset out of bounds")
     ln = int.from_bytes(data[off : off + 32], "big")
@@ -248,7 +259,9 @@ def decode_event_row(
                 word = data[head_i * 32 : (head_i + 1) * 32]
                 head_i += 1
                 if _is_dynamic(p.type):
-                    out[p.name], used = _decode_dynamic(p.type, data, word)
+                    out[p.name], used = _decode_dynamic(
+                        p.type, data, word, 32 * n_heads + tail_consumed
+                    )
                     tail_consumed += used
                     continue
             v, raw = _decode_word(p.type, word)
@@ -256,7 +269,10 @@ def decode_event_row(
             if _wide_uint(p.type):
                 out[f"{p.name}_raw"] = raw
         # strictness mirrors allow_decode_fail routing: extra topics (ERC-721
-        # tokenId in topic3) or leftover/short data mean a different event shape
+        # tokenId in topic3) or leftover/short data mean a different event
+        # shape.  Combined with _decode_dynamic's canonical-offset check,
+        # this pins the exact canonical layout: every tail starts where
+        # the previous ended AND the last tail ends at len(data).
         if topic_i < len(topics) and topics[topic_i] is not None:
             raise ValueError("extra topic")
         if 32 * n_heads + tail_consumed != len(data):

@@ -351,23 +351,35 @@ def inverted_index(
     """Token → (document frequency, capped sorted posting list) — the
     build step of a corpus search index.
 
-    One distinct-explode (map-side) and one hash shuffle on the token.
-    Posting lists are capped at ``max_postings`` ids (the full df count
-    is still exact): a stop-word's list would otherwise be |corpus|
-    long — the classic inverted-index hot key — and a capped prefix
-    plus the count is what index shards store for such terms anyway.
+    One distinct-explode (map-side), then a token-keyed window + one
+    aggregation (the window's sort-shuffle on token is reused by the
+    groupBy — same partitioning, no second exchange).  Posting lists
+    are capped at ``max_postings`` ids (the full df count is still
+    exact): a stop-word's list would otherwise be |corpus| long — the
+    classic inverted-index hot key.  The cap is applied BEFORE the
+    aggregation buffer (row_number ≤ cap feeds collect_list), so a
+    stop-word token holds at most ``max_postings`` entries in memory at
+    any point — not |corpus| entries later sliced down.
     Postings are emitted as a comma-joined string of sorted ids, which
     keeps the operator engine-portable (array-of-number formatting is
     engine-specific; digit strings are not)."""
+    from pyspark.sql.window import Window
+
     words = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
     )
-    return words.groupBy("token").agg(
+    rn = F.row_number().over(Window.partitionBy("token").orderBy(F.col(id_col)))
+    ranked = words.withColumn("_rn", rn)
+    return ranked.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.array_join(
             F.transform(
-                F.slice(F.sort_array(F.collect_list(id_col)), 1, max_postings),
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("_rn") <= max_postings, F.col(id_col))
+                    )
+                ),
                 lambda x: x.cast("string"),
             ),
             ",",

@@ -33,9 +33,11 @@ _SPREAD_16 = (
 )
 
 
-def _spread16(col: Column) -> Column:
-    """Spread the low 16 bits of ``col`` so bit i lands at position 2i."""
-    x = col.bitwiseAND(F.lit(0xFFFF))
+def _spread16(col: Column, bits: int = 16) -> Column:
+    """Spread the low ``bits`` (≤16) of ``col`` so bit i lands at 2i."""
+    # mask to the REQUESTED bits, not 16 — keeps the fast path
+    # bit-identical to the general per-bit interleave for bits < 16
+    x = col.bitwiseAND(F.lit((1 << bits) - 1))
     for shift, mask in _SPREAD_16:
         x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
     return x
@@ -56,7 +58,7 @@ def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
     if bits > (21 if len(ncols) == 3 else 16):
         raise ValueError(f"bits={bits} overflows a signed long for {len(ncols)} dims")
     if len(ncols) == 2 and bits <= 16:
-        parts = [_spread16(c.cast("long")) for c in ncols]
+        parts = [_spread16(c.cast("long"), bits) for c in ncols]
         key = parts[0]
         for i, p in enumerate(parts[1:], start=1):
             key = key.bitwiseOR(F.shiftleft(p, i))

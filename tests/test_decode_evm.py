@@ -216,3 +216,39 @@ def test_indexed_dynamic_rejected():
 
     with pytest.raises(ValueError):
         parse_event_signature("Bad(uint256[] indexed ids)")
+
+
+def test_non_canonical_shared_tail_rejected():
+    """Two dynamic heads pointing at the SAME tail, padded so the total
+    consumed-length check alone would pass (each head counts the shared
+    tail once: 2*32 consumed == 128-64 data after heads) — the
+    canonical-offset check must reject it."""
+    sig = parse_event_signature("LogNote(bytes a, bytes b)")
+    data = (
+        _w(0x40) + _w(0x40)   # both heads -> offset 64 (shared tail)
+        + _w(0)               # shared tail: empty bytes
+        + b"\x00" * 32        # garbage sized to fool the sum check
+    )
+    assert decode_event_row(sig, [None], data) is None
+    # canonical two-empty-bytes layout still decodes
+    good = _w(0x40) + _w(0x60) + _w(0) + _w(0)
+    out = decode_event_row(sig, [None], good)
+    assert out == {"a": b"", "b": b""}
+
+
+def test_non_canonical_gapped_tail_rejected():
+    sig = parse_event_signature("LogNote(bytes a)")
+    # head says tail starts at 64, canonical start is 32 -> gap
+    data = _w(0x40) + _w(0) + _w(0)
+    assert decode_event_row(sig, [None], data) is None
+
+
+def test_uint256_boundary_straddle():
+    """Exact 10^38-1 / 10^38 boundary of the Decimal(38,0) policy."""
+    sig = parse_event_signature("Mint(uint256 amount)")
+    fits = decode_event_row(sig, [None], _u256(10**38 - 1))
+    assert fits["amount"] == Decimal(10**38 - 1)
+    assert fits["amount_raw"] == _u256(10**38 - 1)
+    over = decode_event_row(sig, [None], _u256(10**38))
+    assert over["amount"] is None
+    assert over["amount_raw"] == _u256(10**38)

@@ -180,3 +180,64 @@ def test_zorder_layout_narrows_per_file_ranges(spark, tmp_path):
     assert per_file_span(plain, "b") > 200
     assert per_file_span(zed, "b") < per_file_span(plain, "b") / 2
     assert per_file_span(zed, "a") < 200
+
+
+def test_zorder_2dim_low_bits_matches_general(spark):
+    """bits<16 on the 2-dim fast path must mask inputs to the requested
+    bits, matching the general per-bit interleave (inputs exceed 2^bits
+    on purpose)."""
+    rows = [(300, 7), (255, 256), (511, 511), (1000, 999)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(["x", "y"], bits=8)).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == _interleave2(y & 0xFF, x & 0xFF, 8), (x, y)
+
+
+def _fs_rename(spark, src: str, dst: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    assert fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst))
+
+
+def test_rollup_crash_between_renames_recovers(spark, tmp_path):
+    """Simulate a crash between rename(dst->old) and rename(tmp->dst):
+    dst is gone, old holds the previous state.  read()/apply() must
+    restore old instead of silently treating the rollup as empty."""
+    path = str(tmp_path / "state")
+    r = IncrementalRollup(
+        spark, path, ["k"], {"n": ("count", "v"), "total": ("sum", "v")}
+    )
+    b1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    r.apply(b1)
+    # crash window: dst renamed away, new state never swapped in
+    _fs_rename(spark, path, path + "._rollup_old")
+    state = {row["k"]: (row["n"], row["total"]) for row in r.read().collect()}
+    assert state == {"a": (1, 1), "b": (1, 2)}
+    # and the interrupted batch re-applies cleanly on top
+    b2 = spark.createDataFrame([("a", 4)], "k string, v long")
+    state2 = {row["k"]: (row["n"], row["total"]) for row in r.apply(b2).collect()}
+    assert state2 == {"a": (2, 5), "b": (1, 2)}
+
+
+def test_rollup_empty_state_schema(spark, tmp_path):
+    """Pre-first-apply read() honors the declared schema so it unions
+    against later state without type mismatches."""
+    path = str(tmp_path / "state")
+    ddl = "k string, n bigint, total decimal(18,6)"
+    r = IncrementalRollup(
+        spark, path, ["k"], {"n": ("count", "v"), "total": ("sum", "v")},
+        empty_schema=ddl,
+    )
+    empty = r.read()
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == [
+        "string", "bigint", "decimal(18,6)"
+    ]
+    b1 = spark.createDataFrame(
+        [("a", "1.5")], "k string, raw string"
+    ).select("k", F.col("raw").cast("decimal(18,6)").alias("v"))
+    merged = empty.unionByName(r.apply(b1))
+    assert merged.count() == 1
