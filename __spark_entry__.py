@@ -1248,6 +1248,122 @@ FROM documents
 """
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (operators/multimodal.py codec kernels): a
+    spec-compliant 24bpp BMP is built per document PURELY IN SQL
+    expressions (little-endian headers, 4-byte row padding, bottom-up
+    BGR rows; pixel (flat index k) value = (doc_id*31 + k*7) % 256),
+    then decode_image_stats must parse it back — stride, channel order,
+    row order and all — to reproduce the closed-form pixel stats the
+    DuckDB oracle computes arithmetically."""
+    from cherry_pipelines_spark.operators.multimodal import decode_image_stats
+
+    (d,) = _load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    w = (i % 6 + 3).cast("int")
+    h = (i % 4 + 2).cast("int")
+    row_bytes = w * 3
+    stride = F.floor((row_bytes + 3) / 4).cast("int") * 4
+    px = lambda k: F.lpad(F.hex((i * 31 + k * 7) % 256), 2, "0")
+    # one raster row (top-down index r), BGR byte order + zero padding
+    row_hex = lambda r: F.concat(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), w - 1),
+                lambda c: F.concat(
+                    px((r * w + c) * 3 + 2),
+                    px((r * w + c) * 3 + 1),
+                    px((r * w + c) * 3),
+                ),
+            ),
+        ),
+        F.repeat(F.lit("00"), stride - row_bytes),
+    )
+    raster_hex = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), h - 1), lambda rr: row_hex(h - 1 - rr))
+    )
+    le32 = lambda c: _le_hex(c, 4)
+    header_hex = F.concat(
+        F.lit("424D"), le32(F.lit(54) + stride * h), F.lit("00000000"),
+        le32(F.lit(54)), le32(F.lit(40)), le32(w), le32(h),
+        _le_hex(F.lit(1), 2), _le_hex(F.lit(24), 2),
+        le32(F.lit(0)), le32(stride * h), F.lit("0" * 32),
+    )
+    blobs = d.select(
+        i.alias("media_id"), F.unhex(F.concat(header_hex, raster_hex)).alias("blob")
+    )
+    return decode_image_stats(blobs)
+
+
+ORACLE_MULTIMODAL_DECODE = """
+WITH b AS (
+  SELECT doc_id, doc_id % 6 + 3 AS w, doc_id % 4 + 2 AS h FROM documents
+),
+v AS (
+  SELECT doc_id, w, h,
+         [(doc_id*31 + k*7) % 256 for k in generate_series(0, 3*w*h - 1)] AS px
+  FROM b
+)
+SELECT doc_id AS media_id, 'bmp' AS format, w::INTEGER AS width, h::INTEGER AS height,
+       list_aggregate(px, 'sum')::BIGINT AS px_sum,
+       list_aggregate(px, 'min')::INTEGER AS px_min,
+       list_aggregate(px, 'max')::INTEGER AS px_max
+FROM v
+"""
+
+
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resize through the codec: a P6 PPM built in SQL → decode →
+    nearest-neighbor subsample (factor 2) → re-encode PPM → decode
+    AGAIN for stats.  The oracle recomputes the subsampled pixel set
+    closed-form, so every stage of the decode→resize→encode loop must
+    be exact."""
+    from cherry_pipelines_spark.operators.multimodal import (
+        decode_image_stats,
+        resize_image,
+    )
+
+    (d,) = _load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    w = (i % 7 + 4).cast("int")
+    h = (i % 5 + 3).cast("int")
+    px = lambda k: F.lpad(F.hex((i * 31 + k * 7) % 256), 2, "0")
+    raster_hex = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), 3 * w * h - 1), lambda k: px(k))
+    )
+    header = F.encode(F.format_string("P6\n%d %d\n255\n", w, h), "utf-8")
+    blobs = d.select(
+        i.alias("media_id"), F.concat(header, F.unhex(raster_hex)).alias("blob")
+    )
+    resized = resize_image(blobs, factor=2)
+    return decode_image_stats(
+        resized.select("media_id", F.col("blob_out").alias("blob"))
+    )
+
+
+ORACLE_MULTIMODAL_RESIZE_REAL = """
+WITH b AS (
+  SELECT doc_id, doc_id % 7 + 4 AS w, doc_id % 5 + 3 AS h FROM documents
+),
+c AS (
+  SELECT doc_id, w, h, (w+1)//2 AS ow, (h+1)//2 AS oh FROM b
+),
+v AS (
+  SELECT doc_id, ow, oh,
+         [(doc_id*31 + (((j // (ow*3))*2*w + ((j % (ow*3)) // 3)*2)*3 + j % 3)*7) % 256
+          for j in generate_series(0, ow*oh*3 - 1)] AS px
+  FROM c
+)
+SELECT doc_id AS media_id, 'ppm' AS format,
+       ow::INTEGER AS width, oh::INTEGER AS height,
+       list_aggregate(px, 'sum')::BIGINT AS px_sum,
+       list_aggregate(px, 'min')::INTEGER AS px_min,
+       list_aggregate(px, 'max')::INTEGER AS px_max
+FROM v
+"""
+
+
 ORACLE_MULTIMODAL_FEATURES = """
 WITH f AS (
   SELECT doc_id AS media_id,
@@ -2633,6 +2749,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_frames": q_multimodal_frames,
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize_real": q_multimodal_resize_real,
     "skew_salted_join": q_skew_salted_join,
     "stream_windowed": q_stream_windowed,
     "stream_tumbling": q_stream_tumbling,
@@ -2717,6 +2835,8 @@ _ORACLES: dict[str, str] = {
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
+    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "multimodal_resize_real": ORACLE_MULTIMODAL_RESIZE_REAL,
     "skew_salted_join": ORACLE_SKEW_SALTED,
     "stream_windowed": ORACLE_STREAM,
     "stream_tumbling": ORACLE_STREAM_TUMBLING,

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no image/audio codecs, so the *decode kernels* are
-stubbed (deterministic fake or ``NotImplementedError``), but the
-Spark-side plumbing is real and tested: schema, Arrow batch shape,
-``mapInPandas`` signature, partition behavior — the parts that matter
-for running this on a cluster where the workers *do* have codecs.
+Codec-free formats (PPM P6, uncompressed 24bpp BMP) are decoded FOR
+REAL here — numpy header parse, stride math, channel/row order — via
+``decode_image_stats`` / ``resize_image``.  Compressed formats
+(JPEG/PNG) need an external codec the container lacks, so those paths
+use deterministic stand-ins with identical Spark-side plumbing: schema,
+Arrow batch shape, ``mapInPandas`` signature, partition behavior — the
+parts that matter for running this on a cluster where the workers *do*
+have codecs (extend ``_decode_blob`` with PIL/libvips there).
 
 Design for 100 TB of media: blobs travel as ``binary`` columns inside
 Parquet row groups; metadata extraction is one Arrow-batched pass
@@ -331,11 +334,207 @@ def resize_media(
     return df.select(id_col, blob_col).mapInPandas(mapper, out_schema)
 
 
-def resize_stub(df: DataFrame, blob_col: str = "blob", max_px: int = 256) -> DataFrame:
-    """Placeholder for the real codec-backed resize kernel: raises if
-    reached — the container has no codecs.  ``resize_media`` is the
-    deterministic stand-in with the same plumbing; swap in PIL here on
-    a real cluster."""
-    raise NotImplementedError(
-        "image resize requires a codec library not present in this container"
+# ---------------------------------------------------------------------
+# Real image codecs (codec-free formats): PPM (P6) and BMP (24bpp).
+# These are full decoders/encoders — header parse, stride math, channel
+# order, bottom-up row order — implemented in numpy inside the same
+# Arrow ``mapInPandas`` batch shape as the stand-ins above.  Compressed
+# formats (JPEG/PNG) still need an external codec; on a real cluster
+# extend ``_decode_blob`` with PIL/libvips — the Spark-side plumbing is
+# identical.
+# ---------------------------------------------------------------------
+
+
+def _decode_ppm(blob: bytes):
+    """Parse a binary PPM (P6): ``P6 <w> <h> <maxval>`` header tokens
+    separated by whitespace (with ``#`` comments), one whitespace byte,
+    then ``h*w*3`` raw RGB bytes.  Returns (h, w, 3) uint8 array."""
+    import numpy as np
+
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 ppm")
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(blob) and blob[i : i + 1].isspace():
+            i += 1
+        if blob[i : i + 1] == b"#":
+            while i < len(blob) and blob[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(blob) and blob[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("bad ppm header")
+        vals.append(int(blob[i:j]))
+        i = j
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    i += 1  # exactly one whitespace byte after maxval
+    raster = blob[i : i + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("short ppm raster")
+    return np.frombuffer(raster, np.uint8).reshape(h, w, 3)
+
+
+def _encode_ppm(pix) -> bytes:
+    h, w, _ = pix.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes()
+
+
+def _decode_bmp(blob: bytes):
+    """Parse an uncompressed 24bpp BMP (BITMAPINFOHEADER): little-endian
+    header fields, 4-byte-padded rows, bottom-up row order (top-down when
+    height < 0), BGR channel order.  Returns (h, w, 3) uint8 RGB."""
+    import numpy as np
+
+    if blob[:2] != b"BM":
+        raise ValueError("not a bmp")
+    off = int.from_bytes(blob[10:14], "little")
+    hdr = int.from_bytes(blob[14:18], "little")
+    if hdr < 40:
+        raise ValueError("unsupported bmp header")
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h = int.from_bytes(blob[22:26], "little", signed=True)
+    bpp = int.from_bytes(blob[28:30], "little")
+    comp = int.from_bytes(blob[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("only uncompressed 24bpp supported")
+    bottom_up, ah = h > 0, abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    raster = blob[off : off + stride * ah]
+    if len(raster) != stride * ah:
+        raise ValueError("short bmp raster")
+    rows = np.frombuffer(raster, np.uint8).reshape(ah, stride)[:, : w * 3]
+    pix = rows.reshape(ah, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return pix[::-1] if bottom_up else pix
+
+
+def _encode_bmp(pix) -> bytes:
+    import numpy as np
+
+    h, w, _ = pix.shape
+    stride = (w * 3 + 3) // 4 * 4
+    raster = np.zeros((h, stride), np.uint8)
+    raster[:, : w * 3] = pix[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    size = 14 + 40 + stride * h
+    head = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (stride * h).to_bytes(4, "little")
+        + b"\x00" * 16
     )
+    return head + raster.tobytes()
+
+
+def _decode_blob(blob: bytes):
+    """Dispatch on magic bytes → ("ppm"|"bmp", pixel array).  Raises for
+    formats needing an external codec (JPEG/PNG) or malformed data."""
+    if blob[:2] == b"P6":
+        return "ppm", _decode_ppm(blob)
+    if blob[:2] == b"BM":
+        return "bmp", _decode_bmp(blob)
+    raise ValueError("unsupported image format (codec required)")
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def decode_image_stats(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL image decode over binary blobs (PPM/BMP): per row, parse the
+    container header, undo stride padding / channel order / row order,
+    and reduce the pixel array to exact stats.  Undecodable rows yield
+    NULL stats (the decoders' ``allow_decode_fail`` posture)."""
+    out_schema = T.StructType([df.schema[id_col]] + list(DECODE_STATS_SCHEMA.fields))
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                try:
+                    fmt, pix = _decode_blob(bytes(blob))
+                    h, w, _ = pix.shape
+                    flat = pix.reshape(-1).astype("int64")
+                    rows.append(
+                        (fmt, w, h, int(flat.sum()), int(flat.min()), int(flat.max()))
+                    )
+                except Exception:
+                    rows.append((None, None, None, None, None, None))
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in DECODE_STATS_SCHEMA.fields]
+            ).astype(object)
+            out.insert(0, id_col, pdf[id_col].reset_index(drop=True))
+            yield out
+
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    return fan_out(df.select(id_col, blob_col)).mapInPandas(mapper, out_schema)
+
+
+def resize_image(
+    df: DataFrame,
+    factor: int = 2,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL image resize for codec-free formats: decode (PPM/BMP) →
+    nearest-neighbor subsample by ``factor`` (keep every factor-th pixel
+    in both dimensions) → re-encode in the SAME container format.  One
+    Arrow pass; undecodable rows yield NULLs."""
+    if factor <= 0:
+        raise ValueError("factor must be positive")
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("format", T.StringType()),
+            T.StructField("width_in", T.IntegerType()),
+            T.StructField("height_in", T.IntegerType()),
+            T.StructField("width_out", T.IntegerType()),
+            T.StructField("height_out", T.IntegerType()),
+            T.StructField("blob_out", T.BinaryType()),
+        ]
+    )
+    enc = {"ppm": _encode_ppm, "bmp": _encode_bmp}
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                try:
+                    fmt, pix = _decode_blob(bytes(blob))
+                    small = pix[::factor, ::factor]
+                    h2, w2, _ = small.shape
+                    rows.append(
+                        (fmt, pix.shape[1], pix.shape[0], w2, h2, enc[fmt](small))
+                    )
+                except Exception:
+                    rows.append((None, None, None, None, None, None))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "format", "width_in", "height_in",
+                    "width_out", "height_out", "blob_out",
+                ],
+            ).astype(object)
+            out.insert(0, id_col, pdf[id_col].reset_index(drop=True))
+            yield out
+
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    return fan_out(df.select(id_col, blob_col)).mapInPandas(mapper, out_schema)
