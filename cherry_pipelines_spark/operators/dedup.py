@@ -192,8 +192,15 @@ def _banded(
     df: DataFrame, text_col: str, k: int, bands: int, ngram: int
 ) -> DataFrame:
     """(doc_id, band, key) LSH band rows from map-only signatures."""
+    return _banded_from_sig(minhash_signatures(df, text_col, k, ngram), k, bands)
+
+
+def _banded_from_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band, key) band rows from an existing signature frame
+    (columns doc_id, mh0..mh{k-1}) — lets callers that already hold the
+    signatures (e.g. a shared shingle+signature subtree) band without
+    re-shingling."""
     rows_per_band = k // bands
-    sig = minhash_signatures(df, text_col, k, ngram)
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
@@ -263,7 +270,12 @@ def minhash_lsh_candidates(
     per bucket pair up.  For dedup that loses nothing — members of a
     saturated bucket still pair with the bucket minimum, so connected
     components still merge the whole cluster."""
-    banded = _banded(df, text_col, k, bands, ngram)
+    return _pairs_from_banded(_banded(df, text_col, k, bands, ngram), max_bucket)
+
+
+def _pairs_from_banded(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Candidate pairs from (doc_id, band, key) band rows — the bucket
+    expansion half of :func:`minhash_lsh_candidates`."""
     # single-pass bucket expansion instead of a self-join: the signature
     # subtree is computed once, buckets collapse in one shuffle, and
     # pairs are generated inside each (band, key) bucket.  Buckets are
@@ -425,26 +437,25 @@ def ngram_jaccard_pairs(
     self-join cannot occur.  Jaccard values for surviving pairs are
     identical to exact mode; pairs that collide in no LSH band are
     missed (recall is the bands/k dial, same as the LSH operator)."""
-    sh = _shingle_rows(df, text_col, ngram)
-    if max_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= max_df)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle")
     if lsh_prefilter:
-        # candidate generation rides the map-only signatures; the verify
-        # join stays ROW-driven deliberately: an array-carrying variant
-        # (join shingle arrays, array_intersect in-row) was measured 1.7×
-        # slower at sf0.1 — every candidate row hauls two full shingle
-        # arrays through two shuffles, whereas the row form fans out
-        # skinny (pair, shingle) rows and collapses them in the same
-        # stage's hash aggregate
-        cands = minhash_lsh_candidates(
-            df, text_col, k=lsh_k, bands=lsh_bands, ngram=ngram,
-            max_bucket=lsh_max_bucket,
+        # ONE shingle+signature pass feeds both stages: candidates band
+        # off the mh columns, the verify join explodes the same cached
+        # frame's shingle arrays JVM-side.  Without the cache the two
+        # consumers would re-run the Python shingle producer (their
+        # shared subtree is map-only, so no exchange exists to reuse) —
+        # sharing it measured 3.13 → 2.60 s warm / 8.50 → 8.24 s cold at
+        # sf0.1 (the cache is one row per doc, LRU-evictable).  The verify
+        # join itself stays ROW-driven: an array-carrying *join* was
+        # measured 1.7× slower (arrays hauled through two shuffles);
+        # arrays here live only in the cached map-side frame.
+        ss = shingle_sets(df, text_col, ngram, k=lsh_k).cache()
+        sh = ss.select(
+            "doc_id", "n_sh", F.explode("shingles").alias("shingle")
+        )
+        if max_df is not None:
+            sh = sh.join(_rare_shingles(sh, max_df), "shingle")
+        cands = _pairs_from_banded(
+            _banded_from_sig(ss, lsh_k, lsh_bands), lsh_max_bucket
         )
         a = sh.select(
             F.col("doc_id").alias("doc_a"),
@@ -463,6 +474,9 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").cast("long").alias("n_common"))
         )
         return _jaccard_tail(inter, threshold)
+    sh = _shingle_rows(df, text_col, ngram)
+    if max_df is not None:
+        sh = sh.join(_rare_shingles(sh, max_df), "shingle")
     # shuffle-hash, not broadcast: the exploded shingle table is |docs|×
     # |shingles/doc| rows — far over any broadcast threshold at scale,
     # and the identical l/r subplans share one exchange.  No sort needed
@@ -483,6 +497,16 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").cast("long").alias("n_common"))
     )
     return _jaccard_tail(inter, threshold)
+
+
+def _rare_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Shingles with document frequency ≤ max_df (the df-cut guard)."""
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("shingle")
+    )
 
 
 def _jaccard_tail(inter: DataFrame, threshold: float) -> DataFrame:
