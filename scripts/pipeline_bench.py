@@ -48,6 +48,16 @@ def main() -> None:
             raydium_swaps as ray,
         )
 
+        # warmup: the FIRST pipeline in a fresh session absorbs ~10+ s of
+        # one-time cost (Python-worker pool spin-up, codegen, output
+        # committer init) — measured to flip the pipeline ranking when
+        # attributed to whichever ran first.  One small throwaway run
+        # pays it outside the timed region.
+        warm_sink = os.path.join(work, "sink_warmup")
+        meta.build_pipeline(
+            paths["instructions"], paths["transactions"], paths["blocks"], warm_sink
+        ).run(spark, from_block=0, to_block=min(n_slots, 2000), batch_size=n_slots + 1)
+
         for mod, with_balances in (
             (orca, True), (ray, True), (met, True), (meta, False),
         ):
@@ -71,6 +81,51 @@ def main() -> None:
                 "out_rows": out_rows,
                 "in_rows_per_sec": round(n_instructions / el),
             }
+
+        # derived pipeline with real window semantics: swap_prices
+        # backfill (chunked trailing-range window, one plan over the
+        # whole history).  Source: synthetic N-slot swap stream with the
+        # unit tests' row shape/magnitudes (sol→usdc anchor per slot +
+        # periodic token legs), large enough that the $1M rolling
+        # threshold passes.
+        from pyspark.sql import functions as F
+
+        from cherry_pipelines_spark.pipelines.svm import swap_prices as sp
+
+        n_price_slots = n_slots * 5
+        token_hex = lambda c: F.lpad(F.hex(c), 64, "0")
+        slots = spark.range(1, n_price_slots + 1).select(
+            F.col("id").alias("block_slot"),
+            (F.lit(1_700_000_000) + F.col("id")).alias("timestamp"),
+        )
+        sol_leg = slots.select(
+            "block_slot", "timestamp",
+            F.lit(sp.WSOL).alias("input_mint"), F.lit(sp.USDC).alias("output_mint"),
+            (F.lit(10_000_000_000) + F.col("block_slot") % 997).alias("input_amount"),
+            (F.lit(2_000_000_000) + F.col("block_slot") % 499).alias("output_amount"),
+        )
+        token_leg = slots.filter(F.col("block_slot") % 3 == 0).select(
+            "block_slot", "timestamp",
+            F.unhex(token_hex(F.lit(900) + F.col("block_slot") % 50)).alias("input_mint"),
+            F.lit(sp.WSOL).alias("output_mint"),
+            (F.lit(5_000_000_000) + F.col("block_slot")).alias("input_amount"),
+            (F.lit(1_000_000_000) + F.col("block_slot") % 101).alias("output_amount"),
+        )
+        src_dir = os.path.join(work, "swap_prices_src")
+        sol_leg.unionByName(token_leg).write.parquet(src_dir)
+        sp_sink = os.path.join(work, "sink_swap_prices")
+        t0 = time.monotonic()
+        sp.run(spark, src_dir, sp_sink, mode="backfill")
+        el = time.monotonic() - t0
+        out_rows = (
+            spark.read.parquet(os.path.join(sp_sink, sp.TABLE_NAME)).count()
+        )
+        results["swap_prices_backfill"] = {
+            "sec": round(el, 2),
+            "slots": n_price_slots,
+            "out_rows": out_rows,
+            "slots_per_sec": round(n_price_slots / el),
+        }
 
         print(
             json.dumps(
