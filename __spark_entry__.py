@@ -2704,6 +2704,101 @@ FROM r WHERE rank_in_group <= 3
 """
 
 
+def q_crypto_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D4/D5 driver check: keccak-256 topic0 of canonical event
+    signatures (pure-Python keccak, functions/crypto.py — hashlib's
+    sha3_256 has different padding), anchor discriminators
+    (sha256("global:<name>")[:8]), and base58 address decodes — all
+    compared against INDEPENDENT ground truth: publicly-known topic0 /
+    address constants, and DuckDB's own sha256() for the
+    discriminators."""
+    from cherry_pipelines_spark.functions.crypto import (
+        anchor_discriminator,
+        base58_decode,
+        evm_signature_to_topic0,
+    )
+
+    sigs = [
+        "Transfer(address indexed from, address indexed to, uint256 value)",
+        "Approval(address indexed owner, address indexed spender, uint256 value)",
+        "Sync(uint112 reserve0, uint112 reserve1)",
+        "Deposit(address indexed dst, uint256 wad)",
+    ]
+    anchors = ["swap", "swap_v2", "initialize", "transfer"]
+    addrs = [
+        "11111111111111111111111111111111",
+        "So11111111111111111111111111111111111111112",
+        "TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA",
+    ]
+    rows = (
+        [("topic0:" + s.split("(")[0], evm_signature_to_topic0(s).hex()) for s in sigs]
+        + [("anchor:" + n, anchor_discriminator(n).hex()) for n in anchors]
+        + [("base58:" + a, base58_decode(a).hex()) for a in addrs]
+    )
+    return spark.createDataFrame(rows, "item string, hex_value string")
+
+
+ORACLE_CRYPTO_DIGESTS = """
+SELECT 'topic0:Transfer' AS item, 'ddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef' AS hex_value
+UNION ALL SELECT 'topic0:Approval', '8c5be1e5ebec7d5bd14f71427d1e84f3dd0314c0f7b2291e5b200ac8c7c3b925'
+UNION ALL SELECT 'topic0:Sync', '1c411e9a96e071241c2f21f7726b17ae89e3cab4c78be50e062b03a9fffbbad1'
+UNION ALL SELECT 'topic0:Deposit', 'e1fffcc4923d04b559f4d29a8bfc6cda04eb5b0d3c460751c2402c5c5cc9109c'
+UNION ALL SELECT 'anchor:' || n, substr(sha256('global:' || n), 1, 16)
+          FROM (SELECT unnest(['swap', 'swap_v2', 'initialize', 'transfer']) AS n)
+UNION ALL SELECT 'base58:11111111111111111111111111111111', repeat('0', 64)
+UNION ALL SELECT 'base58:So11111111111111111111111111111111111111112',
+                 '069b8857feab8184fb687f634618c035dac439dc1aeb3b5598a0f00000000001'
+UNION ALL SELECT 'base58:TokenkegQfeZyiNwAJbNbGKPFXCWuBvf9Ss623VQ5DA',
+                 '06ddf6e1d765a193d9cbe146ceeb79ac1cb485ed5f5b37913a8cf5857eff00a9'
+"""
+
+
+def q_decimal_price_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 driver check: the Decimal(38,9)→(38,6) price-ladder division
+    (swap_prices semantics: decimal sums, HALF_UP division at scale 6,
+    no float anywhere).  The oracle re-implements Spark's decimal
+    division in exact HUGEINT arithmetic — (2·a·10^4 + q) // (2·q) is
+    round-half-up of a·10^4/q for positives — so every digit of the
+    scale-6 string must match."""
+    (l,) = _load(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(cents).cast("decimal(38,9)").alias("total_price"),
+        F.sum(qty).cast("decimal(38,9)").alias("total_qty"),
+    )
+    # ONE division (cents / (100·qty)) → decimal(38,6) HALF_UP; a
+    # two-step (/100 then /qty) would round twice and diverge from the
+    # oracle's single integer rounding
+    price = F.col("total_price") / (F.col("total_qty") * F.lit(100))
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("total_price").cast("decimal(38,0)").cast("long").alias("cents"),
+        F.col("total_qty").cast("decimal(38,0)").cast("long").alias("qty"),
+        price.cast("string").alias("unit_price"),
+    )
+
+
+ORACLE_DECIMAL_LADDER = """
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents,
+         sum(round(l_quantity)::BIGINT)::BIGINT AS qty
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+d AS (
+  SELECT *, (2 * cents::HUGEINT * 10000 + qty::HUGEINT)
+            // (2 * qty::HUGEINT) AS px6
+  FROM a
+)
+SELECT l_returnflag, l_linestatus, cents, qty,
+       (px6 // 1000000)::VARCHAR || '.' || lpad((px6 % 1000000)::VARCHAR, 6, '0')
+         AS unit_price
+FROM d
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2788,6 +2883,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evm_decode_batch": q_evm_decode_batch,
     "group_topk": q_group_topk,
     "evm_decode_overflow": q_evm_decode_overflow,
+    "crypto_digests": q_crypto_digests,
+    "decimal_price_ladder": q_decimal_price_ladder,
 }
 
 
@@ -2874,6 +2971,8 @@ _ORACLES: dict[str, str] = {
     "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
     "group_topk": ORACLE_GROUP_TOPK,
     "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
+    "crypto_digests": ORACLE_CRYPTO_DIGESTS,
+    "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
 }
 
 

@@ -149,3 +149,38 @@ def test_dirty_address_padding_rejected(junk):
     sig = abi.parse_event_signature("Ev(address a)")
     word = junk.rjust(12, b"\x00") + bytes(20)
     assert abi.decode_event_row(sig, [None], word) is None
+
+
+# --------------------------------------------------------------------
+# Differential test against eth_abi (the canonical Python ABI codec).
+# The package is NOT installed in this container (verified: pip-less
+# environment, `import eth_abi` → ModuleNotFoundError), so the test
+# auto-skips here; on an environment that has it, 1000 random
+# signatures/payloads are encoded by eth_abi and decoded by our
+# decoder, catching shared-blind-spot bugs the self-roundtrip above
+# cannot (our encoder and decoder were written together; eth_abi's
+# encoder was not).  Dynamic types included — eth_abi emits canonical
+# tight in-order tails, which is exactly what decode_event_row pins.
+# --------------------------------------------------------------------
+try:
+    import eth_abi as _eth_abi
+    _HAS_ETH_ABI = True
+except ModuleNotFoundError:
+    _HAS_ETH_ABI = False
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(not _HAS_ETH_ABI, reason="eth_abi not installed in container")
+@settings(max_examples=1000, deadline=None)
+@given(events())
+def test_differential_vs_eth_abi(ev):
+    typs, indexed, vals = ev
+    sig, topics, _ = build_sig_and_words(typs, indexed, vals)
+    # eth_abi encodes the non-indexed params as the data payload
+    non_ix = [(t, v) for t, ix, v in zip(typs, indexed, vals) if not ix]
+    data = _eth_abi.encode([t for t, _ in non_ix], [v for _, v in non_ix])
+    out = abi.decode_event_row(sig, topics, data)
+    assert out is not None
+    for i, (t, ix, v) in enumerate(zip(typs, indexed, vals)):
+        assert out[f"p{i}"] == expected(t, v), (t, v)
