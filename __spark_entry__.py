@@ -2799,6 +2799,51 @@ FROM d
 """
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-means (2 Lloyd rounds, k=4) over the embeddings
+    table (operators/clustering.py): broadcast-centroid assignment +
+    decimal-exact re-averaging, every step deterministic (rounded
+    distances, id tie-breaks) so DuckDB can replay both iterations
+    unrolled in CTEs."""
+    from cherry_pipelines_spark.operators.clustering import kmeans_lloyd
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(em, "embedding", "vec_id", k=4, iters=2)
+
+
+ORACLE_KMEANS = """
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid, v AS c
+       FROM pts ORDER BY vec_id LIMIT 4),
+d1 AS (SELECT p.vec_id, p.v, c0.cid,
+              round(list_sum([(p.v[j] - c0.c[j]) * (p.v[j] - c0.c[j])
+                              for j in generate_series(1, len(p.v))]), 6) AS d
+       FROM pts p, c0),
+a1 AS (SELECT vec_id, v, cid FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS vd FROM a1),
+c1d AS (SELECT cid, dim,
+               round(CAST(sum(CAST(vd AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS cv
+        FROM m1 GROUP BY cid, dim),
+c1 AS (SELECT cid, list(cv ORDER BY dim) AS c FROM c1d GROUP BY cid),
+d2 AS (SELECT p.vec_id, p.v, c1.cid,
+              round(list_sum([(p.v[j] - c1.c[j]) * (p.v[j] - c1.c[j])
+                              for j in generate_series(1, len(p.v))]), 6) AS d
+       FROM pts p, c1),
+a2 AS (SELECT vec_id, v, cid FROM
+        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM d2) WHERE rn = 1),
+m2 AS (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS vd FROM a2),
+c2 AS (SELECT cid, dim,
+              round(CAST(sum(CAST(vd AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS cv
+       FROM m2 GROUP BY cid, dim),
+n2 AS (SELECT cid, count(*)::BIGINT AS n FROM a2 GROUP BY cid)
+SELECT c2.cid AS cluster_id, (c2.dim - 1)::BIGINT AS dim, c2.cv AS centroid, n2.n
+FROM c2 JOIN n2 ON c2.cid = n2.cid
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2885,6 +2930,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evm_decode_overflow": q_evm_decode_overflow,
     "crypto_digests": q_crypto_digests,
     "decimal_price_ladder": q_decimal_price_ladder,
+    "kmeans_embeddings": q_kmeans,
 }
 
 
@@ -2973,6 +3019,7 @@ _ORACLES: dict[str, str] = {
     "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
     "crypto_digests": ORACLE_CRYPTO_DIGESTS,
     "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
+    "kmeans_embeddings": ORACLE_KMEANS,
 }
 
 

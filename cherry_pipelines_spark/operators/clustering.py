@@ -1,0 +1,145 @@
+"""Iterative k-means (Lloyd) over embedding columns — the semantic-
+clustering / IVF-codebook-training step of an LLM-data pipeline
+(cluster-balanced sampling, semantic dedup, coarse ANN cells).
+
+Beyond-reference operator (the reference has no ML primitives); the
+shape follows the classic distributed Lloyd's algorithm:
+
+* centroids are MODEL STATE, O(k·dim) — they travel as ONE broadcast
+  row (``collect_list`` aggregate, no driver ``collect()``), so each
+  iteration is: map-side assignment (no shuffle of the points) + one
+  (cluster, dim) shuffle to re-average.  Points are never replicated
+  and never shuffled; at 100 TB the per-iteration cost is one scan +
+  one tiny aggregate, the textbook scale shape.
+* determinism (oracle-checkable): initial centroids are the k rows
+  with the smallest ids; distances are rounded to 6 dp before the
+  argmin (ties break on the smaller cluster id); re-averaged centroid
+  coordinates go through the repo's decimal-exact-sum formula
+  (sum(DECIMAL(18,9)) / n, rounded to 6 dp).  Every step is therefore
+  reproducible bit-for-bit by an independent engine.
+* lineage: like ``dedup.duplicate_clusters``, long runs checkpoint the
+  (small) centroid frame every few rounds so the plan does not grow
+  exponentially with iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_CHECKPOINT_EVERY = 4
+
+
+def _centroid_row(cents: DataFrame) -> DataFrame:
+    """(cluster_id, centroid array) → ONE broadcastable row holding all
+    centroids as an array of structs, sorted by cluster id."""
+    return cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cluster_id"), F.col("centroid")))
+        ).alias("cents")
+    )
+
+
+def _sqdist(vec: Column, cent: Column) -> Column:
+    """Σ (v_i − c_i)², left-to-right fold, rounded to 6 dp (the argmin
+    compares ROUNDED distances so an independent engine reproduces the
+    assignment exactly)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def assign_clusters(
+    points: DataFrame, cents: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the single centroid row,
+    argmin via ``array_min`` over (distance, cluster_id) structs —
+    map-only, the points do not shuffle."""
+    pts = points.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).crossJoin(F.broadcast(_centroid_row(cents)))
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                _sqdist(F.col("_v"), s["centroid"]).alias("d"),
+                s["cluster_id"].alias("cluster_id"),
+            ),
+        )
+    )
+    return pts.select(id_col, "_v", best["cluster_id"].alias("cluster_id"))
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """New centroids from an assignment: posexplode → (cluster, dim)
+    partial-agg shuffle → decimal-exact mean, re-assembled into arrays.
+    A cluster that lost every point keeps no row (k shrinks, as in
+    textbook Lloyd)."""
+    per_dim = (
+        assigned.select(
+            "cluster_id", F.posexplode("_v").alias("dim", "val")
+        )
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count("val"),
+                6,
+            ).alias("cv")
+        )
+    )
+    return per_dim.groupBy("cluster_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; returns per-cluster rows
+    ``(cluster_id, dim, centroid, n)`` — the final centroid coordinates
+    (one row per dimension) plus the cluster's point count."""
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("centroid"), F.col(id_col))
+    )
+    cents = init.select(
+        (F.row_number().over(Window.orderBy(id_col)) - 1)
+        .cast("long")
+        .alias("cluster_id"),
+        "centroid",
+    )
+    assigned = None
+    for i in range(iters):
+        assigned = assign_clusters(df, cents, vec_col, id_col)
+        cents = _recenter(assigned)
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            # centroid frame is k rows — checkpoint resets lineage cheaply
+            cents = cents.localCheckpoint(eager=True)
+    n = assigned.groupBy("cluster_id").agg(F.count("*").cast("long").alias("n"))
+    return (
+        cents.join(n, "cluster_id")
+        .select(
+            "cluster_id",
+            F.posexplode("centroid").alias("dim", "centroid"),
+            "n",
+        )
+        .select(
+            "cluster_id", F.col("dim").cast("long").alias("dim"), "centroid", "n"
+        )
+    )

@@ -1,0 +1,132 @@
+"""k-means (Lloyd) operator: differential test against a plain-numpy
+implementation of the same deterministic spec (smallest-id init,
+round-6 distances with id tie-break, decimal-exact means rounded to 6),
+plus plan/edge properties."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cherry_pipelines_spark.operators.clustering import kmeans_lloyd
+
+
+def _numpy_lloyd(ids, vecs, k, iters):
+    """Reference implementation in plain python/numpy."""
+    order = np.argsort(ids)
+    cents = {ci: vecs[order[ci]].astype(float).copy() for ci in range(k)}
+    assign = None
+    for _ in range(iters):
+        assign = {}
+        for i, v in zip(ids, vecs):
+            best = min(
+                (round(float(((v - c) ** 2).sum()), 6), ci)
+                for ci, c in cents.items()
+            )
+            assign[i] = best[1]
+        new = {}
+        for ci in set(assign.values()):
+            members = [v for i, v in zip(ids, vecs) if assign[i] == ci]
+            dims = len(members[0])
+            cent = np.empty(dims)
+            for d in range(dims):
+                s = sum(
+                    Decimal(float(m[d])).quantize(
+                        Decimal("1e-9"), rounding=ROUND_HALF_UP
+                    )
+                    for m in members
+                )
+                cent[d] = round(float(s) / len(members), 6)
+            new[ci] = cent
+        cents = new
+    counts = {ci: sum(1 for c in assign.values() if c == ci) for ci in cents}
+    return cents, counts
+
+
+def _df(spark, ids, vecs):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)], schema
+    )
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    rng = np.random.default_rng(42)
+    n, dims, k, iters = 120, 6, 4, 3
+    vecs = rng.normal(size=(n, dims)).astype(np.float32)
+    ids = np.arange(100, 100 + n)
+    out = kmeans_lloyd(_df(spark, ids, vecs), k=k, iters=iters).collect()
+    cents, counts = _numpy_lloyd(ids, vecs, k, iters)
+    got = {}
+    for r in out:
+        got.setdefault(r["cluster_id"], {})[r["dim"]] = (r["centroid"], r["n"])
+    assert set(got) == set(cents)
+    for ci, cent in cents.items():
+        assert got[ci][0][1] == counts[ci], ci
+        for d in range(dims):
+            assert got[ci][d][0] == pytest.approx(cent[d], abs=1e-9), (ci, d)
+
+
+def test_kmeans_separated_blobs_converge(spark):
+    """Three well-separated blobs: every cluster is pure and centroids
+    land on the blob means regardless of iteration count."""
+    rng = np.random.default_rng(7)
+    blobs = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    vecs, ids = [], []
+    for bi, (cx, cy) in enumerate(blobs):
+        for j in range(30):
+            vecs.append([cx + rng.normal(0, 0.1), cy + rng.normal(0, 0.1)])
+            ids.append(bi + 3 * j + 1000 * bi)  # first 3 ids hit 3 blobs
+    # ensure init picks one seed per blob: ids 0,1,2 smallest, one per blob
+    ids = list(range(len(vecs)))
+    vecs = [vecs[i] for i in (0, 30, 60)] + [
+        v for i, v in enumerate(vecs) if i not in (0, 30, 60)
+    ]
+    out = kmeans_lloyd(
+        _df(spark, ids, np.array(vecs, dtype=np.float32)), k=3, iters=4
+    ).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r["cluster_id"], {})[r["dim"]] = r["centroid"]
+        by_c[r["cluster_id"]]["n"] = r["n"]
+    assert all(by_c[c]["n"] == 30 for c in by_c)
+    means = sorted((round(v[0]), round(v[1])) for v in by_c.values())
+    assert means == [(0, 0), (0, 10), (10, 0)]
+
+
+def test_kmeans_validation(spark):
+    df = _df(spark, [1], [[0.0, 0.0]])
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, k=0)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(df, iters=0)
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """Plan gate: the assignment stage broadcasts the centroid row —
+    no shuffle of the points side (BroadcastNestedLoopJoin over ONE
+    row is the expected physical shape for a crossJoin(broadcast))."""
+    from cherry_pipelines_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    rng = np.random.default_rng(1)
+    pts = _df(spark, range(50), rng.normal(size=(50, 4)).astype(np.float32))
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 1.0, 1.0, 1.0])],
+        "cluster_id long, centroid array<double>",
+    )
+    plan = assign_clusters(
+        pts, cents, "embedding", "vec_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
