@@ -2844,6 +2844,72 @@ FROM c2 JOIN n2 ON c2.cid = n2.cid
 """
 
 
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling card over documents (operators/stats.py:
+    profile_table): per-column nulls / exact distincts / min / max /
+    avg length in ONE aggregation pass, unpivoted map-side."""
+    from cherry_pipelines_spark.operators.stats import profile_table
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return profile_table(d, ["doc_id", "lang", "source", "n_chars", "text"])
+
+
+ORACLE_PROFILE_TABLE = """
+SELECT 'doc_id' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count(doc_id))::BIGINT AS n_nulls,
+       count(DISTINCT doc_id)::BIGINT AS n_distinct,
+       min(doc_id)::VARCHAR AS min_value, max(doc_id)::VARCHAR AS max_value,
+       NULL::DOUBLE AS avg_len
+FROM documents
+UNION ALL
+SELECT 'lang', count(*)::BIGINT, (count(*) - count(lang))::BIGINT,
+       count(DISTINCT lang)::BIGINT, min(lang), max(lang),
+       round(avg(length(lang)), 6)
+FROM documents
+UNION ALL
+SELECT 'source', count(*)::BIGINT, (count(*) - count(source))::BIGINT,
+       count(DISTINCT source)::BIGINT, min(source), max(source),
+       round(avg(length(source)), 6)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*)::BIGINT, (count(*) - count(n_chars))::BIGINT,
+       count(DISTINCT n_chars)::BIGINT, min(n_chars)::VARCHAR,
+       max(n_chars)::VARCHAR, NULL::DOUBLE
+FROM documents
+UNION ALL
+SELECT 'text', count(*)::BIGINT, (count(*) - count(text))::BIGINT,
+       count(DISTINCT text)::BIGINT, min(text), max(text),
+       round(avg(length(text)), 6)
+FROM documents
+"""
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM quality scoring (operators/text.py:
+    bigram_lm_scores): corpus-trained MLE model broadcast back onto the
+    bigram stream, per-doc average log-probability."""
+    from cherry_pipelines_spark.operators.text import bigram_lm_scores
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return bigram_lm_scores(d)
+
+
+ORACLE_BIGRAM_LM = """
+WITH g AS (
+  SELECT doc_id,
+         unnest([substring(text, i, 2)
+                 for i in generate_series(1, length(text) - 1)]) AS bigram
+  FROM documents WHERE length(text) >= 2
+),
+m AS (SELECT bigram, count(*)::BIGINT AS c FROM g GROUP BY bigram),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM m)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln(c::DOUBLE / t)), 6) AS lm_score
+FROM g JOIN m USING (bigram), tot
+GROUP BY doc_id
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2931,6 +2997,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crypto_digests": q_crypto_digests,
     "decimal_price_ladder": q_decimal_price_ladder,
     "kmeans_embeddings": q_kmeans,
+    "profile_table": q_profile_table,
+    "bigram_lm_score": q_bigram_lm_score,
 }
 
 
@@ -3020,6 +3088,8 @@ _ORACLES: dict[str, str] = {
     "crypto_digests": ORACLE_CRYPTO_DIGESTS,
     "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
     "kmeans_embeddings": ORACLE_KMEANS,
+    "profile_table": ORACLE_PROFILE_TABLE,
+    "bigram_lm_score": ORACLE_BIGRAM_LM,
 }
 
 

@@ -72,3 +72,67 @@ def zscore_outliers(
         .filter(F.col("_std").isNotNull() & (F.abs(z) > threshold))
         .drop("_mean", "_std")
     )
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Dataset profiling card: one output row per column with
+    ``(column, n_rows, n_nulls, n_distinct, min_value, max_value,
+    avg_len)`` — the per-shard statistics a data-curation run records
+    before/after every filter stage (and the inputs to drift checks
+    between snapshots).
+
+    ONE aggregation pass computes every column's stats; the per-column
+    rows are unpivoted from that single row with ``stack`` (map-side,
+    no extra shuffle).  ``min/max`` are rendered as strings so one
+    schema covers heterogeneous columns; ``avg_len`` (round 6) applies
+    to string columns and is NULL otherwise.
+
+    Scale note: multiple exact ``countDistinct`` aggregates expand the
+    input (one replica per distinct-agg) — fine to ~tens of columns;
+    at extreme width or cardinality pass ``exact_distinct=False`` to
+    use HyperLogLog ``approx_count_distinct`` (the standard profiling
+    trade: stats cards do not need exact distincts, oracles do).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    str_cols = {
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+    }
+    distinct = (
+        F.countDistinct if exact_distinct else F.approx_count_distinct
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).cast("long").alias(f"_nn_{c}"))
+        aggs.append(distinct(F.col(c)).cast("long").alias(f"_nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"_min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"_max_{c}"))
+        aggs.append(
+            (
+                F.round(F.avg(F.length(F.col(c))), 6)
+                if c in str_cols
+                else F.lit(None).cast("double")
+            ).alias(f"_len_{c}")
+        )
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}, _min_{c}, _max_{c}, _len_{c}" for c in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, _nn, n_distinct, min_value, max_value, avg_len)"
+        ),
+        F.col("_n_rows").alias("n_rows"),
+    ).select(
+        "column",
+        "n_rows",
+        (F.col("n_rows") - F.col("_nn")).cast("long").alias("n_nulls"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "avg_len",
+    )

@@ -385,3 +385,51 @@ def inverted_index(
             ",",
         ).alias("postings"),
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-bigram language-model quality score — the classic
+    cheap LLM-data gibberish filter: train an MLE char-bigram model on
+    the corpus itself, score every document by the average
+    log-probability of its bigrams.  Low scores flag encoding garbage,
+    random strings, and wrong-alphabet text; thresholding is the
+    caller's policy (pair with ``sampling.quantile_gate``).
+
+    Output: ``(id, n_bigrams, lm_score)`` with ``lm_score =
+    avg(ln(count(bigram)/total))`` rounded to 6 dp.  Documents shorter
+    than 2 characters have no bigrams and no row.
+
+    Scale shape: the model is the char-bigram count table — vocabulary
+    is alphabet², tiny by construction — so it BROADCASTS to the
+    exploded bigram stream (facts never shuffle for the join); corpus
+    total rides along as a broadcast 1-row aggregate; the only fact
+    shuffle is the per-doc score aggregation.  Everything is JVM-side
+    expression work (substring explode), no UDFs.
+    """
+    # guard: Spark's sequence(1, 0) counts DOWN ([1, 0]) rather than
+    # yielding an empty array, so a 1-char document must be excluded
+    # explicitly (matching the oracle's WHERE length >= 2)
+    grams = df.filter(F.length(F.col(text_col)) >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - 1),"
+                f" i -> substring({text_col}, i, 2))"
+            )
+        ).alias("bigram"),
+    )
+    model = grams.groupBy("bigram").agg(F.count("*").cast("long").alias("c"))
+    total = model.agg(F.sum("c").cast("double").alias("t"))
+    return (
+        grams.join(F.broadcast(model), "bigram")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 6
+            ).alias("lm_score"),
+        )
+    )

@@ -386,3 +386,71 @@ def test_inverted_index(spark):
            for r in inverted_index(df, max_postings=2).collect()}
     # df counts are exact even where the posting list is capped at 2
     assert got == {"a": (3, "1,2"), "b": (2, "2,3"), "c": (1, "1")}
+
+
+# ------------------------------------------- profiling + bigram LM score
+
+
+def test_profile_table_exact_stats(spark):
+    from cherry_pipelines_spark.operators.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "ab", 5), (2, "ab", None), (3, None, 5), (4, "xyz", 7)],
+        "id long, s string, v long",
+    )
+    rows = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in rows.values())
+    assert (rows["s"]["n_nulls"], rows["s"]["n_distinct"]) == (1, 2)
+    assert (rows["s"]["min_value"], rows["s"]["max_value"]) == ("ab", "xyz")
+    assert rows["s"]["avg_len"] == round((2 + 2 + 3) / 3, 6)
+    assert (rows["v"]["n_nulls"], rows["v"]["n_distinct"]) == (1, 2)
+    assert rows["v"]["avg_len"] is None
+    assert (rows["id"]["min_value"], rows["id"]["max_value"]) == ("1", "4")
+    # column subset + approx mode run
+    sub = profile_table(df, ["id"], exact_distinct=False).collect()
+    assert len(sub) == 1 and sub[0]["column"] == "id"
+
+
+def test_bigram_lm_scores_match_counter_model(spark):
+    """Differential vs a plain-python Counter implementation of the
+    same MLE bigram model."""
+    from cherry_pipelines_spark.operators.text import bigram_lm_scores
+
+    docs = [
+        (1, "hello world"),
+        (2, "hello hello"),
+        (3, "zq"),      # rare bigram -> low score
+        (4, "x"),       # too short: no bigrams, no row
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    model = Counter()
+    per_doc = {}
+    for i, t in docs:
+        grams = [t[j : j + 2] for j in range(len(t) - 1)]
+        per_doc[i] = grams
+        model.update(grams)
+    total = sum(model.values())
+    rows = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    for i, grams in per_doc.items():
+        if not grams:
+            continue
+        expect = round(
+            sum(math.log(model[g] / total) for g in grams) / len(grams), 6
+        )
+        assert rows[i]["lm_score"] == expect, i
+        assert rows[i]["n_bigrams"] == len(grams)
+    assert rows[3]["lm_score"] < rows[1]["lm_score"]  # gibberish scores lower
+
+
+def test_bigram_lm_plan_broadcasts_model(spark):
+    """Plan gates: the model joins by BROADCAST (facts never shuffle
+    for the join) and the whole operator stays JVM-side."""
+    from cherry_pipelines_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame([(1, "abcabc")], "doc_id long, text string")
+    plan = bigram_lm_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
