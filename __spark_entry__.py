@@ -2910,6 +2910,81 @@ GROUP BY doc_id
 """
 
 
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized ANN (operators/similarity.py): symmetric
+    per-vector quantization, exact INTEGER dot products, approx-cosine
+    ranking — the 4×-smaller-scan scale path next to the float
+    baseline."""
+    from cherry_pipelines_spark.operators.similarity import quantized_cosine_topk
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    queries_df = em.filter(F.col("vec_id") % 50 == 0)
+    return quantized_cosine_topk(em, queries_df, k=5)
+
+
+ORACLE_QUANTIZED_TOPK = """
+WITH z AS (
+  SELECT vec_id,
+         (SELECT round(max(abs(x)) / 127.0, 9) FROM unnest(embedding::DOUBLE[]) t(x)) AS s,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, [round(x / s)::BIGINT for x in v] AS qv
+  FROM z WHERE s > 0
+),
+qq AS (SELECT vec_id AS query_id, qv AS qa FROM q WHERE vec_id % 50 = 0),
+s AS (
+  SELECT qq.query_id, c.vec_id AS neighbor_id,
+         list_sum([qa[j] * qv[j] for j in generate_series(1, len(qa))])::BIGINT AS dot_q,
+         list_sum([qa[j] * qa[j] for j in generate_series(1, len(qa))])::BIGINT AS na,
+         list_sum([qv[j] * qv[j] for j in generate_series(1, len(qv))])::BIGINT AS nb
+  FROM q c, qq WHERE c.vec_id <> qq.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id, dot_q,
+         CASE WHEN na > 0 AND nb > 0
+              THEN round(dot_q::DOUBLE / sqrt((na * nb)::DOUBLE), 6) END AS qcos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY CASE WHEN na > 0 AND nb > 0
+                                     THEN round(dot_q::DOUBLE / sqrt((na * nb)::DOUBLE), 6)
+                                     END DESC NULLS LAST, neighbor_id)::BIGINT AS rank
+  FROM s
+)
+SELECT query_id, neighbor_id, dot_q, qcos, rank FROM r WHERE rank <= 5
+"""
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES keys,
+    operators/sampling.py:weighted_sample): 5 docs per language drawn
+    ∝ n_chars, engine/layout-independent."""
+    from cherry_pipelines_spark.operators.sampling import weighted_sample
+
+    (d,) = _load(spark, sf_dir, "documents")
+    out = weighted_sample(
+        d.select("doc_id", "lang", "n_chars"), "n_chars", n=5, strata=["lang"]
+    )
+    return out.select("doc_id", "lang", "n_chars", "sample_rank")
+
+
+ORACLE_WEIGHTED_SAMPLE = """
+WITH k AS (
+  SELECT doc_id, lang, n_chars,
+         round(-ln((('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                   / 4294967296.0) / n_chars::DOUBLE, 9) AS akey
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY akey, doc_id)::BIGINT
+           AS sample_rank
+  FROM k
+)
+SELECT doc_id, lang, n_chars, sample_rank FROM r WHERE sample_rank <= 5
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -2999,6 +3074,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_embeddings": q_kmeans,
     "profile_table": q_profile_table,
     "bigram_lm_score": q_bigram_lm_score,
+    "quantized_topk": q_quantized_topk,
+    "weighted_sample": q_weighted_sample,
 }
 
 
@@ -3090,6 +3167,8 @@ _ORACLES: dict[str, str] = {
     "kmeans_embeddings": ORACLE_KMEANS,
     "profile_table": ORACLE_PROFILE_TABLE,
     "bigram_lm_score": ORACLE_BIGRAM_LM,
+    "quantized_topk": ORACLE_QUANTIZED_TOPK,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
 }
 
 

@@ -187,3 +187,41 @@ def quantile_gate(
         else F.col(value_col) <= F.col("_thr")
     )
     return df.join(F.broadcast(thr), list(group_cols)).filter(cond).drop("_thr")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    strata: Sequence[str] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): each row gets key ``-ln(u)/w`` with
+    ``u = (h32(id)+1)/2^32`` — a reproducible stand-in for a uniform
+    draw — and the ``n`` smallest keys win (per stratum when ``strata``
+    given).  Inclusion probability is proportional to weight, and the
+    same rows win on ANY engine/layout: u is content-addressed, the
+    rank orders by (rounded key, id).
+
+    The classic use: sample pretraining docs ∝ quality score or token
+    count without collecting weights to the driver.  One window over
+    the stratum key (TakeOrdered shape); rows with weight <= 0 or NULL
+    are excluded (zero mass).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    w = F.col(weight_col).cast("double")
+    u = (h32(F.col(id_col).cast("string")) + 1).cast("double") / F.lit(
+        4294967296.0
+    )
+    key = F.round(-F.log(u) / w, 9)
+    keyed = df.filter(w > 0).withColumn("_akey", key)
+    win = Window.partitionBy(*[F.col(s) for s in strata]).orderBy(
+        F.col("_akey"), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("sample_rank") <= n)
+        .drop("_akey")
+    )

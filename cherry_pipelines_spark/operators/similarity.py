@@ -271,3 +271,86 @@ def cosine_near_dup_pairs(
             "cos",
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    scale path for ANN: 4× smaller than float32 and integer dot
+    products downstream.  ``scale = max(|v_i|)/127`` (rounded to 9 dp
+    so re-quantization is engine-reproducible), ``q_i =
+    round(v_i/scale)`` ∈ [-127, 127]; an all-zero vector quantizes to
+    zeros with scale NULL.  Map-only, pure JVM expressions."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = F.when(amax > 0, F.round(amax / 127.0, 9))
+    q = F.when(
+        scale.isNotNull(),
+        F.transform(v, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        scale.alias("qscale"),
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Top-k neighbors over int8-QUANTIZED vectors: same join/window
+    shape as :func:`cosine_topk`, but the inner loop is an exact
+    integer dot product over the int8 codes (the SIMD-friendly form a
+    columnar engine vectorizes; at 100 TB the scan reads 4× fewer
+    bytes).  The approximate cosine ``dot_q / (‖qa‖·‖qb‖)`` is
+    computed from integer dot/norms in one deterministic double
+    expression, rounded for the oracle.  Self-pairs excluded."""
+    qz = quantize_embeddings(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("qvec").alias("qa")
+    )
+    cz = quantize_embeddings(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qb")
+    )
+    idot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cz.join(F.broadcast(qz), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_dot", idot(F.col("qa"), F.col("qb")))
+        .withColumn("_na", idot(F.col("qa"), F.col("qa")))
+        .withColumn("_nb", idot(F.col("qb"), F.col("qb")))
+        .withColumn(
+            "qcos",
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                F.round(
+                    F.col("_dot").cast("double")
+                    / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")),
+                    scale,
+                ),
+            ),
+        )
+        .drop("qa", "qb")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("_dot").alias("dot_q"), "qcos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -454,3 +454,77 @@ def test_bigram_lm_plan_broadcasts_model(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -------------------------------------- quantized ANN + weighted sample
+
+
+def test_quantize_embeddings_bounds_and_roundtrip(spark):
+    from cherry_pipelines_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [127.0, 0.0, -127.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # scale = round(1/127, 9) = 0.007874016, so -0.5/scale = -63.49997…
+    assert rows[1]["qvec"] == [127, -63, 32]
+    assert all(-127 <= x <= 127 for r in rows.values() for x in r["qvec"])
+    assert rows[2]["qscale"] is None and rows[2]["qvec"] == [0, 0, 0]
+    # dequantized values within scale/2 of the originals
+    s = rows[1]["qscale"]
+    for orig, q in zip([1.0, -0.5, 0.25], rows[1]["qvec"]):
+        assert abs(q * s - orig) <= s / 2 + 1e-12
+
+
+def test_quantized_topk_close_to_exact(spark):
+    """Quantized ranking must broadly agree with the float baseline:
+    the top-1 neighbor matches the exact top-3 set for most queries."""
+    import numpy as np
+
+    from cherry_pipelines_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(80, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") % 20 == 0)
+    exact = cosine_topk(df, queries, k=3).collect()
+    quant = quantized_cosine_topk(df, queries, k=1).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(1 for r in quant if r["neighbor_id"] in exact_sets[r["query_id"]])
+    assert hits >= len(quant) - 1, (hits, len(quant))
+
+
+def test_weighted_sample_deterministic_and_proportional(spark):
+    from cherry_pipelines_spark.operators.sampling import weighted_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 1 if i < 800 else 100)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string, w long")
+    out1 = weighted_sample(df, "w", n=20, strata=["stratum"]).collect()
+    out2 = weighted_sample(
+        df.repartition(7), "w", n=20, strata=["stratum"]
+    ).collect()
+    key = lambda rs: sorted((r["doc_id"], r["sample_rank"]) for r in rs)
+    assert key(out1) == key(out2)  # layout-independent
+    per = {}
+    for r in out1:
+        per[r["stratum"]] = per.get(r["stratum"], 0) + 1
+    assert per == {"a": 20, "b": 20}
+    # weight-100 docs are 20% of rows but ~100% of mass: they dominate
+    heavy = sum(1 for r in out1 if r["doc_id"] >= 800)
+    assert heavy >= 30, heavy
+    # zero/negative weights excluded
+    z = weighted_sample(
+        spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "doc_id long, w long"),
+        "w", n=10,
+    ).collect()
+    assert [r["doc_id"] for r in z] == [3]
