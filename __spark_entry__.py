@@ -2985,6 +2985,54 @@ SELECT doc_id, lang, n_chars, sample_rank FROM r WHERE sample_rank <= 5
 """
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py), 2 rounds over the supplier →
+    customer graph from lineitem ⨝ orders — decimal-exact contribution
+    sums and 9-dp rounding make both iterations replayable in DuckDB
+    CTEs.  Node ids are namespaced (s<id> / c<id>) since the two key
+    spaces overlap."""
+    from cherry_pipelines_spark.operators.graph import pagerank
+
+    l, o = _load(spark, sf_dir, "lineitem", "orders")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+    )
+    return pagerank(edges, iters=2)
+
+
+ORACLE_PAGERANK = """
+WITH e AS (
+  SELECT DISTINCT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, round(1.0 / nn.n, 9) AS rank FROM nodes, nn),
+c1 AS (SELECT e.dst,
+              sum(CAST(round(r0.rank / deg.deg, 9) AS DECIMAL(20,9))) AS m
+       FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+r1 AS (SELECT nodes.node,
+              round(0.15 / nn.n + 0.85 * coalesce(CAST(c1.m AS DOUBLE), 0.0), 9)
+                AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nodes.node),
+c2 AS (SELECT e.dst,
+              sum(CAST(round(r1.rank / deg.deg, 9) AS DECIMAL(20,9))) AS m
+       FROM e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+       GROUP BY e.dst),
+r2 AS (SELECT nodes.node,
+              round(0.15 / nn.n + 0.85 * coalesce(CAST(c2.m AS DOUBLE), 0.0), 9)
+                AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nodes.node)
+SELECT node, rank FROM r2
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3076,6 +3124,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_lm_score": q_bigram_lm_score,
     "quantized_topk": q_quantized_topk,
     "weighted_sample": q_weighted_sample,
+    "pagerank": q_pagerank,
 }
 
 
@@ -3169,6 +3218,7 @@ _ORACLES: dict[str, str] = {
     "bigram_lm_score": ORACLE_BIGRAM_LM,
     "quantized_topk": ORACLE_QUANTIZED_TOPK,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "pagerank": ORACLE_PAGERANK,
 }
 
 

@@ -1,0 +1,94 @@
+"""Graph operators over edge lists — link analysis for corpus/web-graph
+curation (rank pages before sampling, weight domains by authority).
+
+``pagerank`` is the second iterative algorithm in the library (next to
+``clustering.kmeans_lloyd`` and the connected components in
+``operators/dedup.py``) and follows the same discipline:
+
+* per-iteration cost is ONE shuffle (contributions grouped by dst);
+  ranks and degrees are joined to the edge list by key — no
+  broadcast-scalar state besides the 1-row node count (the
+  ``idf_keywords`` cross-join pattern, no driver collect).
+* deterministic and engine-replayable: contributions are rounded to
+  9 dp and summed as ``DECIMAL(20,9)`` (decimal addition is
+  associative, so partial-agg splits and row order cannot change the
+  sum), and each new rank is rounded to 9 dp.  An independent engine
+  reproduces every iteration bit-for-bit.
+* simplified damping variant (the common one): dangling-node mass is
+  dropped rather than redistributed — ranks then need no global
+  re-normalization pass per iteration.  Documented, test-pinned.
+* lineage: ranks are ``localCheckpoint``-ed every few rounds (same as
+  ``duplicate_clusters``) so long runs keep constant plan size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CHECKPOINT_EVERY = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list (duplicate edges count once).
+
+    Returns ``(node, rank)`` for every node appearing as a source or
+    destination, after ``iters`` rounds of
+    ``rank = round((1-d)/N + d * Σ_in round(rank_src/deg_src, 9), 9)``
+    starting from the uniform ``round(1/N, 9)``.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    n_row = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node",
+        F.round(F.lit(1.0) / F.col("n_nodes"), 9).alias("rank"),
+        "n_nodes",
+    )
+    for i in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.round(F.col("rank") / F.col("deg"), 9)
+                .cast("decimal(20,9)")
+                .alias("contrib"),
+            )
+        )
+        inbound = contrib.groupBy("dst").agg(
+            F.sum("contrib").alias("in_mass")
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_row))
+            .join(inbound.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.round(
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping * F.coalesce(
+                        F.col("in_mass").cast("double"), F.lit(0.0)
+                    ),
+                    9,
+                ).alias("rank"),
+                "n_nodes",
+            )
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")

@@ -130,3 +130,55 @@ def test_kmeans_assignment_is_map_only(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------------------- pagerank
+
+
+def test_pagerank_matches_python_reference(spark):
+    """Differential vs a plain-python implementation of the same
+    deterministic spec (rounded contributions, decimal sums)."""
+    from decimal import Decimal
+
+    from cherry_pipelines_spark.operators.graph import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "d"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    iters, d = 3, 0.85
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg = {}
+    for s, _t in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {x: round(1.0 / n, 9) for x in nodes}
+    for _ in range(iters):
+        mass = {x: Decimal(0) for x in nodes}
+        for s, t in edges:
+            mass[t] += Decimal(str(round(rank[s] / deg[s], 9)))
+        rank = {
+            x: round((1 - d) / n + d * float(mass[x]), 9) for x in nodes
+        }
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=iters).collect()}
+    assert got == rank
+    # ranks form a probability-like vector: positive, authority node c
+    # (3 in-edges) beats leaf node e (0 in-edges)
+    assert got["c"] > got["e"] > 0
+
+
+def test_pagerank_dedupes_edges_and_validates(spark):
+    import pytest
+
+    from cherry_pipelines_spark.operators.graph import pagerank
+
+    dup = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    uniq = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    assert {
+        (r["node"], r["rank"]) for r in pagerank(dup, iters=2).collect()
+    } == {(r["node"], r["rank"]) for r in pagerank(uniq, iters=2).collect()}
+    with pytest.raises(ValueError):
+        pagerank(uniq, iters=0)
