@@ -23,6 +23,7 @@ from cherry_pipelines_spark.operators.text import h32
 
 # hash buckets for rate resolution: 1e-4 granularity
 _MOD = 10_000
+_N_SALT = 64  # per-group pre-rank fan-out of the two-phase top-k
 
 
 def hash_sample(df: DataFrame, key: Column, rate: float) -> DataFrame:
@@ -61,11 +62,31 @@ def group_topk(
     order_by: Sequence[Column],
     k: int,
     out_col: str = "rank_in_group",
+    salt_key: Column | None = None,
 ) -> DataFrame:
     """Deterministic per-group top-k (quality-quota sampling: keep the k
     best documents per source/language).  ``order_by`` must be a total
-    order for reproducibility — include a unique id as the last key."""
+    order for reproducibility — include a unique id as the last key.
+
+    A per-group window funnels the WHOLE group through one task — the
+    hot-group killer when groups are few and huge (one language at
+    100 TB).  Pass ``salt_key`` (any deterministic per-row column, e.g.
+    the id) to enable the standard two-phase form: phase 1 keeps the
+    top-k per (group, salt-of-key) — map-spread across ``_N_SALT``
+    reducers — so the final per-group window ranks at most
+    ``k·_N_SALT`` survivors instead of the full group.  Output is
+    IDENTICAL (the global top-k is a subset of the union of per-salt
+    top-ks); the extra cost is one more shuffle of a k·salt-bounded
+    frame."""
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    if salt_key is not None:
+        from cherry_pipelines_spark.operators.text import h32
+
+        salt = F.pmod(h32(salt_key.cast("string")), F.lit(_N_SALT))
+        w1 = Window.partitionBy(*group_cols, salt).orderBy(*order_by)
+        df = df.withColumn("_pre_rank", F.row_number().over(w1)).filter(
+            F.col("_pre_rank") <= k
+        ).drop("_pre_rank")
     return (
         df.withColumn(out_col, F.row_number().over(w).cast("long"))
         .filter(F.col(out_col) <= k)
@@ -205,9 +226,14 @@ def weighted_sample(
     rank orders by (rounded key, id).
 
     The classic use: sample pretraining docs ∝ quality score or token
-    count without collecting weights to the driver.  One window over
-    the stratum key (TakeOrdered shape); rows with weight <= 0 or NULL
-    are excluded (zero mass).
+    count without collecting weights to the driver.  Rows with
+    weight <= 0 or NULL are excluded (zero mass).
+
+    Scale shape: two-phase salted top-n — phase 1 keeps the n smallest
+    keys per (stratum, salt-of-id) so no single reducer ever sees a
+    whole stratum (the hot-stratum killer when one language is most of
+    100 TB); the final stratum window ranks at most n·_N_SALT
+    survivors.  Output identical to the single-window form.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -217,6 +243,13 @@ def weighted_sample(
     )
     key = F.round(-F.log(u) / w, 9)
     keyed = df.filter(w > 0).withColumn("_akey", key)
+    salt = F.pmod(h32(F.col(id_col).cast("string")), F.lit(_N_SALT))
+    pre = Window.partitionBy(*[F.col(s) for s in strata], salt).orderBy(
+        F.col("_akey"), F.col(id_col)
+    )
+    keyed = keyed.withColumn("_pre", F.row_number().over(pre)).filter(
+        F.col("_pre") <= n
+    ).drop("_pre")
     win = Window.partitionBy(*[F.col(s) for s in strata]).orderBy(
         F.col("_akey"), F.col(id_col)
     )
