@@ -3033,6 +3033,57 @@ SELECT node, rank FROM r2
 """
 
 
+def q_docs_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel v3 — this round's operators composed end-to-end:
+    char-bigram LM scoring → per-language quantile gate (drop the
+    worst 20% by LM score) → weighted sample 20 docs/lang ∝ n_chars
+    (A-ES).  Every stage broadcast-joins model/threshold state back
+    onto the facts; the facts shuffle only for the per-doc score and
+    the final salted rank."""
+    from cherry_pipelines_spark.operators.sampling import (
+        quantile_gate,
+        weighted_sample,
+    )
+    from cherry_pipelines_spark.operators.text import bigram_lm_scores
+
+    (d,) = _load(spark, sf_dir, "documents")
+    lm = bigram_lm_scores(d)
+    scored = d.select("doc_id", "lang", "n_chars").join(lm, "doc_id")
+    gated = quantile_gate(scored, ["lang"], "lm_score", 0.2, keep="ge")
+    out = weighted_sample(gated, "n_chars", n=20, strata=["lang"])
+    return out.select("doc_id", "lang", "n_chars", "lm_score", "sample_rank")
+
+
+ORACLE_DOCS_CURATION_V3 = """
+WITH g AS (
+  SELECT doc_id,
+         unnest([substring(text, i, 2)
+                 for i in generate_series(1, length(text) - 1)]) AS bigram
+  FROM documents WHERE length(text) >= 2
+),
+m AS (SELECT bigram, count(*)::BIGINT AS c FROM g GROUP BY bigram),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM m),
+lm AS (SELECT doc_id, round(avg(ln(c::DOUBLE / t)), 6) AS lm_score
+       FROM g JOIN m USING (bigram), tot GROUP BY doc_id),
+s AS (SELECT d.doc_id, d.lang, d.n_chars, lm.lm_score
+      FROM documents d JOIN lm USING (doc_id)),
+thr AS (SELECT lang, quantile_cont(lm_score, 0.2) AS thr FROM s GROUP BY lang),
+gated AS (SELECT s.* FROM s JOIN thr USING (lang) WHERE s.lm_score >= thr.thr),
+k AS (
+  SELECT *, round(-ln((('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+                      / 4294967296.0) / n_chars::DOUBLE, 9) AS akey
+  FROM gated WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, lang, n_chars, lm_score,
+         row_number() OVER (PARTITION BY lang ORDER BY akey, doc_id)::BIGINT
+           AS sample_rank
+  FROM k
+)
+SELECT doc_id, lang, n_chars, lm_score, sample_rank FROM r WHERE sample_rank <= 20
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3125,6 +3176,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_topk": q_quantized_topk,
     "weighted_sample": q_weighted_sample,
     "pagerank": q_pagerank,
+    "docs_curation_v3": q_docs_curation_v3,
 }
 
 
@@ -3219,6 +3271,7 @@ _ORACLES: dict[str, str] = {
     "quantized_topk": ORACLE_QUANTIZED_TOPK,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "pagerank": ORACLE_PAGERANK,
+    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
 }
 
 
