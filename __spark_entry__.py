@@ -3084,6 +3084,46 @@ SELECT doc_id, lang, n_chars, lm_score, sample_rank FROM r WHERE sample_rank <= 
 """
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (§2.7): the streaming fact source joins
+    a STATIC dimension (customer) inside the micro-batch plan — the
+    standard streaming-ETL lookup; the static side broadcasts per
+    micro-batch, stream state stays empty (no watermark needed for
+    stream-static inner joins)."""
+    (c,) = _load(spark, sf_dir, "customer")
+    dim = c.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    agg = (
+        stream.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_static_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_static_out")
+
+
+ORACLE_STREAM_STATIC = """
+SELECT c_mktsegment, count(*)::BIGINT AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3177,6 +3217,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "pagerank": q_pagerank,
     "docs_curation_v3": q_docs_curation_v3,
+    "stream_static_join": q_stream_static_join,
 }
 
 
@@ -3272,6 +3313,7 @@ _ORACLES: dict[str, str] = {
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "pagerank": ORACLE_PAGERANK,
     "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
+    "stream_static_join": ORACLE_STREAM_STATIC,
 }
 
 
