@@ -3124,6 +3124,55 @@ GROUP BY c_mktsegment
 """
 
 
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert / merge (sinks/upsert.py, ReplacingMergeTree
+    semantics): orders arrive as an initial load then a revision batch
+    (even keys re-delivered one version higher with doubled price, keys
+    % 7 == 0 re-delivered at the SAME version — must be a no-op).  The
+    final table must hold exactly the latest-version row per key."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from cherry_pipelines_spark.sinks.upsert import UpsertTable
+
+    (o,) = _load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).cast("long").alias("ver"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    revised = base.filter(F.col("k") % 2 == 0).select(
+        "k", (F.col("ver") + 1).alias("ver"), (F.col("cents") * 2).alias("cents")
+    )
+    same_ver = base.filter(F.col("k") % 7 == 0).select(
+        "k", "ver", (F.col("cents") * 1000).alias("cents")  # must NOT win
+    )
+    path = os.path.join(
+        _tf.gettempdir(),
+        "cherry_upsert_" + _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    for suffix in ("", "._upsert_tmp", "._upsert_old"):
+        _sh.rmtree(path + suffix, ignore_errors=True)
+    t = UpsertTable(spark, path, key_cols=["k"], version_col="ver")
+    t.apply(base)
+    out = t.apply(revised.unionByName(same_ver))
+    return out.select("k", "ver", "cents")
+
+
+ORACLE_UPSERT_MERGE = """
+WITH base AS (
+  SELECT o_orderkey AS k, 1::BIGINT AS ver,
+         round(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+)
+SELECT k,
+       CASE WHEN k % 2 = 0 THEN 2 ELSE 1 END::BIGINT AS ver,
+       CASE WHEN k % 2 = 0 THEN cents * 2 ELSE cents END AS cents
+FROM base
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3218,6 +3267,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pagerank": q_pagerank,
     "docs_curation_v3": q_docs_curation_v3,
     "stream_static_join": q_stream_static_join,
+    "upsert_merge": q_upsert_merge,
 }
 
 
@@ -3314,6 +3364,7 @@ _ORACLES: dict[str, str] = {
     "pagerank": ORACLE_PAGERANK,
     "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
     "stream_static_join": ORACLE_STREAM_STATIC,
+    "upsert_merge": ORACLE_UPSERT_MERGE,
 }
 
 
