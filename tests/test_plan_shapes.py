@@ -201,3 +201,41 @@ def test_zorder_key_stays_codegen(spark, sf_dir, queries):
     assert "Exchange" not in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_quantized_topk_broadcasts_queries(spark, sf_dir, queries):
+    """Quantized ANN keeps the float baseline's shape: the query side
+    broadcasts; the corpus never shuffles for the scoring join."""
+    plan = plan_of(queries["quantized_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_two_phase_windows(spark, sf_dir, queries):
+    """Both ranking phases are hash-partitioned windows — never a
+    global range partitioning (single-task stratum killer)."""
+    plan = plan_of(queries["weighted_sample"](spark, sf_dir))
+    assert plan.count("row_number") >= 2  # salted pre-rank + final rank
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_profile_table_single_aggregate(spark, sf_dir, queries):
+    """One aggregation pass for every column's stats — no join of
+    per-column subplans, no extra scan per column."""
+    plan = plan_of(queries["profile_table"](spark, sf_dir))
+    assert "Join" not in plan
+    # exactly one scan NODE in the tree ("Scan parquet  (<id>)")
+    assert plan.count("Scan parquet  (") == 1
+
+
+def test_upsert_merge_no_join(spark, sf_dir, tmp_path):
+    """The merge is a union + max_by hash aggregate — no join (the
+    query-level result is a table scan, so gate the MERGE plan)."""
+    from cherry_pipelines_spark.sinks.upsert import UpsertTable
+
+    t = UpsertTable(spark, str(tmp_path / "t"), ["k"], "ver")
+    b = spark.createDataFrame([("a", 1, 10)], "k string, ver long, cents long")
+    t.apply(b)
+    plan = plan_of(t._merged(b))
+    assert "Join" not in plan
+    assert "max_by" in plan
