@@ -45,15 +45,23 @@ def pagerank(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    # the edge list, node set, and out-degrees are loop INVARIANTS read
+    # by every iteration — cache them once instead of re-running the
+    # distinct/degree shuffles per round (measured: dominates the
+    # 2-iteration runtime otherwise; storage is the edge list itself,
+    # MEMORY_AND_DISK so an over-RAM graph spills rather than fails)
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .cache()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .cache()
     )
-    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg")).cache()
     n_row = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node",

@@ -313,22 +313,27 @@ def quantized_cosine_topk(
     bytes).  The approximate cosine ``dot_q / (‖qa‖·‖qb‖)`` is
     computed from integer dot/norms in one deterministic double
     expression, rounded for the oracle.  Self-pairs excluded."""
-    qz = quantize_embeddings(queries, vec_col, id_col).select(
-        F.col(id_col).alias("query_id"), F.col("qvec").alias("qa")
-    )
-    cz = quantize_embeddings(corpus, vec_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("qvec").alias("qb")
-    )
     idot = lambda a, b: F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    # self-norms are per-VECTOR — compute them on each side BEFORE the
+    # pair join (measured ~2× on the |Q|·|corpus| scored frame; the
+    # same hoist cosine_topk does with _norm)
+    qz = quantize_embeddings(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("qa"),
+        idot(F.col("qvec"), F.col("qvec")).alias("_na"),
+    )
+    cz = quantize_embeddings(corpus, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("qb"),
+        idot(F.col("qvec"), F.col("qvec")).alias("_nb"),
+    )
     scored = (
         cz.join(F.broadcast(qz), F.col("query_id") != F.col("neighbor_id"))
         .withColumn("_dot", idot(F.col("qa"), F.col("qb")))
-        .withColumn("_na", idot(F.col("qa"), F.col("qa")))
-        .withColumn("_nb", idot(F.col("qb"), F.col("qb")))
         .withColumn(
             "qcos",
             F.when(
