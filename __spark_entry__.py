@@ -3173,6 +3173,33 @@ FROM base
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training step (operators/text.py:bpe_learn_merges):
+    the first learned merge over the documents corpus — corpus-wide
+    adjacent char-pair counts, argmax with (count desc, pair asc)
+    tie-break.  Deeper iterations (greedy merge application) are
+    pinned by the differential unit test vs a plain-python BPE."""
+    from cherry_pipelines_spark.operators.text import bpe_learn_merges
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return bpe_learn_merges(d, iters=1)
+
+
+ORACLE_BPE_MERGES = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+p AS (
+  SELECT unnest([{'l': substring(word, i, 1), 'r': substring(word, i + 1, 1)}
+                 for i in generate_series(1, length(word) - 1)], recursive := true)
+  FROM w WHERE length(word) >= 2
+),
+c AS (SELECT l, r, count(*)::BIGINT AS pair_count FROM p GROUP BY l, r)
+SELECT 0::BIGINT AS merge_rank, l AS left, r AS right, pair_count
+FROM c ORDER BY pair_count DESC, l, r LIMIT 1
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3268,6 +3295,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curation_v3": q_docs_curation_v3,
     "stream_static_join": q_stream_static_join,
     "upsert_merge": q_upsert_merge,
+    "bpe_merges": q_bpe_merges,
 }
 
 
@@ -3365,6 +3393,7 @@ _ORACLES: dict[str, str] = {
     "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
     "stream_static_join": ORACLE_STREAM_STATIC,
     "upsert_merge": ORACLE_UPSERT_MERGE,
+    "bpe_merges": ORACLE_BPE_MERGES,
 }
 
 

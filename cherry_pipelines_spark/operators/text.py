@@ -437,3 +437,93 @@ def bigram_lm_scores(
             ).alias("lm_score"),
         )
     )
+
+
+def _bpe_merge_word(tokens: list, a: str, b: str, merged: str) -> list:
+    """Greedy left-to-right non-overlapping merge of (a, b) → merged."""
+    out: list = []
+    for t in tokens:
+        if out and out[-1] == a and t == b:
+            out[-1] = merged
+        else:
+            out.append(t)
+    return out
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iters: int = 1,
+) -> DataFrame:
+    """Byte-pair-encoding merge training over the corpus — the
+    vocabulary-learning step of tokenizer construction.  Words are
+    whitespace tokens, initial symbols are characters; each iteration
+    counts adjacent symbol pairs corpus-wide, picks the most frequent
+    (ties: lexicographically smallest pair — deterministic), and
+    applies it greedily left-to-right within every word.
+
+    Returns one row per learned merge: ``(merge_rank, left, right,
+    pair_count)`` — the ordered merge table a tokenizer ships.
+
+    Scale shape: per iteration, ONE pair-count shuffle (map-side
+    partial) and one driver-visible argmax via ``TakeOrdered`` of a
+    single row (the merge RULE is O(1) model state — collecting it is
+    the k-means-centroid pattern, not a data collect).  Merge
+    application is per-word Python inside Arrow ``mapInPandas`` (ragged
+    greedy scan, the honest kernel); the corpus is re-tokenized
+    lazily per round off the cached previous round.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sess = df.sparkSession
+    words_schema = T.StructType([T.StructField("syms", T.ArrayType(T.StringType()))])
+
+    def to_words(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for w in text.split(" "):
+                    if w:
+                        out.append(list(w))
+            yield pd.DataFrame({"syms": out})
+
+    words = fan_out(df.select(text_col)).mapInPandas(to_words, words_schema).cache()
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(iters):
+        pairs = (
+            words.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                    )
+                ).alias("p")
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.count("*").cast("long").alias("c"))
+        )
+        top = pairs.orderBy(F.col("c").desc(), F.col("l"), F.col("r")).limit(1).collect()
+        if not top:
+            break
+        row = top[0]
+        a, b, cnt = row["l"], row["r"], row["c"]
+        merges.append((rank, a, b, int(cnt)))
+        merged_sym = a + b
+
+        def apply_merge(batches, _a=a, _b=b, _m=merged_sym):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {"syms": [_bpe_merge_word(s, _a, _b, _m) for s in pdf["syms"]]}
+                )
+
+        words = words.mapInPandas(apply_merge, words_schema).cache()
+    return sess.createDataFrame(
+        merges, "merge_rank long, left string, right string, pair_count long"
+    )

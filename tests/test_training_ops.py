@@ -528,3 +528,66 @@ def test_weighted_sample_deterministic_and_proportional(spark):
         "w", n=10,
     ).collect()
     assert [r["doc_id"] for r in z] == [3]
+
+
+# ------------------------------------------------------------------ BPE
+
+
+def _py_bpe(texts, iters):
+    """Plain-python BPE reference: greedy left-to-right merge, most
+    frequent pair wins, ties -> lexicographically smallest."""
+    words = [list(w) for t in texts for w in t.split(" ") if w]
+    merges = []
+    for rank in range(iters):
+        counts = Counter()
+        for w in words:
+            for i in range(len(w) - 1):
+                counts[(w[i], w[i + 1])] += 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        merges.append((rank, a, b, c))
+        m = a + b
+        new_words = []
+        for w in words:
+            out = []
+            for t in w:
+                if out and out[-1] == a and t == b:
+                    out[-1] = m
+                else:
+                    out.append(t)
+            new_words.append(out)
+        words = new_words
+    return merges
+
+
+def test_bpe_learn_merges_matches_python_reference(spark):
+    from cherry_pipelines_spark.operators.text import bpe_learn_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest",
+        "wider wide widest low",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for iters in (1, 3, 6):
+        got = [
+            (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+            for r in bpe_learn_merges(df, iters=iters)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == _py_bpe(texts, iters), iters
+
+
+def test_bpe_merge_word_greedy_overlap():
+    from cherry_pipelines_spark.operators.text import _bpe_merge_word
+
+    # non-overlapping left-to-right: abab -> [ab, ab]; aaa -> [aa, a]
+    assert _bpe_merge_word(list("abab"), "a", "b", "ab") == ["ab", "ab"]
+    assert _bpe_merge_word(list("aaa"), "a", "a", "aa") == ["aa", "a"]
+    # merged token doesn't spuriously re-match
+    assert _bpe_merge_word(["aa", "a", "a"], "a", "a", "aa") == ["aa", "aa"]
