@@ -1,9 +1,11 @@
 """Text-analysis operators for LLM training-data pipelines.
 
-All pure ``pyspark.sql.functions`` compositions — no Python UDFs — so
-every operator stays inside whole-stage codegen and scales linearly
-with executors.  Each has an exact ANSI-SQL equivalent (used as the
-DuckDB oracle in ``__spark_entry__``).
+Pure ``pyspark.sql.functions`` compositions — no Python UDFs — so the
+operators stay inside whole-stage codegen and scale linearly with
+executors; each has an exact ANSI-SQL equivalent (used as the DuckDB
+oracle in ``__spark_entry__``).  The one deliberate exception is
+``bpe_learn_merges``' greedy merge application: a ragged per-word scan
+with no JVM-expression form, run Arrow-batched in ``mapInPandas``.
 
 The shared 32-bit deterministic hash ``h32(s) = int(sha256(s)[:8
 hex])`` is engine-portable (identical in Spark and DuckDB), which is
