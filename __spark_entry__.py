@@ -3200,6 +3200,104 @@ FROM c ORDER BY pair_count DESC, l, r LIMIT 1
 """
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality (operators/sketches.py): 256-register
+    sketch of orders.o_custkey, raw estimate + exact distinct for
+    audit.  The register build is a map-side partial MAX into <=256
+    rows/partition — the constant-state replacement for exact
+    count-distinct at 100 TB, and the registers merge across shards."""
+    from cherry_pipelines_spark.operators.sketches import hll_distinct
+
+    (o,) = _load(spark, sf_dir, "orders")
+    return hll_distinct(o, F.col("o_custkey"), label="o_custkey")
+
+
+# 47072.71267120224 == alpha_256 * 256^2 with alpha pinned in
+# operators/sketches.py; 16777215 == 2^24 - 1, rho over the low 24 bits
+ORACLE_HLL_DISTINCT = """
+WITH h AS (SELECT ('0x' || substr(sha256(o_custkey::VARCHAR), 1, 8))::BIGINT AS h
+           FROM orders),
+r AS (SELECT h >> 24 AS bucket,
+             CASE WHEN (h & 16777215) = 0 THEN 25
+                  ELSE 25 - length(bin(h & 16777215)) END AS rho
+      FROM h),
+reg AS (SELECT bucket, max(rho) AS rho FROM r GROUP BY bucket),
+est AS (SELECT count(*)::BIGINT AS buckets_used,
+               round(47072.71267120224 /
+                     (256.0 - count(*) + sum(power(2.0, -rho))), 4) AS estimate
+        FROM reg),
+ex AS (SELECT count(DISTINCT o_custkey)::BIGINT AS exact FROM orders)
+SELECT 'o_custkey' AS key, buckets_used, estimate, exact FROM est, ex
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (operators/sketches.py): corpus tokens
+    whose 4x512 sketch estimate reaches 700, with exact counts for
+    audit.  The sketch is 2048 counter rows regardless of corpus size
+    and broadcasts to the probe side — the bounded-state replacement
+    for a full vocabulary count at 100 TB."""
+    from cherry_pipelines_spark.operators.sketches import countmin_heavy_hitters
+    from cherry_pipelines_spark.operators.text import tokens
+
+    (d,) = _load(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return countmin_heavy_hitters(tok, d=4, w=512, min_count=700)
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+sk AS (SELECT s.seed,
+              ('0x' || substr(sha256(s.seed::VARCHAR || '|' || t.token), 1, 8))::BIGINT
+              % 512 AS bucket
+       FROM tok t, seeds s),
+cnt AS (SELECT seed, bucket, count(*)::BIGINT AS cnt FROM sk GROUP BY seed, bucket),
+cand AS (SELECT token, count(*)::BIGINT AS exact FROM tok GROUP BY token),
+probe AS (SELECT c.token, c.exact, s.seed,
+                 ('0x' || substr(sha256(s.seed::VARCHAR || '|' || c.token), 1, 8))::BIGINT
+                 % 512 AS bucket
+          FROM cand c, seeds s),
+est AS (SELECT p.token, p.exact, min(cnt.cnt) AS est
+        FROM probe p JOIN cnt USING (seed, bucket) GROUP BY p.token, p.exact)
+SELECT token, est, exact FROM est WHERE est >= 700
+"""
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate scrub (operators/dedup.py:span_scrub):
+    6-token spans repeated in >2 distinct documents are removed from
+    every document, map-side against the broadcast boilerplate set —
+    the exact-substring dedup step (headers/footers/license chrome) of
+    a web-corpus pipeline."""
+    from cherry_pipelines_spark.operators.dedup import span_scrub
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return span_scrub(d, n=6, max_docs=2)
+
+
+ORACLE_SPAN_DEDUP = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+sp AS (SELECT doc_id, g.s AS start,
+              array_to_string(tk[g.s + 1 : g.s + 6], ' ') AS span_text
+       FROM t, LATERAL unnest(generate_series(0, greatest(len(tk) - 1, 0), 6)) AS g(s)),
+b AS (SELECT span_h FROM
+        (SELECT ('0x' || substr(sha256(span_text), 1, 8))::BIGINT AS span_h, doc_id
+         FROM sp)
+      GROUP BY span_h HAVING count(DISTINCT doc_id) > 2),
+k AS (SELECT doc_id, start, span_text,
+             ('0x' || substr(sha256(span_text), 1, 8))::BIGINT IN
+             (SELECT span_h FROM b) AS is_bad
+      FROM sp)
+SELECT doc_id,
+       count(*)::BIGINT AS n_spans,
+       (count(*) FILTER (WHERE is_bad))::BIGINT AS n_removed,
+       coalesce(string_agg(span_text, ' ' ORDER BY start)
+                FILTER (WHERE NOT is_bad), '') AS clean_text
+FROM k GROUP BY doc_id
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3296,6 +3394,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_static_join": q_stream_static_join,
     "upsert_merge": q_upsert_merge,
     "bpe_merges": q_bpe_merges,
+    "hll_distinct": q_hll_distinct,
+    "heavy_hitters": q_heavy_hitters,
+    "span_dedup": q_span_dedup,
 }
 
 
@@ -3394,6 +3495,9 @@ _ORACLES: dict[str, str] = {
     "stream_static_join": ORACLE_STREAM_STATIC,
     "upsert_merge": ORACLE_UPSERT_MERGE,
     "bpe_merges": ORACLE_BPE_MERGES,
+    "hll_distinct": ORACLE_HLL_DISTINCT,
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "span_dedup": ORACLE_SPAN_DEDUP,
 }
 
 

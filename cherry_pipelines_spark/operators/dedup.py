@@ -555,3 +555,97 @@ def canonical_per_cluster(
         .filter(F.col("_rn") == 1)
         .select(id_col, "cluster_id", "cluster_size")
     )
+
+
+def span_spans(
+    df: DataFrame, text_col: str = "text", n: int = 6, id_col: str = "doc_id"
+) -> DataFrame:
+    """Non-overlapping ``n``-token spans of each document with their
+    position: (id, span_idx, span_text).  Map-side only (sequence +
+    posexplode + slice, same producer shape as ``text.doc_chunks``)."""
+    t = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(n))
+    return (
+        df.select(F.col(id_col), t.alias("_t"), starts.alias("_starts"))
+        .select(id_col, F.posexplode("_starts").alias("span_idx", "_start"), "_t")
+        .select(
+            id_col,
+            F.col("span_idx").cast("long").alias("span_idx"),
+            F.concat_ws(" ", F.slice(F.col("_t"), F.col("_start") + 1, n)).alias(
+                "span_text"
+            ),
+        )
+    )
+
+
+def boilerplate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 6,
+    max_docs: int = 2,
+    id_col: str = "doc_id",
+    max_spans: int = 10_000,
+) -> DataFrame:
+    """Spans repeated across more than ``max_docs`` DISTINCT documents —
+    the exact-substring boilerplate set (headers, footers, license
+    blocks, nav chrome).  One uniform-key shuffle (groupBy span hash);
+    ``max_spans`` caps the result so the scrub side can broadcast it
+    (the boilerplate set is small by nature — each member appears in
+    many documents, so |set| <= corpus_spans / max_docs; the cap keeps
+    the top offenders if an adversarial corpus breaks that bound)."""
+    sp = span_spans(df, text_col, n, id_col)
+    return (
+        sp.groupBy(h32(F.col("span_text")).alias("span_h"))
+        .agg(F.count_distinct(id_col).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .orderBy(F.col("n_docs").desc(), "span_h")
+        .limit(max_spans)
+    )
+
+
+def span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 6,
+    max_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove cross-document boilerplate spans from every document
+    (CCNet/RefinedWeb-style repeated-paragraph scrubbing, here over
+    fixed ``n``-token spans since fixture docs carry no line structure).
+
+    Two-pass plan built for 100 TB: pass 1 aggregates span hashes into
+    the (small, capped) boilerplate set; pass 2 re-derives each doc's
+    spans MAP-SIDE inside an array ``filter`` against the broadcast
+    set — the corpus is never exploded-and-regrouped, so the only
+    shuffle in the whole operator is the pass-1 uniform hash groupBy.
+
+    Output: (id, n_spans, n_removed, clean_text) — clean_text is the
+    surviving spans rejoined in order ('' when everything was scrubbed).
+    """
+    bad = boilerplate_spans(df, text_col, n, max_docs, id_col).agg(
+        F.coalesce(F.collect_list("span_h"), F.array().cast("array<long>")).alias(
+            "_bad"
+        )
+    )
+    t = tokens(F.col(text_col))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(F.col("_t")) - 1, F.lit(0)), F.lit(n)
+    )
+    spans = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(F.col("_t"), s + 1, n))
+    )
+    kept = F.filter(
+        F.col("_spans"), lambda sp: ~F.array_contains(F.col("_bad"), h32(sp))
+    )
+    return (
+        df.crossJoin(F.broadcast(bad))
+        .select(F.col(id_col), t.alias("_t"), F.col("_bad"))
+        .withColumn("_spans", spans)
+        .select(
+            id_col,
+            F.size("_spans").cast("long").alias("n_spans"),
+            (F.size("_spans") - F.size(kept)).cast("long").alias("n_removed"),
+            F.concat_ws(" ", kept).alias("clean_text"),
+        )
+    )

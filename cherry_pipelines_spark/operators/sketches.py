@@ -1,0 +1,157 @@
+"""Distributed sketch operators: HyperLogLog cardinality and
+count-min heavy hitters.
+
+At 100 TB exact ``COUNT(DISTINCT)`` and exact per-token frequency
+tables are the two aggregations most likely to blow shuffle/state
+budgets (billions of distinct keys, stop-word posting explosions).
+Sketches bound both: a HyperLogLog register file is ``2^p`` rows no
+matter how many rows feed it, and a count-min sketch is ``d*w``
+counters.  Both are *mergeable* — partial sketches built per
+partition / per day / per corpus shard union together with a plain
+``MAX`` / ``SUM`` — which is what makes them the right shape for
+incremental 100 TB pipelines (fold today's shard into yesterday's
+registers instead of recounting history).
+
+Everything here is deterministic and engine-portable: the hash is the
+shared sha256-based ``h32`` (same bits in DuckDB), the HLL rho uses
+integer/string bit-length math (no float log2), and the harmonic sum
+adds exact dyadic rationals (2^-rho with rho<=25 over <=2^p terms fits
+a double's 52-bit mantissa exactly, so the sum is order-independent) —
+the whole estimate is reproducible bit-for-bit across engines.
+
+Reference parity: the reference engine has no sketch operators; this
+extends the training-data toolbox (corpus-size estimation, vocabulary
+heavy-hitter mining) beyond reference scope.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.operators.text import h32
+
+# 0.7213 / (1 + 1.079/m) for m = 2^8; literal so the DuckDB oracle can
+# embed the identical constant
+HLL_P = 8
+HLL_ALPHA_256 = 0.7182725932495458
+
+
+def _rho(rem: Column, width: int) -> Column:
+    """Position of the first set bit (from the MSB of a ``width``-bit
+    value) + 1; ``width + 1`` when the value is zero.  Integer/string
+    math only (``bin()`` length == bit_length), identical in DuckDB."""
+    return (
+        F.when(rem == 0, F.lit(width + 1))
+        .otherwise(F.lit(width + 1) - F.length(F.bin(rem)))
+        .cast("long")
+    )
+
+
+def hll_registers(df: DataFrame, key: Column, p: int = HLL_P) -> DataFrame:
+    """Build a HyperLogLog register file for ``key``: ``<=2^p`` rows of
+    ``(bucket, rho)``.
+
+    Bucket = top ``p`` bits of h32(key); rho = leading-zero rank of the
+    remaining ``32-p`` bits.  The aggregation is a MAX groupBy on a
+    uniform 2^p-ary key — map-side partial max reduces every partition
+    to <=2^p rows before the (trivial) shuffle.  Register files from
+    disjoint shards merge with ``union -> groupBy bucket -> max(rho)``.
+    """
+    w = 32 - p
+    h = h32(key.cast("string"))
+    bucket = F.shiftright(h, w).cast("long").alias("bucket")
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    return (
+        df.select(bucket, _rho(rem, w).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = HLL_P, label: str = "key") -> DataFrame:
+    """Collapse a register file to a 1-row cardinality estimate.
+
+    Raw HLL estimate only (alpha * m^2 / sum(2^-rho); absent buckets
+    contribute 2^0 = 1).  The small-range linear-counting correction is
+    deliberately omitted: it needs ``ln``, whose libm rounding differs
+    across engines — the raw estimate is reproducible bit-for-bit.
+    Estimates are rounded to 4 decimals.
+    """
+    if p != HLL_P:
+        raise ValueError("alpha constant is pinned for p=8; extend the table to change p")
+    m = 1 << p
+    return registers.agg(
+        F.count("*").cast("long").alias("buckets_used"),
+        F.round(
+            F.lit(HLL_ALPHA_256 * m * m)
+            / (F.lit(float(m)) - F.count("*") + F.sum(F.pow(F.lit(2.0), -F.col("rho")))),
+            4,
+        ).alias("estimate"),
+    ).select(F.lit(label).alias("key"), "buckets_used", "estimate")
+
+
+def hll_distinct(df: DataFrame, key: Column, label: str = "key", p: int = HLL_P) -> DataFrame:
+    """``hll_registers`` + ``hll_estimate`` + the exact distinct count
+    for audit, as one row: (key, buckets_used, estimate, exact)."""
+    est = hll_estimate(hll_registers(df, key, p), p, label)
+    exact = df.agg(F.count_distinct(key).cast("long").alias("exact"))
+    return est.crossJoin(F.broadcast(exact))
+
+
+def countmin_sketch(
+    tokens_df: DataFrame, token_col: str = "token", d: int = 4, w: int = 512
+) -> DataFrame:
+    """Count-min sketch of a token stream: ``d*w`` counter rows
+    ``(seed, bucket, cnt)``.
+
+    Each token lands in one bucket per seed row (hash of
+    ``seed|token``), so the plan is a map-side explode by ``d`` then a
+    SUM groupBy on a uniform (seed, bucket) key — partial aggregation
+    collapses every partition to <=d*w rows before the shuffle.  Sketch
+    rows from disjoint shards merge with SUM.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    t = tokens_df.select(F.col(token_col).alias("_tok"), seeds)
+    bucket = F.pmod(h32(F.concat_ws("|", F.col("seed"), F.col("_tok"))), F.lit(w))
+    return (
+        t.select("seed", bucket.cast("long").alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def countmin_heavy_hitters(
+    tokens_df: DataFrame,
+    token_col: str = "token",
+    d: int = 4,
+    w: int = 512,
+    min_count: int = 100,
+) -> DataFrame:
+    """Heavy hitters via count-min: tokens whose sketch estimate
+    (min over the ``d`` counter rows they hash into) reaches
+    ``min_count``, with the exact count alongside for audit.
+
+    The sketch (d*w rows) broadcasts to the candidate side, so the only
+    corpus-scale shuffle is the distinct-token aggregation — and that
+    one is exactly the aggregation whose result the sketch would let an
+    incremental pipeline skip (probe yesterday's sketch instead).
+    Output: (token, est, exact) for est >= min_count.
+    """
+    sketch = countmin_sketch(tokens_df, token_col, d, w)
+    cand = tokens_df.groupBy(F.col(token_col).alias("token")).agg(
+        F.count("*").cast("long").alias("exact")
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    probe = cand.select("token", "exact", seeds).withColumn(
+        "bucket",
+        F.pmod(h32(F.concat_ws("|", F.col("seed"), F.col("token"))), F.lit(w)).cast(
+            "long"
+        ),
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("token", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return est.filter(F.col("est") >= min_count).select("token", "est", "exact")

@@ -1,0 +1,118 @@
+"""Sketch operators: HyperLogLog cardinality, count-min heavy
+hitters, and the span-level boilerplate scrub."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.operators import dedup
+from cherry_pipelines_spark.operators.sketches import (
+    countmin_heavy_hitters,
+    countmin_sketch,
+    hll_distinct,
+    hll_registers,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_estimate_within_expected_error(spark):
+    # p=8 -> relative error ~1.04/sqrt(256) ~ 6.5%; allow 3 sigma
+    df = spark.range(10_000).select(F.col("id").alias("k"))
+    row = hll_distinct(df, F.col("k"), label="k").collect()[0]
+    assert row["key"] == "k" and row["exact"] == 10_000
+    assert abs(row["estimate"] - 10_000) / 10_000 < 0.20
+
+
+def test_hll_registers_merge_across_shards(spark):
+    # registers(a) union registers(b) folded with MAX == registers(a+b):
+    # the mergeability that makes the sketch incremental at 100 TB
+    a = spark.range(0, 3_000).select(F.col("id").alias("k"))
+    b = spark.range(2_000, 6_000).select(F.col("id").alias("k"))
+    whole = hll_registers(a.unionAll(b), F.col("k"))
+    merged = (
+        hll_registers(a, F.col("k"))
+        .unionByName(hll_registers(b, F.col("k")))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_insensitive_to_duplicates_and_layout(spark):
+    base = spark.range(1_000).select(F.col("id").alias("k"))
+    dup = base.unionAll(base).unionAll(base).repartition(7)
+    e1 = hll_distinct(base, F.col("k")).collect()[0]["estimate"]
+    e2 = hll_distinct(dup, F.col("k")).collect()[0]["estimate"]
+    assert e1 == e2
+
+
+# ---------------------------------------------------------- count-min
+
+
+def test_countmin_never_underestimates_and_finds_all_hitters(spark):
+    rows = [("hot",)] * 500 + [("warm",)] * 120 + [(f"t{i}",) for i in range(300)]
+    tok = spark.createDataFrame(rows, "token string")
+    out = {r["token"]: r for r in countmin_heavy_hitters(tok, min_count=100).collect()}
+    # one-sided CMS guarantee: est >= exact, so no false negatives
+    assert set(out) >= {"hot", "warm"}
+    for r in out.values():
+        assert r["est"] >= r["exact"]
+    assert out["hot"]["exact"] == 500 and out["warm"]["exact"] == 120
+
+
+def test_countmin_sketch_size_bounded_and_mergeable(spark):
+    tok = spark.createDataFrame([(f"t{i % 37}",) for i in range(5_000)], "token string")
+    sk = countmin_sketch(tok, d=4, w=64)
+    assert sk.count() <= 4 * 64
+    half1 = countmin_sketch(tok.limit(2_500), d=4, w=64)
+    # SUM-merge of shard sketches == sketch of the union (same tokens)
+    tot = sk.agg(F.sum("cnt")).collect()[0][0]
+    assert tot == 4 * 5_000
+    assert half1.agg(F.sum("cnt")).collect()[0][0] == 4 * 2_500
+
+
+# --------------------------------------------------------- span scrub
+
+
+def test_span_scrub_removes_cross_doc_spans_only(spark):
+    boiler = "c o m m o n"  # 6 tokens, shared by 3 docs
+    docs = _docs(
+        spark,
+        [
+            (1, boiler + " u1 a b c d e"),
+            (2, boiler + " u2 f g h i j"),
+            (3, boiler + " u3 k l m n o"),
+            (4, "solo w x y z q r"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup.span_scrub(docs, n=6, max_docs=2).collect()}
+    for d in (1, 2, 3):
+        assert out[d]["n_removed"] == 1
+        assert not out[d]["clean_text"].startswith(boiler)
+    assert out[4]["n_removed"] == 0
+    assert out[4]["clean_text"] == "solo w x y z q r"
+
+
+def test_span_scrub_noop_reassembles_text_exactly(spark):
+    docs = _docs(spark, [(1, " ".join(f"w{i}" for i in range(17)))])
+    r = dedup.span_scrub(docs, n=6, max_docs=1).collect()[0]
+    assert r["n_spans"] == 3 and r["n_removed"] == 0
+    assert r["clean_text"] == " ".join(f"w{i}" for i in range(17))
+
+
+def test_span_scrub_full_removal_yields_empty(spark):
+    docs = _docs(spark, [(i, "a b c d e f") for i in range(1, 5)])
+    for r in dedup.span_scrub(docs, n=6, max_docs=2).collect():
+        assert r["n_removed"] == 1 and r["clean_text"] == ""
+
+
+def test_boilerplate_spans_counts_distinct_docs(spark):
+    # same span twice INSIDE one doc is not cross-doc boilerplate
+    docs = _docs(spark, [(1, "a b c d e f a b c d e f"), (2, "z z z z z z")])
+    assert dedup.boilerplate_spans(docs, n=6, max_docs=1).count() == 0
