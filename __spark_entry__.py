@@ -3298,6 +3298,61 @@ FROM k GROUP BY doc_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/clustering.py:semantic_dedup): k-means the
+    embeddings (k=4, 2 Lloyd rounds — same deterministic recipe as
+    `kmeans_embeddings`), then drop points with a cosine >= 0.35 to a
+    lower-id cluster-mate.  The cluster partition bounds the quadratic
+    pair stage to within-cluster comparisons — the standard way to make
+    embedding-level dedup tractable at corpus scale."""
+    from cherry_pipelines_spark.operators.clustering import semantic_dedup
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    return semantic_dedup(em, k=4, iters=2, threshold=0.35)
+
+
+# replay the kmeans oracle up to the final assignment (a2), then the
+# within-cluster pair screen
+_KMEANS_ASSIGN_HEAD = ORACLE_KMEANS.split("m2 AS")[0]
+ORACLE_SEMANTIC_DEDUP = _KMEANS_ASSIGN_HEAD + """pr AS (
+  SELECT b.vec_id AS idb
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35)
+SELECT vec_id, cid::BIGINT AS cluster_id,
+       vec_id NOT IN (SELECT idb FROM pr) AS kept
+FROM a2
+"""
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation (operators/similarity.py:ann_recall):
+    recall@3 of the IVF index against the exact cosine top-3, per
+    query — the measurement loop that justifies (or rejects) an
+    approximate index before a 100 TB backfill commits to it."""
+    from cherry_pipelines_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(em, q, k=3)
+    approx = ivf_topk(em, q, k=3)
+    return ann_recall(exact, approx, k=3)
+
+
+ORACLE_ANN_RECALL = f"""
+WITH ex AS (SELECT query_id, neighbor_id FROM ({ORACLE_COSINE_TOPK}) WHERE rank <= 3),
+ap AS (SELECT query_id, neighbor_id FROM ({ORACLE_IVF_TOPK})),
+h AS (SELECT e.query_id, count(a.neighbor_id)::BIGINT AS hits
+      FROM ex e LEFT JOIN ap a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id)
+SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3397,6 +3452,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "span_dedup": q_span_dedup,
+    "semantic_dedup": q_semantic_dedup,
+    "ann_recall": q_ann_recall,
 }
 
 
@@ -3498,6 +3555,8 @@ _ORACLES: dict[str, str] = {
     "hll_distinct": ORACLE_HLL_DISTINCT,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "span_dedup": ORACLE_SPAN_DEDUP,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "ann_recall": ORACLE_ANN_RECALL,
 }
 
 

@@ -101,16 +101,10 @@ def _recenter(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_lloyd(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    k: int = 4,
-    iters: int = 2,
-) -> DataFrame:
-    """Run ``iters`` Lloyd iterations; returns per-cluster rows
-    ``(cluster_id, dim, centroid, n)`` — the final centroid coordinates
-    (one row per dimension) plus the cluster's point count."""
+def _lloyd(
+    df: DataFrame, vec_col: str, id_col: str, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared Lloyd loop: returns (final assignment, final centroids)."""
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     init = (
@@ -131,6 +125,33 @@ def kmeans_lloyd(
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             # centroid frame is k rows — checkpoint resets lineage cheaply
             cents = cents.localCheckpoint(eager=True)
+    return assigned, cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Per-point assignment after ``iters`` Lloyd iterations:
+    ``(id, _v double-array, cluster_id)``."""
+    assigned, _ = _lloyd(df, vec_col, id_col, k, iters)
+    return assigned
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Run ``iters`` Lloyd iterations; returns per-cluster rows
+    ``(cluster_id, dim, centroid, n)`` — the final centroid coordinates
+    (one row per dimension) plus the cluster's point count."""
+    assigned, cents = _lloyd(df, vec_col, id_col, k, iters)
     n = assigned.groupBy("cluster_id").agg(F.count("*").cast("long").alias("n"))
     return (
         cents.join(n, "cluster_id")
@@ -141,5 +162,71 @@ def kmeans_lloyd(
         )
         .select(
             "cluster_id", F.col("dim").cast("long").alias("dim"), "centroid", "n"
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+    threshold: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pruning: k-means the
+    embeddings, then inside each cluster drop every point whose cosine
+    to a LOWER-id cluster-mate reaches ``threshold`` (one deterministic
+    pass — the keep verdict does not depend on whether the lower-id
+    mate itself survives).
+
+    The cluster assignment is what makes the quadratic verify tractable
+    at 100 TB: the self-join shuffles once on ``cluster_id`` and each
+    task compares only within its cluster, so cost is Σ|cluster|² not
+    |corpus|² — ``k`` is the knob that bounds the largest cluster.
+    Norms are computed per ROW before the pair join (O(n), not
+    O(pairs)); the pair stage does only the dot product, rounded to
+    ``scale`` so an independent engine reproduces the verdicts exactly.
+
+    Output: (id, cluster_id, kept).
+    """
+    from cherry_pipelines_spark.operators.similarity import _cos_pre, _norm
+
+    assigned = kmeans_assign(df, vec_col, id_col, k, iters)
+    sides = assigned.select(
+        F.col(id_col), "cluster_id", "_v", _norm(F.col("_v")).alias("_n")
+    )
+    l = sides.select(
+        F.col(id_col).alias("_ida"),
+        "cluster_id",
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    r = sides.select(
+        F.col(id_col).alias("_idb"),
+        "cluster_id",
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    dropped = (
+        l.join(r, ["cluster_id"])
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(
+            F.round(
+                _cos_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
+                scale,
+            )
+            >= threshold
+        )
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), [id_col], "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
         )
     )

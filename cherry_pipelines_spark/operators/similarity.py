@@ -359,3 +359,37 @@ def quantized_cosine_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
+    """Recall@k of an approximate-neighbor result against exact ground
+    truth: per query, the fraction of the exact top-k the ANN run
+    recovered — the acceptance metric to run on a sample BEFORE an
+    approximate index is trusted for a full-corpus backfill.
+
+    Both inputs carry (query_id, neighbor_id[, ...]); the join is on
+    the id pair only, so score-scale differences between the two
+    methods don't matter.  Plan: one semi-join + one groupBy on
+    query_id (queries are the small side by construction).
+
+    Output: (query_id, hits, recall) with recall rounded to 4 dp.
+    """
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id")
+    hits = (
+        ex.join(ap, ["query_id", "neighbor_id"], "semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    return (
+        ex.select("query_id")
+        .distinct()
+        .join(hits, ["query_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(k)), 4
+            ).alias("recall"),
+        )
+    )

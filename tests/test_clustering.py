@@ -182,3 +182,50 @@ def test_pagerank_dedupes_edges_and_validates(spark):
     } == {(r["node"], r["rank"]) for r in pagerank(uniq, iters=2).collect()}
     with pytest.raises(ValueError):
         pagerank(uniq, iters=0)
+
+
+def test_semantic_dedup_drops_higher_id_of_near_pair(spark):
+    from cherry_pipelines_spark.operators.clustering import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),   # ~parallel to 1 -> dropped
+        (3, [0.0, 1.0]),
+        (4, [-1.0, 0.05]),    # far from everything -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, k=1, iters=1, threshold=0.95).collect()}
+    assert out[1]["kept"] and not out[2]["kept"]
+    assert out[3]["kept"] and out[4]["kept"]
+
+
+def test_semantic_dedup_verdict_independent_of_chain(spark):
+    from cherry_pipelines_spark.operators.clustering import semantic_dedup
+
+    # 1~2 and 2~3 but 1!~3: one-pass rule drops BOTH 2 and 3?  No —
+    # 3 is only near 2 (a lower id), so 3 drops too; the documented
+    # rule is "near ANY lower id", survival of the mate is irrelevant.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.96, 0.28]),
+        (3, [0.85, 0.52]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, k=1, iters=1, threshold=0.95).collect()}
+    assert out[1]["kept"] and not out[2]["kept"] and not out[3]["kept"]
+
+
+def test_ann_recall_counts_and_bounds(spark):
+    from cherry_pipelines_spark.operators.similarity import ann_recall
+
+    ex = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (2, 22)],
+        "query_id long, neighbor_id long",
+    )
+    ap = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 99), (2, 77), (2, 88), (2, 99)],
+        "query_id long, neighbor_id long",
+    )
+    out = {r["query_id"]: r for r in ann_recall(ex, ap, k=3).collect()}
+    assert out[1]["hits"] == 2 and out[1]["recall"] == 0.6667
+    assert out[2]["hits"] == 0 and out[2]["recall"] == 0.0
