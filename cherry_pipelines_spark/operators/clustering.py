@@ -194,9 +194,13 @@ def semantic_dedup(
     from cherry_pipelines_spark.operators.similarity import _cos_pre, _norm
 
     assigned = kmeans_assign(df, vec_col, id_col, k, iters)
+    # the assignment feeds BOTH pair-join sides and the final keep join;
+    # without a checkpoint the whole iterative Lloyd subtree would be
+    # recomputed three times (Spark does not CSE across self-joins) —
+    # one lazy materialization beats three corpus scans
     sides = assigned.select(
         F.col(id_col), "cluster_id", "_v", _norm(F.col("_v")).alias("_n")
-    )
+    ).localCheckpoint(eager=False)
     l = sides.select(
         F.col(id_col).alias("_ida"),
         "cluster_id",
@@ -223,7 +227,8 @@ def semantic_dedup(
         .distinct()
     )
     return (
-        assigned.join(dropped.withColumn("_drop", F.lit(True)), [id_col], "left")
+        sides.select(id_col, "cluster_id")
+        .join(dropped.withColumn("_drop", F.lit(True)), [id_col], "left")
         .select(
             id_col,
             "cluster_id",

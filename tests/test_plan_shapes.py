@@ -239,3 +239,54 @@ def test_upsert_merge_no_join(spark, sf_dir, tmp_path):
     plan = plan_of(t._merged(b))
     assert "Join" not in plan
     assert "max_by" in plan
+
+
+def test_hll_distinct_partial_agg_no_python(spark, sf_dir, queries):
+    plan = plan_of(queries["hll_distinct"](spark, sf_dir))
+    # register build must partial-aggregate map-side (constant state per
+    # partition) and stay JVM-side end to end
+    assert "partial_max" in plan or "partial_max".upper() in plan.upper()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "exact" in plan  # 1-row audit cross
+
+
+def test_heavy_hitters_sketch_broadcasts(spark, sf_dir, queries):
+    plan = plan_of(queries["heavy_hitters"](spark, sf_dir))
+    # the d*w sketch is the build side of a broadcast join; the corpus
+    # is never on the build side
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_span_dedup_scrub_is_map_side(spark, sf_dir, queries):
+    from cherry_pipelines_spark.plans import plan_summary
+
+    plan = plan_of(queries["span_dedup"](spark, sf_dir))
+    # the bad-set reaches the scrub as a broadcast; the corpus-side
+    # rebuild is an array filter, never an explode + regroup (no
+    # corpus-scale aggregate after the join)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bad-set crossJoin
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    s = plan_summary(queries["span_dedup"](spark, sf_dir))
+    # exactly the one pass-1 hash aggregate pair (partial+final) plus
+    # the collect_list of the bad set: no regroup of scrubbed docs
+    assert "SortAggregate" not in s or s.get("SortAggregate", 0) <= 2
+
+
+def test_semantic_dedup_pair_join_is_cluster_equi(spark, sf_dir, queries):
+    from cherry_pipelines_spark.plans import plan_summary
+
+    df = queries["semantic_dedup"](spark, sf_dir)
+    s = plan_summary(df)
+    # the quadratic screen is an equi-join on cluster_id (sort-merge or
+    # shuffled-hash), never a corpus x corpus nested loop; the only
+    # nested loops allowed are the 1-row centroid-model crossJoins of
+    # the Lloyd iterations (one per iteration once the assignment
+    # subtree is checkpoint-shared, not one per self-join side)
+    assert s.get("SortMergeJoin", 0) + s.get("ShuffledHashJoin", 0) >= 1
+    assert s.get("BroadcastNestedLoopJoin", 0) <= 2
+
+
+def test_ann_recall_queries_broadcast(spark, sf_dir, queries):
+    plan = plan_of(queries["ann_recall"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
