@@ -3353,6 +3353,188 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (operators/multimodal.py:_decode_wav): a
+    spec-compliant RIFF/WAVE 16-bit PCM file is built per document
+    PURELY IN SQL expressions (little-endian chunk headers, two's-
+    complement samples; sample k = (doc_id*37 + k*11) % 4001 - 2000),
+    then decode_audio_stats must walk the chunk layout and vectorize
+    the payload to reproduce the closed-form energy/peak stats the
+    DuckDB oracle computes arithmetically — the audio counterpart of
+    `multimodal_decode`."""
+    from cherry_pipelines_spark.operators.multimodal import decode_audio_stats
+
+    (d,) = _load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    n = (i % 50 + 20).cast("int")
+    rate = (F.lit(8000) + (i % 3) * 4000).cast("int")
+    data_size = n * 2
+    le32 = lambda c: _le_hex(c, 4)
+    le16 = lambda c: _le_hex(c, 2)
+    header_hex = F.concat(
+        F.lit("52494646"), le32(F.lit(36) + data_size), F.lit("57415645"),
+        F.lit("666D7420"), le32(F.lit(16)), le16(F.lit(1)), le16(F.lit(1)),
+        le32(rate), le32(rate * 2), le16(F.lit(2)), le16(F.lit(16)),
+        F.lit("64617461"), le32(data_size),
+    )
+    sample = lambda k: F.pmod((i * 37 + k * 11) % 4001 - 2000, F.lit(65536))
+    pcm_hex = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(0), n - 1), lambda k: le16(sample(k)))
+    )
+    blobs = d.select(
+        i.alias("media_id"), F.unhex(F.concat(header_hex, pcm_hex)).alias("blob")
+    )
+    return decode_audio_stats(blobs)
+
+
+ORACLE_AUDIO_DECODE = """
+WITH b AS (
+  SELECT doc_id, doc_id % 50 + 20 AS n, 8000 + (doc_id % 3) * 4000 AS rate
+  FROM documents
+),
+v AS (
+  SELECT doc_id, n, rate,
+         [(doc_id*37 + k*11) % 4001 - 2000 for k in generate_series(0, n - 1)] AS s
+  FROM b
+)
+SELECT doc_id AS media_id, rate::INTEGER AS sample_rate, 1::INTEGER AS channels,
+       n::BIGINT AS n_samples, ((n * 1000) // rate)::BIGINT AS duration_ms,
+       list_aggregate(list_transform(s, x -> x * x), 'sum')::BIGINT AS sum_sq,
+       list_aggregate(list_transform(s, x -> abs(x)), 'max')::INTEGER AS peak
+FROM v
+"""
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-audit snapshot diff (operators/diff.py:table_diff): the
+    orders table vs a revised snapshot (every 7th key dropped, every
+    5th repriced, one synthetic key-space of additions) — row status +
+    the changed-column list, from ONE co-partitioned full outer join."""
+    from cherry_pipelines_spark.operators.diff import table_diff
+
+    (o,) = _load(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    revised = (
+        old.filter(k % 7 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % 5 == 0, F.round(F.col("o_totalprice") * 2, 2)).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+    )
+    added = old.filter(k % 11 == 0).select(
+        (k + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    new = revised.unionByName(added)
+    diff = table_diff(old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"])
+    return diff.select(
+        "o_orderkey",
+        "status",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    )
+
+
+ORACLE_TABLE_DIFF = """
+WITH old AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 2, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM old WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, 'N' FROM old WHERE o_orderkey % 11 = 0
+),
+j AS (
+  SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         o.o_orderkey IS NULL AS only_new, n.o_orderkey IS NULL AS only_old,
+         o.o_totalprice IS DISTINCT FROM n.o_totalprice AS d_price,
+         o.o_orderstatus IS DISTINCT FROM n.o_orderstatus AS d_status
+  FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN only_new THEN 'added' WHEN only_old THEN 'removed'
+            WHEN d_price OR d_status THEN 'changed' ELSE 'unchanged' END AS status,
+       CASE WHEN only_new OR only_old THEN ''
+            ELSE coalesce(array_to_string(
+              [x for x in ['o_orderstatus', 'o_totalprice']
+               if (x = 'o_totalprice' AND d_price)
+                  OR (x = 'o_orderstatus' AND d_status)], ','), '')
+       END AS changed_cols
+FROM j
+"""
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py:triangle_count)
+    over the supplier co-supply graph: each order's sorted supplier
+    set contributes its adjacent pairs plus the closing pair (a
+    bounded-fan-out cycle per order, so orders with >=3 suppliers seed
+    triangles) — two equi-join shuffles, a<b<c orientation, no nested
+    loop."""
+    from cherry_pipelines_spark.operators.graph import triangle_count
+
+    (l,) = _load(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    m = F.size("ss")
+    adjacent = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - 2, F.lit(0))),
+        lambda j: F.struct(
+            F.element_at("ss", j + 1).alias("src"),
+            F.element_at("ss", j + 2).alias("dst"),
+        ),
+    )
+    closing = F.when(
+        m >= 3,
+        F.array(
+            F.struct(
+                F.element_at("ss", 1).alias("src"),
+                F.element_at("ss", m).alias("dst"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<src:bigint,dst:bigint>>"))
+    edges = (
+        per_order.filter(m >= 2)
+        .select(F.explode(F.concat(adjacent, closing)).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+ORACLE_TRIANGLES = """
+WITH s AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_suppkey))) AS ss
+  FROM lineitem GROUP BY l_orderkey
+),
+adj AS (
+  SELECT ss[j] AS a, ss[j + 1] AS b
+  FROM s, LATERAL unnest(generate_series(1, len(ss) - 1)) AS g(j)
+  WHERE len(ss) >= 2
+),
+clo AS (SELECT ss[1] AS a, ss[len(ss)] AS b FROM s WHERE len(ss) >= 3),
+e AS (SELECT DISTINCT a, b FROM (SELECT * FROM adj UNION ALL SELECT * FROM clo)
+      WHERE a <> b),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT node, count(*)::BIGINT AS triangles FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+),
+nodes AS (SELECT DISTINCT a AS node FROM e UNION SELECT DISTINCT b FROM e)
+SELECT n.node, coalesce(p.triangles, 0)::BIGINT AS triangles
+FROM nodes n LEFT JOIN pern p ON n.node = p.node
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3454,6 +3636,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "semantic_dedup": q_semantic_dedup,
     "ann_recall": q_ann_recall,
+    "audio_decode": q_audio_decode,
+    "table_diff": q_table_diff,
+    "triangle_count": q_triangle_count,
 }
 
 
@@ -3557,6 +3742,9 @@ _ORACLES: dict[str, str] = {
     "span_dedup": ORACLE_SPAN_DEDUP,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
     "ann_recall": ORACLE_ANN_RECALL,
+    "audio_decode": ORACLE_AUDIO_DECODE,
+    "table_diff": ORACLE_TABLE_DIFF,
+    "triangle_count": ORACLE_TRIANGLES,
 }
 
 

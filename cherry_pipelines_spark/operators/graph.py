@@ -100,3 +100,51 @@ def pagerank(
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def triangle_count(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (duplicate
+    and self edges ignored) — the clustering-coefficient numerator used
+    to profile web/citation graphs before link-based curation.
+
+    The classic two-join plan with the degeneracy-style orientation
+    trick: canonicalize every edge to ``a < b``, enumerate wedges by
+    joining edges on the shared middle vertex, then close each wedge
+    with a third equi-join.  Ordering (a < b < c) means every triangle
+    is found exactly once — no post-hoc /6 division and, at scale, no
+    high-degree vertex enumerates both directions of its fan-out.  Both
+    joins are equi-joins on vertex keys, so the whole operator is two
+    uniform-key shuffles; there is no nested loop anywhere.
+
+    Returns ``(node, triangles)`` for every node of the edge list
+    (0 for triangle-free nodes).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
+        .filter(F.col("_u") != F.col("_v"))
+        .select(
+            F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
+        )
+        .distinct()
+    )
+    # wedges a-b-c with a < b < c: first join on the middle vertex
+    ab = e.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+    bc = e.select(F.col("a").alias("wb"), F.col("b").alias("wc"))
+    wedges = ab.join(bc, "wb")
+    closing = e.select(F.col("a").alias("wa"), F.col("b").alias("wc"))
+    tris = wedges.join(closing, ["wa", "wc"])
+    per_node = (
+        tris.select(F.explode(F.array("wa", "wb", "wc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("triangles"))
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+    )

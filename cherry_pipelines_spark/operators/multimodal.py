@@ -538,3 +538,103 @@ def resize_image(
     from cherry_pipelines_spark.operators.text import fan_out
 
     return fan_out(df.select(id_col, blob_col)).mapInPandas(mapper, out_schema)
+
+
+# ------------------------------------------------------------------ audio
+
+
+def _decode_wav(blob: bytes):
+    """Parse a RIFF/WAVE container with 16-bit PCM samples: validate
+    the chunk layout (RIFF size, fmt tag, PCM format code, block
+    alignment), then return (sample_rate, channels, int16 sample
+    array).  Raises on compressed/malformed input — WAV with PCM is the
+    one audio container that needs no external codec, the audio
+    counterpart of PPM/BMP on the image side."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 44 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    riff_size = struct.unpack("<I", blob[4:8])[0]
+    if riff_size != len(blob) - 8:
+        raise ValueError("RIFF size mismatch")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        csz = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        body = blob[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    (audio_format, channels, rate, _byte_rate, block_align, bits) = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1 or bits != 16:
+        raise ValueError("not 16-bit PCM (codec required)")
+    if block_align != channels * 2:
+        raise ValueError("block_align mismatch")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, channels, samples
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def decode_audio_stats(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL audio decode over binary blobs (WAV/PCM16): parse the RIFF
+    chunk walk, vectorize the PCM payload with numpy, and reduce to
+    exact integer stats — energy (sum of squared samples), peak
+    amplitude, duration floor-milliseconds.  Integer outputs make the
+    result engine-replayable bit-for-bit (no float RMS).  Undecodable
+    rows yield NULL stats (``allow_decode_fail`` posture).  Same Arrow
+    mapInPandas batch shape as the image kernels — one pass, no
+    regroup, scales with input splits."""
+    import numpy as np
+
+    out_schema = T.StructType([df.schema[id_col]] + list(AUDIO_STATS_SCHEMA.fields))
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                try:
+                    rate, channels, s = _decode_wav(bytes(blob))
+                    s64 = s.astype("int64")
+                    n = len(s) // channels
+                    rows.append(
+                        (
+                            int(rate),
+                            int(channels),
+                            int(n),
+                            int(n * 1000 // rate),
+                            int((s64 * s64).sum()),
+                            int(np.abs(s64).max()) if len(s) else 0,
+                        )
+                    )
+                except Exception:
+                    rows.append((None, None, None, None, None, None))
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            ).astype(object)
+            out.insert(0, id_col, pdf[id_col].reset_index(drop=True))
+            yield out
+
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    return fan_out(df.select(id_col, blob_col)).mapInPandas(mapper, out_schema)
