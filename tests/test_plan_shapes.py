@@ -290,3 +290,38 @@ def test_semantic_dedup_pair_join_is_cluster_equi(spark, sf_dir, queries):
 def test_ann_recall_queries_broadcast(spark, sf_dir, queries):
     plan = plan_of(queries["ann_recall"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_triangle_count_two_equi_joins_no_bnlj(spark, sf_dir, queries):
+    from cherry_pipelines_spark.plans import plan_summary
+
+    s = plan_summary(queries["triangle_count"](spark, sf_dir))
+    # wedge + closing joins are equi-joins; nothing nested-loops
+    assert "BroadcastNestedLoopJoin" not in s
+    assert (
+        s.get("SortMergeJoin", 0)
+        + s.get("ShuffledHashJoin", 0)
+        + s.get("BroadcastHashJoin", 0)
+        >= 2
+    )
+
+
+def test_table_diff_single_full_outer_join(spark, sf_dir, queries):
+    from cherry_pipelines_spark.plans import plan_summary
+
+    s = plan_summary(queries["table_diff"](spark, sf_dir))
+    # ONE co-partitioned join comparing the snapshots; the comparison
+    # itself is JVM expression work, not extra joins
+    assert s.get("SortMergeJoin", 0) + s.get("ShuffledHashJoin", 0) == 1
+    assert "BroadcastNestedLoopJoin" not in s
+
+
+def test_audio_decode_single_arrow_pass(spark, sf_dir, queries):
+    plan = plan_of(queries["audio_decode"](spark, sf_dir))
+    # one mapInPandas boundary; the only exchange is fan_out's
+    # round-robin rebalance ahead of the Python workers (no keyed
+    # shuffle — the decode is map-only)
+    assert plan.count("MapInPandas (") == 1
+    assert plan.count("Exchange (") == 1
+    assert "RoundRobinPartitioning" in plan
+    assert "hashpartitioning" not in plan.lower()
