@@ -121,6 +121,10 @@ def streaming_sessionize(
                     closed.append((k, cur[0], cur[1], cur[2]))
                     cur = [s, s, 1]
                 else:
+                    # late-but-within-watermark events from a later
+                    # micro-batch can precede the open session's start;
+                    # merge them by extending the start backwards
+                    cur[0] = min(cur[0], s)
                     cur[1] = max(cur[1], s)
                     cur[2] += 1
         if cur is not None:

@@ -277,9 +277,12 @@ def test_streaming_sessionize_across_batches(spark, tmp_path):
 
     src = str(tmp_path / "sess_src")
     os.makedirs(src)
+    # coalesce(1): each append must land as ONE file — multi-file commits
+    # are non-atomic and the always-on trigger can list a partial set,
+    # splitting a logical batch across micro-batches (observed flake)
     mk = lambda rows: spark.createDataFrame(rows, "k string, secs long").select(
         "k", F.timestamp_seconds("secs").alias("ts")
-    )
+    ).coalesce(1)
     # batch 1: user a events at 100, 105 (one open session; offset from
     # epoch 0 so the initial watermark's late-row filter can't eat them)
     mk([("a", 100), ("a", 105)]).write.mode("append").parquet(src)
