@@ -3535,6 +3535,155 @@ FROM nodes n LEFT JOIN pern p ON n.node = p.node
 """
 
 
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 validity intervals (operators/analytics.py:
+    scd2_intervals) over the events log: each user's event_type runs
+    collapse to (valid_from, valid_to) intervals — the standard
+    dimension-history build a warehouse runs on top of materialized
+    tables (reference pipelines feed exactly such dashboards,
+    reference pipelines/evm/erc20_transfers.py:118).  One Exchange on
+    user_id feeds both window passes.  Time is normalized to epoch
+    seconds via the dtype-adaptive ``_ts_secs`` (same contract as the
+    sessionize family)."""
+    from cherry_pipelines_spark.operators.analytics import scd2_intervals
+
+    (e,) = _load(spark, sf_dir, "events")
+    e = e.select(
+        "user_id", "event_type", F.timestamp_seconds(_ts_secs(e)).alias("ts")
+    )
+    out = scd2_intervals(e, "user_id", ["event_type"], "ts")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").alias("valid_from_secs"),
+        F.unix_timestamp("valid_to").alias("valid_to_secs"),
+    )
+
+
+ORACLE_SCD2 = """
+WITH b AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS secs FROM events
+),
+w AS (
+  SELECT user_id, event_type, secs,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY secs, event_type) AS prev
+  FROM b
+),
+runs AS (
+  SELECT user_id, event_type, secs FROM w
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       secs::BIGINT AS valid_from_secs,
+       (lead(secs) OVER (PARTITION BY user_id ORDER BY secs, event_type))::BIGINT
+         AS valid_to_secs
+FROM runs
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-granularity cohort retention matrix (operators/analytics.py:
+    cohort_retention): users bucketed by first-seen day, distinct-user
+    counts per (cohort, day offset).  Window min on user (one shuffle)
+    + one distinct-aggregate groupBy."""
+    from cherry_pipelines_spark.operators.analytics import cohort_retention
+
+    (e,) = _load(spark, sf_dir, "events")
+    e = e.select("user_id", F.timestamp_seconds(_ts_secs(e)).alias("ts"))
+    out = cohort_retention(e, "user_id", "ts", bucket="day")
+    return out.select(
+        F.unix_timestamp("cohort").alias("cohort_secs"),
+        "bucket_offset",
+        "n_users",
+    )
+
+
+ORACLE_COHORT = """
+WITH b AS (
+  SELECT user_id,
+         (epoch_ns(ts) // 1000000000) // 86400 * 86400 AS d
+  FROM events
+),
+c AS (
+  SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort FROM b
+)
+SELECT cohort::BIGINT AS cohort_secs,
+       ((d - cohort) // 86400)::BIGINT AS bucket_offset,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-sequential funnel view -> click -> purchase
+    (operators/analytics.py:funnel_conversion): step k counts only
+    users whose earliest step-k event is AFTER their sequential
+    completion of step k-1.  One Exchange on user_id feeds the chained
+    conditional window mins — no K-way self-join."""
+    from cherry_pipelines_spark.operators.analytics import funnel_conversion
+
+    (e,) = _load(spark, sf_dir, "events")
+    e = e.select(
+        "user_id", "event_type", F.timestamp_seconds(_ts_secs(e)).alias("ts")
+    )
+    return funnel_conversion(
+        e, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    )
+
+
+ORACLE_FUNNEL = """
+WITH b AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS secs FROM events
+),
+t1 AS (
+  SELECT user_id, min(secs) AS v FROM b WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.secs) AS c
+  FROM b e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.secs > t1.v GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.secs) AS p
+  FROM b e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.secs > t2.c GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS step_index, 'view' AS step, (SELECT count(*) FROM t1)::BIGINT AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM t2)::BIGINT
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM t3)::BIGINT
+)
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalance at tau=0.5
+    (operators/sampling.py:temperature_mix): kept mass per lang
+    ∝ count^0.5, smallest stratum binds at rate 1.0, deterministic h32
+    row gate — the multilingual pretraining mix, downsampling only."""
+    from cherry_pipelines_spark.operators.sampling import temperature_mix
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return temperature_mix(d, "lang", F.col("doc_id"), tau=0.5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+ORACLE_TEMPERATURE_MIX = """
+WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS n_min FROM c),
+thr AS (SELECT lang, floor(10000.0 * pow(mn.n_min / n, 0.5))::BIGINT AS keep_thr
+        FROM c, mn)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE ('0x' || substr(sha256(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < thr.keep_thr
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3639,6 +3788,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_decode": q_audio_decode,
     "table_diff": q_table_diff,
     "triangle_count": q_triangle_count,
+    "scd2_history": q_scd2_history,
+    "cohort_retention": q_cohort_retention,
+    "funnel": q_funnel,
+    "temperature_mix": q_temperature_mix,
 }
 
 
@@ -3745,6 +3898,10 @@ _ORACLES: dict[str, str] = {
     "audio_decode": ORACLE_AUDIO_DECODE,
     "table_diff": ORACLE_TABLE_DIFF,
     "triangle_count": ORACLE_TRIANGLES,
+    "scd2_history": ORACLE_SCD2,
+    "cohort_retention": ORACLE_COHORT,
+    "funnel": ORACLE_FUNNEL,
+    "temperature_mix": ORACLE_TEMPERATURE_MIX,
 }
 
 

@@ -258,3 +258,49 @@ def weighted_sample(
         .filter(F.col("sample_rank") <= n)
         .drop("_akey")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key: Column,
+    tau: float,
+) -> DataFrame:
+    """Temperature-scaled stratum rebalancing by downsampling only:
+    target mass per stratum ∝ count^tau (``tau`` < 1 flattens the mix
+    toward uniform — the multilingual-pretraining trick; ``tau`` = 1 is
+    a no-op; ``tau`` = 0 is equal mass per stratum).
+
+    Kept count per stratum is ``n_min^(1-tau) * n_g^tau`` — the largest
+    K with ``K * n_g^tau <= n_g`` everywhere — so the SMALLEST stratum
+    keeps everything (rate 1.0) and larger strata keep
+    ``(n_min/n_g)^(1-tau)``, realizing the tempered proportions without
+    upsampling.  The row-level gate is the engine-portable
+    deterministic ``h32`` hash at 1e-4 granularity, so the kept set is
+    identical across engines and layouts.
+
+    Scale shape: identical to ``rebalance_to_mix`` — one column-pruned
+    stratum-count groupBy, a broadcast 1-row min-aggregate, a broadcast
+    threshold join back onto the facts.  No driver collect.
+    """
+    if not 0.0 <= tau <= 1.0:
+        raise ValueError(f"tau must be in [0, 1], got {tau}")
+    counts = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    mn = counts.agg(F.min("n").alias("n_min"))
+    thresholds = counts.crossJoin(F.broadcast(mn)).select(
+        strata_col,
+        # (n_min/n)^(1-tau): 1.0 at the smallest stratum, <1 above it
+        F.floor(
+            F.lit(float(_MOD))
+            * F.pow(F.col("n_min") / F.col("n"), F.lit(1.0 - tau))
+        )
+        .cast("long")
+        .alias("keep_thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), strata_col)
+        .filter(F.pmod(h32(key.cast("string")), _MOD) < F.col("keep_thr"))
+        .drop("keep_thr")
+    )

@@ -325,3 +325,43 @@ def test_audio_decode_single_arrow_pass(spark, sf_dir, queries):
     assert plan.count("Exchange (") == 1
     assert "RoundRobinPartitioning" in plan
     assert "hashpartitioning" not in plan.lower()
+
+
+def test_scd2_single_exchange_two_windows(spark, sf_dir, queries):
+    plan = plan_of(queries["scd2_history"](spark, sf_dir))
+    s = plan_summary(queries["scd2_history"](spark, sf_dir))
+    # change-detection lag and validity lead share ONE user_id hash
+    # partitioning: exactly one shuffle in the whole plan
+    assert s.get("Exchange", 0) == 1, s
+    assert plan.count("Window") >= 2
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_cohort_retention_two_exchanges(spark, sf_dir, queries):
+    s = plan_summary(queries["cohort_retention"](spark, sf_dir))
+    # user-window shuffle + (cohort, offset) agg shuffle — the minimum
+    # (AQE may add a coalesce read, but no third hash partitioning)
+    assert s.get("Exchange", 0) <= 2, s
+    assert "BroadcastNestedLoopJoin" not in explain_str(
+        queries["cohort_retention"](spark, sf_dir)
+    )
+
+
+def test_funnel_one_exchange_no_self_join(spark, sf_dir, queries):
+    plan = plan_of(queries["funnel"](spark, sf_dir))
+    s = plan_summary(queries["funnel"](spark, sf_dir))
+    # the K-step funnel is window-chained over ONE user partitioning —
+    # no K-way self-join (zero joins on the events table at all)
+    assert s.get("SortMergeJoin", 0) + s.get("ShuffledHashJoin", 0) == 0, s
+    assert plan.count("Window") >= 1
+
+
+def test_temperature_mix_broadcast_threshold(spark, sf_dir, queries):
+    plan = plan_of(queries["temperature_mix"](spark, sf_dir))
+    # stratum thresholds join back by broadcast; the fact table is
+    # never shuffled for the gate.  The single BNLJ allowed is the
+    # 1-row n_min cross join (broadcast-scalar pattern, same as
+    # training_mix's binding total)
+    assert "BroadcastHashJoin" in plan
+    s = plan_summary(queries["temperature_mix"](spark, sf_dir))
+    assert s.get("BroadcastNestedLoopJoin", 0) <= 1, s
