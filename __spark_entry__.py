@@ -3684,6 +3684,88 @@ WHERE ('0x' || substr(sha256(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < thr.ke
 """
 
 
+
+
+def q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL decoded pixels
+    (operators/multimodal.py:image_dhash + dhash_near_dups): 500
+    SQL-built 16x16 PPMs in 40 visual groups (some with a one-pixel
+    variant edit), dHash through the real codec, then banded hamming
+    near-dup pairs at max_dist=3 — band equi-join + JVM nibble-XOR
+    popcount verify, exact by pigeonhole (max_dist < bands).  The
+    oracle recomputes grayscale, grid sample, bits, hex, and pairwise
+    hamming closed-form."""
+    from cherry_pipelines_spark.operators.multimodal import (
+        dhash_near_dups,
+        image_dhash,
+    )
+
+    (d,) = _load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    g = i % 40
+    variant = (i % 11) == 3
+    # 16x16x3 = 768 pixel bytes; build via transform to keep the plan small
+    raster_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(16 * 16 * 3 - 1)),
+            lambda k: F.lpad(
+                F.hex(
+                    F.when(variant & (k < 3), F.lit(255)).otherwise(
+                        (g * 31 + k * 7) % 256
+                    )
+                ),
+                2,
+                "0",
+            ),
+        ),
+    )
+    header = F.encode(F.lit("P6\n16 16\n255\n"), "utf-8")
+    blobs = d.filter(i < 500).select(
+        i.alias("media_id"), F.concat(header, F.unhex(raster_hex)).alias("blob")
+    )
+    return dhash_near_dups(image_dhash(blobs), max_dist=3)
+
+
+ORACLE_IMAGE_DHASH = """
+WITH base AS (
+  SELECT doc_id, doc_id % 40 AS g, (doc_id % 11 = 3) AS var
+  FROM documents WHERE doc_id < 500
+),
+hashes AS (
+  SELECT doc_id,
+    list_reduce(
+      list_transform(
+        [ [CASE WHEN (
+              -- gray(y, xs[x]) > gray(y, xs[x+1]) for bit i: y=2*(i//8), x=i%8
+              ((CASE WHEN var AND ((2*(i//8))*16 + ((i%8)*16)//9)*3 + 0 < 3 THEN 255 ELSE (g*31 + (((2*(i//8))*16 + ((i%8)*16)//9)*3 + 0)*7) % 256 END)
+             + (CASE WHEN var AND ((2*(i//8))*16 + ((i%8)*16)//9)*3 + 1 < 3 THEN 255 ELSE (g*31 + (((2*(i//8))*16 + ((i%8)*16)//9)*3 + 1)*7) % 256 END)
+             + (CASE WHEN var AND ((2*(i//8))*16 + ((i%8)*16)//9)*3 + 2 < 3 THEN 255 ELSE (g*31 + (((2*(i//8))*16 + ((i%8)*16)//9)*3 + 2)*7) % 256 END)) // 3
+            ) > (
+              ((CASE WHEN var AND ((2*(i//8))*16 + (((i%8)+1)*16)//9)*3 + 0 < 3 THEN 255 ELSE (g*31 + (((2*(i//8))*16 + (((i%8)+1)*16)//9)*3 + 0)*7) % 256 END)
+             + (CASE WHEN var AND ((2*(i//8))*16 + (((i%8)+1)*16)//9)*3 + 1 < 3 THEN 255 ELSE (g*31 + (((2*(i//8))*16 + (((i%8)+1)*16)//9)*3 + 1)*7) % 256 END)
+             + (CASE WHEN var AND ((2*(i//8))*16 + (((i%8)+1)*16)//9)*3 + 2 < 3 THEN 255 ELSE (g*31 + (((2*(i//8))*16 + (((i%8)+1)*16)//9)*3 + 2)*7) % 256 END)) // 3
+            ) THEN 1 ELSE 0 END
+          for i in generate_series(4*n, 4*n + 3) ]
+          for n in generate_series(0, 15) ],
+        nib -> to_hex(nib[1]*8 + nib[2]*4 + nib[3]*2 + nib[4])
+      ),
+      (a, b) -> a || b
+    ) AS dhash
+  FROM base
+)
+SELECT a_id, b_id, hamming FROM (
+  SELECT h1.doc_id AS a_id, h2.doc_id AS b_id,
+         list_aggregate(
+           [bit_count(xor(('0x' || substr(h1.dhash, p, 1))::BIGINT,
+                          ('0x' || substr(h2.dhash, p, 1))::BIGINT))
+            for p in generate_series(1, 16)],
+           'sum')::BIGINT AS hamming
+  FROM hashes h1 JOIN hashes h2 ON h1.doc_id < h2.doc_id
+) WHERE hamming <= 3
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3792,6 +3874,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention": q_cohort_retention,
     "funnel": q_funnel,
     "temperature_mix": q_temperature_mix,
+    "image_dhash_dedup": q_image_dhash_dedup,
 }
 
 
@@ -3902,6 +3985,7 @@ _ORACLES: dict[str, str] = {
     "cohort_retention": ORACLE_COHORT,
     "funnel": ORACLE_FUNNEL,
     "temperature_mix": ORACLE_TEMPERATURE_MIX,
+    "image_dhash_dedup": ORACLE_IMAGE_DHASH,
 }
 
 

@@ -638,3 +638,150 @@ def decode_audio_stats(
     from cherry_pipelines_spark.operators.text import fan_out
 
     return fan_out(df.select(id_col, blob_col)).mapInPandas(mapper, out_schema)
+
+
+# ------------------------------------------------------------- perceptual hash
+
+
+def _dhash_bits(pix, hash_w: int = 8, hash_h: int = 8):
+    """64 dHash bits from an HxWx3 uint8 array: integer grayscale
+    ((r+g+b)//3), nearest-neighbor sample to (hash_h, hash_w+1), then
+    row-wise left>right comparisons.  Pure integer math — bit-exact
+    reproducible by the SQL oracle."""
+    import numpy as np
+
+    h, w, _ = pix.shape
+    gray = pix.astype("int64").sum(axis=2) // 3
+    ys = (np.arange(hash_h) * h) // hash_h
+    xs = (np.arange(hash_w + 1) * w) // (hash_w + 1)
+    g2 = gray[np.ix_(ys, xs)]
+    return (g2[:, :-1] > g2[:, 1:]).reshape(-1)
+
+
+def image_dhash(
+    df: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "media_id",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels (PPM/BMP):
+    ``(id, dhash)`` with the hash as a hex string (nibble = 4 bits,
+    row-major, MSB-first) — engine-portable, no int64 sign games.
+    Visually identical images (any size — the grid normalizes) collide;
+    small edits flip few bits, so near-dups sit at small hamming
+    distance.  One Arrow pass; undecodable rows yield NULL."""
+    n_bits = hash_w * hash_h
+    if n_bits % 4:
+        raise ValueError("hash_w*hash_h must be a multiple of 4")
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("dhash", T.StringType())]
+    )
+
+    def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for blob in pdf[blob_col]:
+                try:
+                    _, pix = _decode_blob(bytes(blob))
+                    bits = _dhash_bits(pix, hash_w, hash_h)
+                    nibbles = bits.reshape(-1, 4)
+                    vals = nibbles @ (8, 4, 2, 1)
+                    hashes.append("".join(format(int(v), "x") for v in vals))
+                except Exception:
+                    hashes.append(None)
+            out = pd.DataFrame({id_col: pdf[id_col].reset_index(drop=True)})
+            out["dhash"] = pd.Series(hashes, dtype=object)
+            yield out
+
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    return fan_out(df.select(id_col, blob_col)).mapInPandas(mapper, out_schema)
+
+
+def dhash_near_dups(
+    hashes: DataFrame,
+    max_dist: int,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+) -> DataFrame:
+    """Image near-dup pairs by hamming distance over dHash hex strings:
+    ``(a_id, b_id, hamming)`` with ``hamming <= max_dist``.
+
+    LSH shape, not N²: the hex string splits into ``bands`` equal
+    substrings; candidates equi-join on (band index, band value), then
+    the exact nibble-XOR-popcount hamming verify runs JVM-side
+    (``conv``/``bit_count``/``aggregate`` — no Python).  With
+    ``max_dist < bands`` the pigeonhole guarantees a colliding band for
+    every qualifying pair, so the result is EXACT — the same
+    completeness argument as the simhash band join.
+
+    100 TB shape: band rows are |corpus|·bands, buckets are keyed by
+    band value (a degenerate all-same-hash corpus needs the usual
+    max_bucket-style cap upstream); the verify join is candidate-
+    bounded.  Never broadcasts the corpus, never nests loops.
+    """
+    from pyspark.sql import functions as F
+
+    if max_dist >= bands:
+        raise ValueError(
+            f"max_dist must be < bands for an exact result "
+            f"(got {max_dist} >= {bands})"
+        )
+    # the hash frame feeds BOTH self-join sides; without a checkpoint the
+    # whole decode+hash MapInPandas subtree runs twice (Spark does not
+    # CSE across self-joins).  The frame is id + 16 hex chars — tiny at
+    # any corpus size — so one lazy materialization beats a second full
+    # blob decode
+    h = (
+        hashes.filter(F.col(hash_col).isNotNull())
+        .select(id_col, hash_col)
+        .localCheckpoint(eager=False)
+    )
+    # band width in hex chars is substring arithmetic on the hash's own
+    # length — stays in-plan, no driver collect
+    band_rows = h.select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        id_col,
+        hash_col,
+        "band",
+        F.expr(
+            f"substring({hash_col}, band * (length({hash_col}) / {bands}) + 1,"
+            f" length({hash_col}) / {bands})"
+        ).alias("key"),
+    )
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("a_id"),
+            F.col(f"b.{id_col}").alias("b_id"),
+            F.col(f"a.{hash_col}").alias("ha"),
+            F.col(f"b.{hash_col}").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("ha")),
+            lambda i: F.bit_count(
+                F.conv(F.substring(F.col("ha"), i, 1), 16, 10).cast("long")
+                .bitwiseXOR(F.conv(F.substring(F.col("hb"), i, 1), 16, 10).cast("long"))
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_dist)
+    )

@@ -96,3 +96,75 @@ def test_resize_image_matches_numpy(spark):
         )
         _fmt, got = _decode_blob(bytes(r["blob_out"]))
         assert np.array_equal(got, expect), mid
+
+
+def test_dhash_size_invariant_and_variant_flip(spark):
+    """The grid normalizes size: a 2x nearest-neighbor upscale hashes
+    identically; a one-pixel edit flips at most one bit."""
+    import numpy as np
+
+    from cherry_pipelines_spark.operators.multimodal import (
+        _encode_ppm,
+        image_dhash,
+    )
+
+    base = ((np.arange(16 * 16 * 3) * 7) % 256).astype("uint8").reshape(16, 16, 3)
+    up = base.repeat(2, axis=0).repeat(2, axis=1)
+    var = base.copy()
+    var[0, 0] = 255
+    df = spark.createDataFrame(
+        [
+            (1, _encode_ppm(base)),
+            (2, _encode_ppm(up)),
+            (3, _encode_ppm(var)),
+            (4, b"not an image"),
+        ],
+        "media_id long, blob binary",
+    )
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert got[1] == got[2]
+    assert got[4] is None
+    ham = sum(
+        bin(int(a, 16) ^ int(b, 16)).count("1")
+        for a, b in zip(got[1], got[3])
+    )
+    assert ham <= 1
+
+
+def test_dhash_near_dups_exact_and_guard(spark):
+    import numpy as np
+    import pytest
+
+    from cherry_pipelines_spark.operators.multimodal import (
+        _encode_ppm,
+        dhash_near_dups,
+        image_dhash,
+    )
+
+    imgs = []
+    for i in range(12):
+        g = i % 3
+        pix = ((g * 31 + np.arange(16 * 16 * 3) * 7) % 256).astype(
+            "uint8"
+        ).reshape(16, 16, 3)
+        if i == 5:
+            pix = pix.copy()
+            pix[0, 0] = 255
+        imgs.append((i, _encode_ppm(pix)))
+    df = spark.createDataFrame(imgs, "media_id long, blob binary")
+    h = image_dhash(df)
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in dhash_near_dups(h, max_dist=3).collect()
+    }
+    # every same-group pair qualifies (variant is within 1 bit)
+    import itertools
+
+    for a, b in itertools.combinations(range(12), 2):
+        if a % 3 == b % 3:
+            assert (a, b) in pairs
+            assert pairs[(a, b)] <= 1
+        else:
+            assert (a, b) not in pairs
+    with pytest.raises(ValueError):
+        dhash_near_dups(h, max_dist=4, bands=4)

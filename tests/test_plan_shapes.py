@@ -365,3 +365,23 @@ def test_temperature_mix_broadcast_threshold(spark, sf_dir, queries):
     assert "BroadcastHashJoin" in plan
     s = plan_summary(queries["temperature_mix"](spark, sf_dir))
     assert s.get("BroadcastNestedLoopJoin", 0) <= 1, s
+
+
+def test_image_dhash_band_join_no_python_verify(spark, sf_dir, queries):
+    plan = plan_of(queries["image_dhash_dedup"](spark, sf_dir))
+    s = plan_summary(queries["image_dhash_dedup"](spark, sf_dir))
+    # candidates come from a band equi-join, never a nested loop; the
+    # hamming verify is conv/bit_count JVM expression work — the ONLY
+    # Python stage is the decode kernel (one MapInPandas)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        s.get("SortMergeJoin", 0)
+        + s.get("ShuffledHashJoin", 0)
+        + s.get("BroadcastHashJoin", 0)
+        >= 1
+    )
+    # the decode+hash subtree is checkpoint-shared: the self-join must
+    # NOT recompute the MapInPandas kernel per side (the plan reads the
+    # checkpointed RDD, so no MapInPandas node appears at all)
+    assert s.get("MapInPandas", 0) == 0, s
+    assert "BatchEvalPython" not in plan
