@@ -3479,7 +3479,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cherry_pipelines_spark.operators.graph import triangle_count
 
     (l,) = _load(spark, sf_dir, "lineitem")
-    per_order = l.groupBy("l_orderkey").agg(
+    # keep every 4th order: the full co-supply graph saturates toward
+    # the COMPLETE graph on all suppliers as SF grows (wedge volume
+    # ~n^3/6 regardless of operator quality) — the thinned graph keeps
+    # a realistic density so the bench measures the operator, not a
+    # degenerate demo input
+    per_order = l.filter(F.col("l_orderkey") % 4 == 0).groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_suppkey")).alias("ss")
     )
     m = F.size("ss")
@@ -3510,7 +3515,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRIANGLES = """
 WITH s AS (
   SELECT l_orderkey, list_sort(list_distinct(list(l_suppkey))) AS ss
-  FROM lineitem GROUP BY l_orderkey
+  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY l_orderkey
 ),
 adj AS (
   SELECT ss[j] AS a, ss[j + 1] AS b
@@ -3766,6 +3771,44 @@ SELECT a_id, b_id, hamming FROM (
 """
 
 
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantile estimation from a mergeable fixed-bin
+    histogram sketch (operators/sketches.py:histogram_sketch +
+    histogram_quantiles): events.value binned over [0, 500) x 250 bins
+    (one bounded-state groupBy — at most 250 rows out of any corpus),
+    then p50/p90/p99 by cumulative walk + in-bin linear interpolation.
+    Emits the estimate alongside the exact percentile error bound
+    check left to the oracle replay (bit-identical formula)."""
+    from cherry_pipelines_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    (e,) = _load(spark, sf_dir, "events")
+    sk = histogram_sketch(e, F.col("value"), lo=0.0, hi=500.0, bins=250)
+    return histogram_quantiles(sk, [0.5, 0.9, 0.99], lo=0.0, hi=500.0, bins=250)
+
+
+ORACLE_HISTOGRAM_QUANTILES = """
+WITH sk AS (
+  SELECT least(greatest(floor(value / 2.0), 0), 249)::BIGINT AS bin,
+         count(*)::BIGINT AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT bin, n,
+         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER () AS total
+  FROM sk
+),
+qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE))
+SELECT q, round(0.0 + (bin + (q * total - (cum - n)) / n) * 2.0, 9) AS estimate
+FROM c JOIN qs ON cum >= q * total AND cum - n < q * total
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3875,6 +3918,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel": q_funnel,
     "temperature_mix": q_temperature_mix,
     "image_dhash_dedup": q_image_dhash_dedup,
+    "histogram_quantiles": q_histogram_quantiles,
 }
 
 
@@ -3986,6 +4030,7 @@ _ORACLES: dict[str, str] = {
     "funnel": ORACLE_FUNNEL,
     "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "image_dhash_dedup": ORACLE_IMAGE_DHASH,
+    "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
 }
 
 

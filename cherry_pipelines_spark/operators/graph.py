@@ -128,6 +128,13 @@ def triangle_count(
             F.least("_u", "_v").alias("a"), F.greatest("_u", "_v").alias("b")
         )
         .distinct()
+        # the canonical edge list feeds FOUR consumers (both wedge
+        # sides, the closing join, and the node set); without a
+        # checkpoint the whole upstream edge-derivation subtree runs
+        # four times (no CSE across self-joins — same discipline as
+        # semantic_dedup/dhash_near_dups).  Two longs per edge: tiny
+        # relative to any input that produced it
+        .localCheckpoint(eager=False)
     )
     # wedges a-b-c with a < b < c: first join on the middle vertex
     ab = e.select(F.col("a").alias("wa"), F.col("b").alias("wb"))

@@ -155,3 +155,98 @@ def countmin_heavy_hitters(
         .agg(F.min("cnt").alias("est"))
     )
     return est.filter(F.col("est") >= min_count).select("token", "est", "exact")
+
+
+# ------------------------------------------------------------ quantile sketch
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value: Column,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Fixed-bin histogram sketch of ``value``: ``<= bins`` rows of
+    ``(bin, n)`` — the mergeable building block for distributed
+    quantile estimation (shards union with ``groupBy bin -> SUM``,
+    exactly like the HLL/count-min merges above).
+
+    Bin = clamp(floor((v - lo) / (hi - lo) * bins), 0, bins-1); values
+    outside [lo, hi] land in the edge bins, NULLs are dropped.  The
+    aggregation is a map-side-combining groupBy on a <= ``bins``-ary
+    key, so every partition reduces to at most ``bins`` rows before a
+    trivial shuffle — the same "bounded state no matter the row count"
+    contract as the other sketches.  At 100 TB this replaces the sort
+    / range-partition an exact percentile needs with one tiny
+    aggregate; the [lo, hi] frame comes from domain knowledge or a
+    prior min/max pass.
+    """
+    if bins < 1 or not hi > lo:
+        raise ValueError("need bins >= 1 and hi > lo")
+    width = (hi - lo) / bins
+    v = value.cast("double")
+    b = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(v.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: ``(q, estimate)``
+    per requested quantile, by cumulative-count walk + linear
+    interpolation INSIDE the landing bin:
+
+        target = q * N;  first bin with cum >= target
+        est = lo + (bin + (target - cum_before) / n_bin) * bin_width
+
+    Deterministic double arithmetic in a fixed evaluation order, so an
+    independent engine replays the estimate bit-for-bit.  The sketch
+    is <= ``bins`` rows: the window cumsum and the per-q pick are
+    driver-light broadcast-scale work regardless of corpus size.
+    Estimation error is bounded by one bin width — pick ``bins`` to
+    taste (256 bins over a [0,1] quality-score frame = 0.4% of range).
+    """
+    from pyspark.sql import Window
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {q} outside (0, 1]")
+    width = (hi - lo) / bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.select(
+        "bin",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(Window.orderBy(F.lit(1))).alias("total"),
+    )
+    qcol = F.explode(
+        F.array(*[F.lit(float(q)) for q in sorted(qs)])
+    ).alias("q")
+    targets = cum.select("bin", "n", "cum", "total", qcol).filter(
+        # first bin whose cumulative count reaches the target mass
+        (F.col("cum") >= F.col("q") * F.col("total"))
+        & (F.col("cum") - F.col("n") < F.col("q") * F.col("total"))
+    )
+    est = (
+        F.lit(lo)
+        + (
+            F.col("bin")
+            + (F.col("q") * F.col("total") - (F.col("cum") - F.col("n")))
+            / F.col("n")
+        )
+        * F.lit(width)
+    )
+    return targets.select("q", F.round(est, 9).alias("estimate"))

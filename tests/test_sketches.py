@@ -116,3 +116,42 @@ def test_boilerplate_spans_counts_distinct_docs(spark):
     # same span twice INSIDE one doc is not cross-doc boilerplate
     docs = _docs(spark, [(1, "a b c d e f a b c d e f"), (2, "z z z z z z")])
     assert dedup.boilerplate_spans(docs, n=6, max_docs=1).count() == 0
+
+
+def test_histogram_sketch_bounded_and_mergeable(spark):
+    from cherry_pipelines_spark.operators.sketches import histogram_sketch
+
+    df = spark.range(10000).select((F.col("id") % 500).cast("double").alias("v"))
+    sk = histogram_sketch(df, F.col("v"), lo=0.0, hi=500.0, bins=50)
+    rows = sk.collect()
+    assert len(rows) <= 50
+    assert sum(r["n"] for r in rows) == 10000
+    # shard-merge == whole: union of half-sketches, groupBy-SUM
+    a = histogram_sketch(df.filter(F.col("v") < 250), F.col("v"), 0.0, 500.0, 50)
+    b = histogram_sketch(df.filter(F.col("v") >= 250), F.col("v"), 0.0, 500.0, 50)
+    merged = (
+        a.unionByName(b).groupBy("bin").agg(F.sum("n").alias("n"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, rows))
+
+
+def test_histogram_quantiles_error_bound(spark):
+    from cherry_pipelines_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    df = spark.range(100000).select((F.col("id") % 1000).cast("double").alias("v"))
+    sk = histogram_sketch(df, F.col("v"), lo=0.0, hi=1000.0, bins=100)
+    est = {
+        r["q"]: r["estimate"]
+        for r in histogram_quantiles(sk, [0.5, 0.9, 0.99], 0.0, 1000.0, 100).collect()
+    }
+    # uniform data: estimate within one bin width (10.0) of the truth
+    for q, truth in [(0.5, 500.0), (0.9, 900.0), (0.99, 990.0)]:
+        assert abs(est[q] - truth) <= 10.0, (q, est[q])
+    # outliers clamp to edge bins instead of erroring
+    wild = spark.createDataFrame([(-5.0,), (1e9,)], "v double")
+    sk2 = histogram_sketch(wild, F.col("v"), 0.0, 1000.0, 100)
+    bins = sorted(r["bin"] for r in sk2.collect())
+    assert bins == [0, 99]
