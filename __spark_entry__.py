@@ -3809,6 +3809,44 @@ FROM c JOIN qs ON cum >= q * total AND cum - n < q * total
 """
 
 
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization as a pure JVM replace-chain
+    (operators/text.py:bpe_encode): a 5-rule multi-level merge table
+    (th, th+e, an, an+d, er) folded into whole-stage-codegen string
+    replaces over a private-use symbol alphabet — greedy left-to-right
+    merging without a UDF.  Token counts per document; the oracle
+    replays the identical replace chain."""
+    from cherry_pipelines_spark.operators.text import bpe_encode
+
+    (d,) = _load(spark, sf_dir, "documents")
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("e", "r")]
+    return bpe_encode(d, merges)
+
+
+ORACLE_BPE_ENCODE = """
+SELECT doc_id,
+       list_aggregate(
+         list_transform(
+           string_split(text, ' '),
+           w -> length(
+             replace(
+               replace(
+                 replace(
+                   replace(
+                     replace(w, 'th', chr(57344)),
+                     chr(57344) || 'e', chr(57345)),
+                   'an', chr(57346)),
+                 chr(57346) || 'd', chr(57347)),
+               'er', chr(57348))
+           )::BIGINT
+         ),
+         'sum')::BIGINT AS n_tokens
+FROM documents
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3919,6 +3957,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temperature_mix": q_temperature_mix,
     "image_dhash_dedup": q_image_dhash_dedup,
     "histogram_quantiles": q_histogram_quantiles,
+    "bpe_encode": q_bpe_encode,
 }
 
 
@@ -4031,6 +4070,7 @@ _ORACLES: dict[str, str] = {
     "temperature_mix": ORACLE_TEMPERATURE_MIX,
     "image_dhash_dedup": ORACLE_IMAGE_DHASH,
     "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
+    "bpe_encode": ORACLE_BPE_ENCODE,
 }
 
 

@@ -529,3 +529,67 @@ def bpe_learn_merges(
     return sess.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an ORDERED BPE merge table and count tokens per document —
+    entirely JVM-side, no Python kernel.
+
+    The trick: give every symbol a single-character representation
+    (original chars stand for themselves; merge k mints the private-use
+    codepoint U+E000+k).  A word's symbol sequence is then literally a
+    character string, and one greedy left-to-right non-overlapping
+    merge of pair (a, b) is exactly one ``replace(word, repr(a) ||
+    repr(b), chr(0xE000+k))`` — ``replace`` substitutes left-to-right
+    and never overlaps, the same scan order BPE specifies.  Folding the
+    merge table into a chain of ``replace`` calls turns tokenization
+    into a map-only whole-stage-codegen expression: no UDF, no shuffle,
+    composable with scan pruning at any corpus size.
+
+    ``merges`` is the (small, driver-held) tokenizer model — the same
+    model-as-literal posture as ``rebalance_to_mix``'s target shares.
+    Each ``left``/``right`` must be a single original character or the
+    concatenation produced by an earlier merge (standard BPE table
+    well-formedness; validated here).  Corpus text must not contain
+    U+E000..U+F8FF private-use codepoints (asserted nowhere — document
+    corpus hygiene upstream).
+
+    Returns ``(id, n_tokens)`` with ``n_tokens`` the post-merge symbol
+    count over whitespace-split words (whitespace itself untokenized).
+    """
+    sym_repr: dict[str, str] = {}
+    for k, (left, right) in enumerate(merges):
+        lr = sym_repr.get(left)
+        if lr is None:
+            if len(left) != 1:
+                raise ValueError(f"merge {k}: left {left!r} is not a known symbol")
+            lr = left
+        rr = sym_repr.get(right)
+        if rr is None:
+            if len(right) != 1:
+                raise ValueError(f"merge {k}: right {right!r} is not a known symbol")
+            rr = right
+        sym_repr[left + right] = chr(0xE000 + k)
+
+    def chain(word: Column) -> Column:
+        out = word
+        # rebuild the same fold over column expressions
+        reprs: dict[str, str] = {}
+        for k, (left, right) in enumerate(merges):
+            lr = reprs.get(left, left)
+            rr = reprs.get(right, right)
+            out = F.replace(out, F.lit(lr + rr), F.lit(chr(0xE000 + k)))
+            reprs[left + right] = chr(0xE000 + k)
+        return out
+
+    n_tokens = F.aggregate(
+        F.transform(F.split(F.col(text_col), " "), lambda w: F.length(chain(w))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long"),
+    )
+    return df.select(F.col(id_col), n_tokens.alias("n_tokens"))

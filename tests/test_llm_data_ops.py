@@ -266,3 +266,42 @@ def test_ngram_jaccard_lsh_prefilter_plan_is_candidate_driven(spark):
     import re
 
     assert not re.search(r"doc_id#\d+L? < doc_id#\d+", plan)
+
+
+def test_bpe_encode_matches_reference_python(spark):
+    """The replace-chain encoder must equal a plain-python greedy BPE
+    (symbol-list semantics) on multi-level merge tables."""
+    from cherry_pipelines_spark.operators.text import _bpe_merge_word, bpe_encode
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"), ("e", "r")]
+    texts = [
+        (1, "the theater and other anthems"),
+        (2, "thththe"),          # overlap posture: greedy left-to-right
+        (3, ""),                  # empty text -> 0 tokens
+        (4, "xyz"),               # no merges apply
+        (5, "and and and"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_tokens"] for r in bpe_encode(df, merges).collect()}
+
+    def py_encode(text):
+        total = 0
+        for w in text.split(" "):
+            syms = list(w)
+            for left, right in merges:
+                syms = _bpe_merge_word(syms, left, right, left + right)
+            total += len(syms)
+        return total
+
+    for i, t in texts:
+        assert got[i] == py_encode(t), (i, t, got[i], py_encode(t))
+
+
+def test_bpe_encode_rejects_unknown_symbol(spark):
+    import pytest
+
+    from cherry_pipelines_spark.operators.text import bpe_encode
+
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bpe_encode(df, [("ab", "c")])  # 'ab' never minted by a prior merge

@@ -385,3 +385,12 @@ def test_image_dhash_band_join_no_python_verify(spark, sf_dir, queries):
     # checkpointed RDD, so no MapInPandas node appears at all)
     assert s.get("MapInPandas", 0) == 0, s
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_encode_is_map_only_jvm(spark, sf_dir, queries):
+    plan = plan_of(queries["bpe_encode"](spark, sf_dir))
+    # tokenization folds to a replace-chain expression: no shuffle, no
+    # Python eval — composes with scan pruning like any projection
+    assert "Exchange" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
