@@ -3847,6 +3847,56 @@ FROM documents
 """
 
 
+
+
+def q_srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via signed-random-projection hamming
+    (operators/similarity.py:srp_sketch + srp_near_dups): 32 ±1
+    hyperplanes over int8-quantized codes (integer projections — no
+    float sign-boundary risk), banded hamming join at max_dist=7
+    over 8 single-hex-char bands, exact by pigeonhole.  The SimHash-for-vectors member of the LSH
+    family; oracle replays quantization, sha256-parity weights,
+    projections, bits, and pairwise hamming."""
+    from cherry_pipelines_spark.operators.similarity import srp_near_dups
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    return srp_near_dups(em, dims=64, max_dist=7, planes=32, seed=0, bands=8)
+
+
+ORACLE_SRP_NEAR_DUPS = """
+WITH z AS (
+  SELECT vec_id,
+         (SELECT round(max(abs(x)) / 127.0, 9)
+            FROM unnest(embedding::DOUBLE[]) t(x)) AS s,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         CASE WHEN s > 0 THEN [round(x / s)::BIGINT for x in v]
+              ELSE [0::BIGINT for x in v] END AS qv
+  FROM z
+),
+w AS (
+  SELECT p, j,
+         CASE WHEN ('0x' || substr(sha256('0:' || p::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS w
+  FROM generate_series(0, 31) s1(p), generate_series(0, 63) s2(j)
+),
+proj AS (
+  SELECT q.vec_id, w.p, sum(w.w * q.qv[w.j + 1])::BIGINT AS pr
+  FROM q, w GROUP BY 1, 2
+),
+bits AS (SELECT vec_id, p, CASE WHEN pr >= 0 THEN 1 ELSE 0 END AS b FROM proj)
+SELECT a_id, b_id, hamming FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         sum(abs(a.b - b.b))::BIGINT AS hamming
+  FROM bits a JOIN bits b ON a.p = b.p AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+) WHERE hamming <= 7
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -3958,6 +4008,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_dhash_dedup": q_image_dhash_dedup,
     "histogram_quantiles": q_histogram_quantiles,
     "bpe_encode": q_bpe_encode,
+    "srp_near_dups": q_srp_near_dups,
 }
 
 
@@ -4071,6 +4122,7 @@ _ORACLES: dict[str, str] = {
     "image_dhash_dedup": ORACLE_IMAGE_DHASH,
     "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
     "bpe_encode": ORACLE_BPE_ENCODE,
+    "srp_near_dups": ORACLE_SRP_NEAR_DUPS,
 }
 
 

@@ -393,3 +393,90 @@ def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def _srp_weights(planes: int, dims: int, seed: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix from sha256 parity — the same
+    bits any engine derives from the same strings (DuckDB:
+    ``('0x' || substr(sha256(seed||':'||p||':'||j), 1, 8))::BIGINT % 2``)."""
+    import hashlib
+
+    def w(p: int, j: int) -> int:
+        h = int(
+            hashlib.sha256(f"{seed}:{p}:{j}".encode()).hexdigest()[:8], 16
+        )
+        return 1 if h % 2 == 0 else -1
+
+    return [[w(p, j) for j in range(dims)] for p in range(planes)]
+
+
+def srp_sketch(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Signed-random-projection sketch (SimHash for embeddings):
+    ``(id, srp)`` with ``srp`` a planes/4-char hex string; bit p is the
+    sign of the projection onto deterministic ±1 hyperplane p.
+
+    Cosine-similar vectors agree on most signs, so hamming distance
+    over the sketch estimates the angle — the vector-space analogue of
+    the text simhash, and the hex output plugs straight into the
+    generic banded hamming join (``multimodal.dhash_near_dups``).
+
+    Exactness across engines: projections run over the int8-QUANTIZED
+    codes (``quantize_embeddings``), so every projection is an integer
+    sum — order-independent, no float-tie risk at the sign boundary.
+    Map-only JVM expressions (the ±1 matrix is a plan-time literal,
+    planes × dims ints — KBs for any practical setting).
+    """
+    if planes % 4:
+        raise ValueError("planes must be a multiple of 4")
+    W = _srp_weights(planes, dims, seed)
+    qz = quantize_embeddings(df, vec_col, id_col)
+    proj = lambda p: F.aggregate(
+        F.zip_with(
+            F.array(*[F.lit(w) for w in W[p]]),
+            F.col("qvec"),
+            lambda w, x: (w * x).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    bit = lambda p: F.when(proj(p) >= 0, F.lit(1)).otherwise(F.lit(0))
+    nibble = lambda n: (
+        bit(4 * n) * 8 + bit(4 * n + 1) * 4 + bit(4 * n + 2) * 2 + bit(4 * n + 3)
+    )
+    srp = F.concat_ws(
+        "", *[F.lower(F.hex(nibble(n))) for n in range(planes // 4)]
+    )
+    return qz.select(F.col(id_col), srp.alias("srp"))
+
+
+def srp_near_dups(
+    df: DataFrame,
+    dims: int,
+    max_dist: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 32,
+    seed: int = 0,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs by SRP hamming distance:
+    ``(a_id, b_id, hamming)`` for pairs within ``max_dist`` sign flips
+    of ``planes`` — LSH-shaped (band equi-join + JVM popcount verify)
+    and EXACT when ``max_dist < bands`` (pigeonhole), like the image
+    dHash path it shares machinery with."""
+    from cherry_pipelines_spark.operators.multimodal import dhash_near_dups
+
+    return dhash_near_dups(
+        srp_sketch(df, dims, vec_col, id_col, planes, seed),
+        max_dist=max_dist,
+        id_col=id_col,
+        hash_col="srp",
+        bands=bands,
+    )

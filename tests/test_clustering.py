@@ -229,3 +229,46 @@ def test_ann_recall_counts_and_bounds(spark):
     out = {r["query_id"]: r for r in ann_recall(ex, ap, k=3).collect()}
     assert out[1]["hits"] == 2 and out[1]["recall"] == 0.6667
     assert out[2]["hits"] == 0 and out[2]["recall"] == 0.0
+
+
+def test_srp_sketch_angle_correlation(spark):
+    """Sign sketches must track cosine: near-identical vectors land at
+    tiny hamming distance, orthogonal-ish ones far away; sketches are
+    layout-deterministic."""
+    import numpy as np
+
+    from cherry_pipelines_spark.operators.similarity import (
+        srp_near_dups,
+        srp_sketch,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(16).astype("float32")
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base * 3.0]),          # same direction
+        (3, [float(x) for x in base + rng.randn(16) * 0.05]),  # tiny noise
+        (4, [float(x) for x in rng.randn(16)]),        # unrelated
+        (5, [0.0] * 16),                               # zero vector posture
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sk = {r["vec_id"]: r["srp"] for r in srp_sketch(df, dims=16).collect()}
+    ham = lambda a, b: sum(
+        bin(int(x, 16) ^ int(y, 16)).count("1") for x, y in zip(sk[a], sk[b])
+    )
+    assert ham(1, 2) <= 2          # scaling barely moves signs
+    assert ham(1, 3) <= 6          # small noise, few flips
+    assert ham(1, 4) >= 8          # unrelated direction
+    assert len(sk[5]) == 8         # zero vector still hashes (all-ones)
+    # determinism under repartition
+    sk2 = {
+        r["vec_id"]: r["srp"]
+        for r in srp_sketch(df.repartition(5), dims=16).collect()
+    }
+    assert sk == sk2
+    pairs = {
+        (r["a_id"], r["b_id"]): r["hamming"]
+        for r in srp_near_dups(df, dims=16, max_dist=7, bands=8).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 4) not in pairs

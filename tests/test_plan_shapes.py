@@ -394,3 +394,19 @@ def test_bpe_encode_is_map_only_jvm(spark, sf_dir, queries):
     assert "Exchange" not in plan
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_srp_near_dups_band_join_jvm_only(spark, sf_dir, queries):
+    plan = plan_of(queries["srp_near_dups"](spark, sf_dir))
+    s = plan_summary(queries["srp_near_dups"](spark, sf_dir))
+    # sketching is pure JVM expression work; candidates come from the
+    # generic band equi-join (checkpoint-shared), verify is bit_count
+    assert "BroadcastNestedLoopJoin" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert (
+        s.get("SortMergeJoin", 0)
+        + s.get("ShuffledHashJoin", 0)
+        + s.get("BroadcastHashJoin", 0)
+        >= 1
+    )
