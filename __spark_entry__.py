@@ -3897,6 +3897,147 @@ SELECT a_id, b_id, hamming FROM (
 """
 
 
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_3's share of supplier revenue per order
+    year inside the ASIA customer market — a 7-relation join tree
+    (fact spine shuffles; every dim broadcast) with a conditional
+    decimal-exact share aggregate."""
+    r, n, c, s, o, l = _load(
+        spark, sf_dir, "region", "nation", "customer", "supplier", "orders", "lineitem"
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    cust_nat = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nat = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    asia = r.filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nat), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(asia), F.col("cn_region") == F.col("r_regionkey"))
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nat), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev"))
+                      .otherwise(F.lit(0).cast("decimal(18,2)")))
+                / F.sum("rev"),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share"),
+            F.sum("rev").cast("double").alias("total_rev"),
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) / sum(rev), 6) AS DOUBLE)
+         AS mkt_share,
+       CAST(sum(rev) AS DOUBLE) AS total_rev
+FROM (
+  SELECT o_orderdate,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+GROUP BY 1
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top 20 customers by revenue lost to returns
+    (l_returnflag = 'R') — fact joins + broadcast dims + decimal-exact
+    aggregate + TakeOrdered top-k (no global sort)."""
+    n, c, o, l = _load(spark, sf_dir, "nation", "customer", "orders", "lineitem")
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    agg = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("lost_revenue"))
+    )
+    return (
+        agg.orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.col("lost_revenue").cast("double").alias("lost_revenue"),
+        )
+    )
+
+
+ORACLE_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name, CAST(lost_revenue AS DOUBLE) AS lost_revenue
+FROM (
+  SELECT c_custkey, c_name, n_name,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS lost_revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+)
+ORDER BY lost_revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one LATE lineitem
+    (shipped > 30 days after order date) counted per priority — a
+    SEMI join (exists), never a fact-multiplying inner join."""
+    o, l = _load(spark, sf_dir, "orders", "lineitem")
+    late = l.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            late,
+            (o.o_orderkey == late.l_orderkey)
+            & (late.l_shipdate > F.date_add(o.o_orderdate, 30)),
+            "semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+    )
+
+
+ORACLE_PRIORITY_LATE = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY 1
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -4009,6 +4150,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "histogram_quantiles": q_histogram_quantiles,
     "bpe_encode": q_bpe_encode,
     "srp_near_dups": q_srp_near_dups,
+    "market_share": q_market_share,
+    "returned_items": q_returned_items,
+    "priority_late_orders": q_priority_late_orders,
 }
 
 
@@ -4123,6 +4267,9 @@ _ORACLES: dict[str, str] = {
     "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
     "bpe_encode": ORACLE_BPE_ENCODE,
     "srp_near_dups": ORACLE_SRP_NEAR_DUPS,
+    "market_share": ORACLE_MARKET_SHARE,
+    "returned_items": ORACLE_RETURNED_ITEMS,
+    "priority_late_orders": ORACLE_PRIORITY_LATE,
 }
 
 

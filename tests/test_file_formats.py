@@ -1,5 +1,5 @@
 """Multi-format source tests: the same block-range scan over parquet,
-csv, and json inputs returns identical bundles."""
+csv, json, and orc inputs returns identical bundles."""
 
 from __future__ import annotations
 
@@ -21,6 +21,7 @@ def _write_all(spark, base):
     df.write.mode("overwrite").parquet(os.path.join(base, "t.parquet"))
     df.write.mode("overwrite").option("header", "true").csv(os.path.join(base, "t.csv"))
     df.write.mode("overwrite").json(os.path.join(base, "t.json"))
+    df.write.mode("overwrite").orc(os.path.join(base, "t.orc"))
     return df
 
 
@@ -39,6 +40,7 @@ def test_same_scan_across_formats(spark, tmp_path):
         "json": TableSpec(
             os.path.join(base, "t.json"), "block", format="json", schema=SCHEMA
         ),
+        "orc": TableSpec(os.path.join(base, "t.orc"), "block", format="orc"),
     }
     results = {}
     for name, spec in specs.items():
@@ -50,5 +52,6 @@ def test_same_scan_across_formats(spark, tmp_path):
         assert src.tip(spark) == 9, name
     assert results["csv"] == results["parquet"]
     assert results["json"] == results["parquet"]
+    assert results["orc"] == results["parquet"]
     # 3 blocks x 10 rows
     assert len(results["parquet"]) == 30

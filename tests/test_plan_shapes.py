@@ -410,3 +410,26 @@ def test_srp_near_dups_band_join_jvm_only(spark, sf_dir, queries):
         + s.get("BroadcastHashJoin", 0)
         >= 1
     )
+
+
+def test_market_share_broadcasts_all_dims(spark, sf_dir, queries):
+    s = plan_summary(queries["market_share"](spark, sf_dir))
+    # nation (x2 roles) + region are broadcast; only the fact spine
+    # shuffles.  No nested loops anywhere in a 7-relation tree
+    assert s.get("BroadcastHashJoin", 0) >= 3, s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_returned_items_takeordered_topk(spark, sf_dir, queries):
+    plan = plan_of(queries["returned_items"](spark, sf_dir))
+    # top-20 must be TakeOrdered (per-partition heap), not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_priority_late_orders_semi_join(spark, sf_dir, queries):
+    plan = plan_of(queries["priority_late_orders"](spark, sf_dir))
+    # EXISTS compiles to a semi join: the fact table is never multiplied
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
