@@ -4038,6 +4038,180 @@ GROUP BY 1
 """
 
 
+def q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a HAVING
+    threshold, joined back to orders+customer, top 100 by price.  The
+    HAVING aggregate runs BEFORE the joins (|orders| >> |big orders|,
+    so the join input is pre-shrunk — the plan a 100 TB run needs),
+    and the top-k is TakeOrdered, not a global sort."""
+    c, o, l = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+ORACLE_LARGE_ORDER = """
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to the fixture's columns): suppliers
+    who were the ONLY late supplier on a multi-supplier order — the
+    exists + not-exists pair over the same fact.  Both existential
+    tests collapse into ONE (orderkey, suppkey) aggregate plus one
+    per-order aggregate joined back: two keyed shuffles total, never a
+    fact×fact self-join.  Late = shipped > 30 days after order date
+    (the fixture has no commit/receipt dates; reference semantics via
+    `o_orderdate`)."""
+    s, o, l = _load(spark, sf_dir, "supplier", "orders", "lineitem")
+    per_supp = (
+        l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30), 1)
+                .otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    blamed = (
+        per_supp.filter(F.col("late") == 1)
+        .join(per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)), "l_orderkey")
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+ORACLE_SOLE_LATE = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+), per_order AS (
+  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+  FROM per_supp GROUP BY 1
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM per_supp
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE per_supp.late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+def q_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of three (brand, size, quantity) conjunct
+    groups across a part⨝lineitem join.  Catalyst extracts the common
+    conjuncts per side (brand∈{...}, p_size ≥ 1, quantity bounds) and
+    pushes them INTO both scans before the join — the disjunction
+    itself evaluates post-join but the scans are already pruned
+    (`tests/test_plan_shapes.py` pins the PushedFilters)."""
+    p, l = _load(spark, sf_dir, "part", "lineitem")
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+ORACLE_DISJUNCTIVE = """
+SELECT count(*)::BIGINT AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand='Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand='Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand='Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: the fixture has no phone column and
+    every customer has orders, so 'no orders at all' is vacuous):
+    customers with above-average positive balance and NO finished
+    ('F') order — a broadcast scalar subquery + an ANTI join against a
+    pre-filtered orders side, grouped by market segment."""
+    c, o = _load(spark, sf_dir, "customer", "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    rich = (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        rich.join(finished, rich.c_custkey == finished.o_custkey, "anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+ORACLE_IDLE_RICH = """
+SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY 1
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -4153,6 +4327,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share": q_market_share,
     "returned_items": q_returned_items,
     "priority_late_orders": q_priority_late_orders,
+    "large_order_customers": q_large_order_customers,
+    "sole_late_supplier": q_sole_late_supplier,
+    "disjunctive_pushdown": q_disjunctive_pushdown,
+    "idle_rich_customers": q_idle_rich_customers,
 }
 
 
@@ -4270,6 +4448,10 @@ _ORACLES: dict[str, str] = {
     "market_share": ORACLE_MARKET_SHARE,
     "returned_items": ORACLE_RETURNED_ITEMS,
     "priority_late_orders": ORACLE_PRIORITY_LATE,
+    "large_order_customers": ORACLE_LARGE_ORDER,
+    "sole_late_supplier": ORACLE_SOLE_LATE,
+    "disjunctive_pushdown": ORACLE_DISJUNCTIVE,
+    "idle_rich_customers": ORACLE_IDLE_RICH,
 }
 
 

@@ -433,3 +433,42 @@ def test_priority_late_orders_semi_join(spark, sf_dir, queries):
     # EXISTS compiles to a semi join: the fact table is never multiplied
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_disjunctive_pushdown_prunes_both_scans(spark, sf_dir, queries):
+    plan = plan_of(queries["disjunctive_pushdown"](spark, sf_dir))
+    # Catalyst pushes the per-side residual of the OR into BOTH scans:
+    # the part scan gets the (brand, size) disjunction, the lineitem
+    # scan gets the quantity-bounds disjunction — each scan is pruned
+    # before the join even though the full predicate spans both sides
+    assert "EqualTo(p_brand,Brand#1)" in plan, plan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+    # tiny dim side broadcast; the disjunction never becomes a BNLJ
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_large_order_customers_having_before_join(spark, sf_dir, queries):
+    plan = plan_of(queries["large_order_customers"](spark, sf_dir))
+    # HAVING threshold filters the aggregate BEFORE the joins and the
+    # top-100 is TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_sole_late_supplier_no_fact_self_join(spark, sf_dir, queries):
+    s = plan_summary(queries["sole_late_supplier"](spark, sf_dir))
+    # exists + not-exists collapse to aggregates: the fact table is
+    # scanned once per role, never self-joined fact×fact; supplier is
+    # broadcast
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert s.get("BroadcastHashJoin", 0) >= 1, s
+
+
+def test_idle_rich_customers_anti_join_scalar_broadcast(spark, sf_dir, queries):
+    plan = plan_of(queries["idle_rich_customers"](spark, sf_dir))
+    # the global-average threshold is a broadcast 1-row aggregate and
+    # the no-finished-order test is an ANTI join (never row-multiplying)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
