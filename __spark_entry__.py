@@ -4212,6 +4212,121 @@ GROUP BY 1
 """
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen: per-type median + MAD (median absolute
+    deviation) instead of mean/stddev — 50% breakdown point, the screen
+    heavy-tailed web data needs (`operators/stats.py:mad_outliers`).
+    Group stats broadcast back; the fact side never shuffles."""
+    from cherry_pipelines_spark.operators.stats import mad_outliers
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select("event_id", "event_type", "value")
+    return mad_outliers(base, ["event_type"], "value", threshold=3.0)
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH med AS (SELECT event_type, median(value) AS m FROM events GROUP BY 1),
+mad AS (SELECT e.event_type, median(abs(e.value - med.m)) AS md
+        FROM events e JOIN med USING (event_type) GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE mad.md > 0 AND abs(e.value - med.m) > 3.0 * 1.4826 * mad.md
+"""
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    gibberish/template screen (`operators/text.py:char_entropy`).
+    27 literal replace-count expressions + an ordered array fold: pure
+    codegen, zero shuffle, zero explode."""
+    from cherry_pipelines_spark.operators.text import char_entropy
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return char_entropy(d)
+
+
+_ENT_CHARS = ", ".join(
+    "'" + c + "'" for c in ([chr(i) for i in range(ord("a"), ord("z") + 1)] + [" "])
+)
+
+ORACLE_CHAR_ENTROPY = f"""
+WITH base AS (SELECT doc_id, lower(text) AS t, length(text) AS n FROM documents),
+per AS (
+  SELECT doc_id, n, length(t) - length(replace(t, ch, '')) AS c
+  FROM base, (SELECT unnest([{_ENT_CHARS}]) AS ch) chars
+),
+agg AS (
+  SELECT doc_id, max(n) AS n, sum(c) AS known,
+         sum(CASE WHEN c > 0
+             THEN -(c::DOUBLE / n) * ln(c::DOUBLE / n) / ln(2) ELSE 0 END) AS e_known
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id, n::BIGINT AS n_chars_total,
+       round(e_known + CASE WHEN n - known > 0
+             THEN -((n - known)::DOUBLE / n) * ln((n - known)::DOUBLE / n) / ln(2)
+             ELSE 0 END, 6) AS char_entropy_bits
+FROM agg
+"""
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (alpha=0.2, 32-row lookback) of event values per
+    user (`operators/windows.py:ewma`) — one keyed shuffle, the
+    weighted sum is a literal-ordered JVM array fold (no sequential
+    recurrence, no UDF)."""
+    from cherry_pipelines_spark.operators.windows import ewma
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "ts", "value")
+    out = ewma(
+        base, order_cols=["ts", "event_id"], value_col="value",
+        alpha=0.2, lookback=32, partition_cols=["user_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round(F.col("ewma"), 6).alias("ewma")
+    )
+
+
+ORACLE_EWMA = """
+WITH n AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT e1.event_id, e1.user_id,
+       round(0.2 * (SELECT sum(e2.value * power(0.8, e1.rn - e2.rn))
+                    FROM n e2
+                    WHERE e2.user_id = e1.user_id
+                      AND e2.rn > e1.rn - 32 AND e2.rn <= e1.rn), 6) AS ewma
+FROM n e1
+"""
+
+
+def q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributed to the user's
+    most recent preceding click/view
+    (`operators/windows.py:last_touch_attribution`) — carried forward
+    with last(ignorenulls) over one keyed window, never a self-join.
+    Organic conversions (no prior touch) keep NULL attribution."""
+    from cherry_pipelines_spark.operators.windows import last_touch_attribution
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id", "ts", "event_type")
+    out = last_touch_attribution(base, carry_cols=("event_id",))
+    return out.select("event_id", "user_id", "touch_event_id")
+
+
+ORACLE_LAST_TOUCH = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type IN ('click', 'view') THEN event_id END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch_event_id
+FROM events
+QUALIFY event_type = 'purchase'
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -4331,6 +4446,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_late_supplier": q_sole_late_supplier,
     "disjunctive_pushdown": q_disjunctive_pushdown,
     "idle_rich_customers": q_idle_rich_customers,
+    "mad_outliers": q_mad_outliers,
+    "char_entropy": q_char_entropy,
+    "ewma_smooth": q_ewma_smooth,
+    "last_touch": q_last_touch,
 }
 
 
@@ -4452,6 +4571,10 @@ _ORACLES: dict[str, str] = {
     "sole_late_supplier": ORACLE_SOLE_LATE,
     "disjunctive_pushdown": ORACLE_DISJUNCTIVE,
     "idle_rich_customers": ORACLE_IDLE_RICH,
+    "mad_outliers": ORACLE_MAD_OUTLIERS,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
+    "ewma_smooth": ORACLE_EWMA,
+    "last_touch": ORACLE_LAST_TOUCH,
 }
 
 

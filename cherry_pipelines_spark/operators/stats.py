@@ -136,3 +136,41 @@ def profile_table(
         "max_value",
         "avg_len",
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    threshold: float = 3.0,
+    scale: float = 1.4826,
+) -> DataFrame:
+    """Rows whose ``value_col`` deviates more than ``threshold``
+    scaled-MAD units from their group MEDIAN — the robust sibling of
+    :func:`zscore_outliers`.  Mean/stddev are themselves dragged by the
+    outliers they are supposed to flag; median and MAD (median absolute
+    deviation, x1.4826 ≈ one sigma under normality) have a 50%
+    breakdown point, which is what a corpus-quality screen over
+    heavy-tailed web data actually needs.
+
+    Plan: two per-group aggregations (median, then median of |x-med|),
+    each shuffling only (group, value) pairs; both one-row-per-group
+    results broadcast back, so the fact table itself never shuffles.
+    Exact ``median`` sorts each group's values on one reducer — fine
+    while per-group cardinality fits a task (the quantile_gate
+    contract); at extreme cardinality swap ``F.median`` for
+    ``F.percentile_approx(value, 0.5)`` — same shape, sketch-merged
+    partials."""
+    med = df.groupBy(*group_cols).agg(F.median(value_col).alias("_med"))
+    mad = (
+        df.join(F.broadcast(med), list(group_cols))
+        .groupBy(*group_cols)
+        .agg(F.median(F.abs(F.col(value_col) - F.col("_med"))).alias("_mad"))
+    )
+    stats = med.join(mad, list(group_cols))
+    dev = F.abs(F.col(value_col) - F.col("_med"))
+    return (
+        df.join(F.broadcast(stats), list(group_cols))
+        .filter((F.col("_mad") > 0) & (dev > threshold * scale * F.col("_mad")))
+        .drop("_med", "_mad")
+    )

@@ -91,3 +91,80 @@ def chunked_trailing_range_agg(
     )
     out = both.select("*", *[expr.over(w).alias(name) for name, expr in aggs.items()])
     return out.filter(~F.col("_w_feeder")).drop("_w_chunk", "_w_feeder")
+
+
+def ewma(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    alpha: float = 0.2,
+    lookback: int = 32,
+    partition_cols: Sequence[str] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key:
+    ``y_t = alpha * sum_{j=0..K-1} (1-alpha)^j * x_{t-j}`` over the last
+    ``lookback`` rows — the smoothing curve behind rate monitors, drift
+    detectors, and per-source quality trendlines.
+
+    The textbook recurrence ``y_t = a*x_t + (1-a)*y_{t-1}`` is
+    sequential; the closed form over an unbounded prefix needs
+    ``(1-a)^{-t}`` scaling that overflows doubles.  The truncated form
+    is exact over its window, the dropped tail is bounded by
+    ``(1-alpha)^lookback`` (default 0.8^32 ≈ 8e-4 of total weight),
+    and it is expressible as pure JVM window + higher-order-function
+    work: ``collect_list`` over a rows-frame, reverse, weight by
+    ``pow(1-alpha, j)``, sum — one keyed shuffle, no UDF, no
+    sequential scan.  Weight order is a literal array fold, so the
+    float sum is deterministic."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    lst = F.reverse(F.collect_list(F.col(value_col).cast("double")).over(w))
+    weighted = F.zip_with(
+        lst,
+        F.transform(
+            F.sequence(F.lit(0), F.size(lst) - 1),
+            lambda j: F.pow(F.lit(1.0 - alpha), j.cast("double")),
+        ),
+        lambda x, wt: x * wt,
+    )
+    val = F.lit(float(alpha)) * F.aggregate(
+        weighted, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return df.withColumn(out_col, val)
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    touch_types: Sequence[str] = ("click", "view"),
+    conversion_type: str = "purchase",
+    carry_cols: Sequence[str] = ("event_id", "ts"),
+) -> DataFrame:
+    """Attribute each conversion event to the user's most recent
+    preceding touch event (last-touch attribution) — the event-stream
+    join every product-analytics pipeline runs, expressed WITHOUT a
+    self-join: ``last(touch, ignorenulls=True)`` over an
+    unbounded-preceding rows frame carries the latest touch forward,
+    then a filter keeps conversions.  One keyed shuffle on the user;
+    the stream is scanned once.  Conversions with no prior touch
+    surface with NULL attribution (kept — they are the organic
+    bucket)."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    is_touch = F.col(type_col).isin(*touch_types)
+    out = df
+    for c in carry_cols:
+        out = out.withColumn(
+            f"touch_{c}",
+            F.last(F.when(is_touch, F.col(c)), ignorenulls=True).over(w),
+        )
+    return out.filter(F.col(type_col) == conversion_type)

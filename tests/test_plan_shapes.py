@@ -472,3 +472,36 @@ def test_idle_rich_customers_anti_join_scalar_broadcast(spark, sf_dir, queries):
     # the no-finished-order test is an ANTI join (never row-multiplying)
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_mad_outliers_facts_never_shuffle(spark, sf_dir, queries):
+    plan = plan_of(queries["mad_outliers"](spark, sf_dir))
+    # both stat joins are broadcast: the fact side reaches the filter
+    # without an exchange on event_type
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_char_entropy_map_only_no_python(spark, sf_dir, queries):
+    plan = plan_of(queries["char_entropy"](spark, sf_dir))
+    # 27 replace-counts + the entropy fold: zero shuffles, zero explode,
+    # zero Python eval — a pure codegen map stage
+    assert "Exchange" not in plan, plan
+    assert "Generate" not in plan  # no explode
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_ewma_single_keyed_exchange_no_python(spark, sf_dir, queries):
+    plan = plan_of(queries["ewma_smooth"](spark, sf_dir))
+    # one hash exchange on the user key for the window; the weighted
+    # fold is JVM higher-order-function work
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_last_touch_single_exchange_no_self_join(spark, sf_dir, queries):
+    plan = plan_of(queries["last_touch"](spark, sf_dir))
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "Join" not in plan  # carried window, never a self-join

@@ -1,0 +1,194 @@
+"""Unit tests for the round-4 robust-stats / event-window operators:
+MAD outliers, char entropy, truncated EWMA, last-touch attribution.
+
+Each is checked against an independent plain-Python recomputation of
+the same definition (the oracle strategy used across the suite), plus
+the boundary cases the SQL oracle can't isolate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from cherry_pipelines_spark.operators.stats import mad_outliers
+from cherry_pipelines_spark.operators.text import ENTROPY_ALPHABET, char_entropy
+from cherry_pipelines_spark.operators.windows import ewma, last_touch_attribution
+
+
+# ------------------------------------------------------------------ MAD
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2.0
+
+
+def test_mad_outliers_matches_python(spark):
+    vals = [1.0, 1.1, 0.9, 1.2, 0.8, 1.05, 50.0, 1.15, 0.95, -40.0]
+    rows = [(i, "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    got = {
+        r.id for r in mad_outliers(df, ["grp"], "v", threshold=3.0).collect()
+    }
+    med = _median(vals)
+    mad = _median([abs(v - med) for v in vals])
+    want = {
+        i for i, v in enumerate(vals) if mad > 0 and abs(v - med) > 3.0 * 1.4826 * mad
+    }
+    assert got == want
+    assert got == {6, 9}  # the planted outliers, nothing else
+
+
+def test_mad_robust_where_zscore_is_dragged(spark):
+    # one colossal outlier inflates stddev enough that z-score misses a
+    # second, smaller outlier; MAD flags both (the reason it exists)
+    base = [9.5, 9.7, 9.9, 10.1, 10.3, 10.5] * 4  # MAD ≈ 0.3
+    vals = base + [1e6, 200.0]
+    rows = [(i, "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    flagged = {r.id for r in mad_outliers(df, ["grp"], "v").collect()}
+    assert 24 in flagged and 25 in flagged  # 1e6 AND 200 both caught
+    assert not any(i in flagged for i in range(24))  # base values are fine
+
+    from cherry_pipelines_spark.operators.stats import zscore_outliers
+
+    z = {r.id for r in zscore_outliers(df, ["grp"], "v", threshold=2.0).collect()}
+    assert 22 not in z  # stddev dragged by 1e6: z-score misses 200
+
+
+def test_mad_degenerate_group_emits_nothing(spark):
+    # constant group: MAD = 0 → no outliers (not a divide-by-zero spray)
+    df = spark.createDataFrame(
+        [(i, "g", 5.0) for i in range(6)], "id long, grp string, v double"
+    )
+    assert mad_outliers(df, ["grp"], "v").count() == 0
+
+
+# -------------------------------------------------------------- entropy
+
+
+def _py_entropy(text: str) -> float:
+    t = text.lower()
+    n = len(t)
+    counts = [t.count(c) for c in ENTROPY_ALPHABET]
+    other = n - sum(counts)
+    ent = 0.0
+    for c in counts + [other]:
+        if c > 0:
+            p = c / n
+            ent -= p * math.log(p, 2)
+    return round(ent, 6)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "aaaaaaaa",  # zero entropy
+        "abababab",  # exactly 1 bit
+        "the quick brown fox jumps over the lazy dog",
+        "Hello, World! 123",  # punctuation+digits land in the other bucket
+        "ZzZzZz",  # case folding
+    ],
+)
+def test_char_entropy_matches_python(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = char_entropy(df).collect()[0]
+    assert row.n_chars_total == len(text)
+    assert row.char_entropy_bits == pytest.approx(_py_entropy(text), abs=1e-6)
+
+
+def test_char_entropy_zero_and_one_bit(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.char_entropy_bits for r in char_entropy(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+
+
+# ----------------------------------------------------------------- EWMA
+
+
+def _py_ewma(xs, alpha=0.2, lookback=32):
+    out = []
+    for t in range(len(xs)):
+        lo = max(0, t - lookback + 1)
+        window = xs[lo : t + 1]
+        acc = 0.0
+        for j, x in enumerate(reversed(window)):
+            acc += x * (1 - alpha) ** j
+        out.append(alpha * acc)
+    return out
+
+
+def test_ewma_matches_sequential_python(spark):
+    xs = [1.0, 2.0, 3.0, 10.0, 2.0, 2.0, 2.0, 0.0, 5.0]
+    rows = [(i, "u", float(i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "id long, u string, ts double, v double")
+    got = {
+        r.id: r.ewma
+        for r in ewma(df, ["ts"], "v", partition_cols=["u"]).collect()
+    }
+    want = _py_ewma(xs)
+    for i in range(len(xs)):
+        assert got[i] == pytest.approx(want[i], rel=1e-12)
+
+
+def test_ewma_truncation_window(spark):
+    # 40 identical values: once the 32-row window is full the EWMA is
+    # constant at alpha * sum_{j<32} (1-a)^j = 1 - 0.8^32
+    xs = [1.0] * 40
+    rows = [(i, "u", float(i), x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "id long, u string, ts double, v double")
+    got = {r.id: r.ewma for r in ewma(df, ["ts"], "v", partition_cols=["u"]).collect()}
+    steady = 1 - 0.8**32
+    assert got[39] == pytest.approx(steady, rel=1e-12)
+    assert got[32] == pytest.approx(steady, rel=1e-12)
+    assert got[0] == pytest.approx(0.2, rel=1e-12)
+
+
+def test_ewma_keys_are_independent(spark):
+    rows = [(0, "a", 0.0, 1.0), (1, "b", 1.0, 100.0), (2, "a", 2.0, 1.0)]
+    df = spark.createDataFrame(rows, "id long, u string, ts double, v double")
+    got = {r.id: r.ewma for r in ewma(df, ["ts"], "v", partition_cols=["u"]).collect()}
+    # key a's second row never sees key b's 100.0
+    assert got[2] == pytest.approx(0.2 * (1.0 + 0.8), rel=1e-12)
+
+
+# ----------------------------------------------------- attribution
+
+
+def test_last_touch_basic_chain(spark):
+    rows = [
+        (1, "u1", 1.0, "view"),
+        (2, "u1", 2.0, "click"),
+        (3, "u1", 3.0, "purchase"),  # → 2 (click is most recent touch)
+        (4, "u1", 4.0, "purchase"),  # → still 2 (no new touch between)
+        (5, "u1", 5.0, "view"),
+        (6, "u1", 6.0, "purchase"),  # → 5
+        (7, "u2", 1.0, "purchase"),  # organic: no prior touch → NULL
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts double, event_type string")
+    out = last_touch_attribution(
+        df, order_cols=("ts", "event_id"), carry_cols=("event_id",)
+    )
+    got = {r.event_id: r.touch_event_id for r in out.collect()}
+    assert got == {3: 2, 4: 2, 6: 5, 7: None}
+
+
+def test_last_touch_never_attributes_to_conversion(spark):
+    # purchases are not touch types: a purchase between touches must
+    # not become its own (or the next purchase's) attribution
+    rows = [
+        (1, "u", 1.0, "click"),
+        (2, "u", 2.0, "purchase"),
+        (3, "u", 3.0, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts double, event_type string")
+    out = last_touch_attribution(df, carry_cols=("event_id",))
+    got = {r.event_id: r.touch_event_id for r in out.collect()}
+    assert got == {2: 1, 3: 1}
