@@ -2994,14 +2994,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cherry_pipelines_spark.operators.graph import pagerank
 
     l, o = _load(spark, sf_dir, "lineitem", "orders")
+    # bit-tagged LONG node ids through the iterations (even = supplier,
+    # odd = customer): integer keys shuffle/dedup measurably faster
+    # than concat'd strings; the s<id>/c<id> labels the oracle expects
+    # are re-derived only on the final small (node, rank) result
     edges = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("o_custkey") * 2 + 1).alias("dst"),
         )
     )
-    return pagerank(edges, iters=2)
+    pr = pagerank(edges, iters=2)
+    label = F.when(
+        F.col("node") % 2 == 0, F.concat(F.lit("s"), (F.col("node") / 2).cast("long"))
+    ).otherwise(F.concat(F.lit("c"), ((F.col("node") - 1) / 2).cast("long")))
+    return pr.select(label.alias("node"), "rank")
 
 
 ORACLE_PAGERANK = """

@@ -61,7 +61,11 @@ def pagerank(
         .distinct()
         .cache()
     )
-    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg")).cache()
+    deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    # the degree join is loop-INVARIANT too: attach it to the edge list
+    # once and cache the combined (src, dst, deg) relation, instead of
+    # re-joining deg inside every iteration
+    e_deg = e.join(deg, "src").cache()
     n_row = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node",
@@ -70,8 +74,7 @@ def pagerank(
     )
     for i in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(
                 "dst",
                 F.round(F.col("rank") / F.col("deg"), 9)
