@@ -4335,6 +4335,121 @@ QUALIFY event_type = 'purchase'
 """
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash
+    (`operators/sampling.py:dataset_split`): same doc_id → same split
+    on any cluster/partitioning/day.  Map-only hash + when-chain;
+    summarized per (split, lang) so the oracle pins both the band
+    arithmetic and the per-stratum counts."""
+    from cherry_pipelines_spark.operators.sampling import dataset_split
+
+    (d,) = _load(spark, sf_dir, "documents")
+    out = dataset_split(
+        d, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+WITH b AS (
+  SELECT lang,
+         ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 1000 THEN 'test'
+            WHEN bucket < 9000 THEN 'train'
+            ELSE 'val' END AS split,
+       lang, count(*)::BIGINT AS n_docs
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract gate
+    (`operators/quality.py:contract_report`): every rule's violation
+    count in ONE aggregation pass (no per-rule jobs), NULL conditions
+    counted as violations.  Two rules hold, two catch real rows —
+    the report a pipeline branches on before promoting a batch."""
+    from cherry_pipelines_spark.operators.quality import contract_report
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return contract_report(
+        d,
+        {
+            "lang_known": F.col("lang").isin("en", "zh", "es", "de", "fr"),
+            "n_chars_consistent": F.col("n_chars") == F.length("text"),
+            "n_chars_le_300": F.col("n_chars") <= 300,
+            "text_min_50": F.col("n_chars") >= 50,
+        },
+    )
+
+
+ORACLE_CONTRACT_CHECK = """
+WITH agg AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN coalesce(lang IN ('en','zh','es','de','fr'), FALSE)
+                  THEN 0 ELSE 1 END)::BIGINT AS lang_known,
+         sum(CASE WHEN coalesce(n_chars = length(text), FALSE)
+                  THEN 0 ELSE 1 END)::BIGINT AS n_chars_consistent,
+         sum(CASE WHEN coalesce(n_chars <= 300, FALSE) THEN 0 ELSE 1 END)::BIGINT
+           AS n_chars_le_300,
+         sum(CASE WHEN coalesce(n_chars >= 50, FALSE) THEN 0 ELSE 1 END)::BIGINT
+           AS text_min_50
+  FROM documents
+)
+SELECT rule, n_violations, n_rows FROM agg
+UNPIVOT (n_violations FOR rule IN (lang_known, n_chars_consistent,
+                                   n_chars_le_300, text_min_50))
+"""
+
+
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→8 random projection
+    (`operators/similarity.py:rp_project`): ±1 sha256-parity planes
+    over int8 codes — integer sums, one float multiply per component,
+    engine-exact.  Emitted as (vec_id, dim, value) scalar rows."""
+    from cherry_pipelines_spark.operators.similarity import rp_project
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    out = rp_project(em, in_dims=64, out_dims=8, seed=0)
+    return out.select(
+        "vec_id", F.posexplode("rp").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
+
+
+ORACLE_RP_PROJECT = """
+WITH z AS (
+  SELECT vec_id,
+         (SELECT round(max(abs(x)) / 127.0, 9)
+            FROM unnest(embedding::DOUBLE[]) t(x)) AS s,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, s,
+         CASE WHEN s > 0 THEN [round(x / s)::BIGINT for x in v]
+              ELSE [0::BIGINT for x in v] END AS qv
+  FROM z
+),
+w AS (
+  SELECT p, j,
+         CASE WHEN ('0x' || substr(sha256('0:' || p::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS w
+  FROM generate_series(0, 7) s1(p), generate_series(0, 63) s2(j)
+),
+proj AS (
+  SELECT q.vec_id, w.p, max(q.s) AS s,
+         sum(w.w * q.qv[w.j + 1])::BIGINT AS pr
+  FROM q, w GROUP BY 1, 2
+)
+SELECT vec_id, p::BIGINT AS dim,
+       round((pr::DOUBLE * coalesce(s, 0.0)) * (1.0 / sqrt(8)), 9) AS value
+FROM proj
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -4458,6 +4573,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "char_entropy": q_char_entropy,
     "ewma_smooth": q_ewma_smooth,
     "last_touch": q_last_touch,
+    "dataset_split": q_dataset_split,
+    "contract_check": q_contract_check,
+    "rp_project": q_rp_project,
 }
 
 
@@ -4583,6 +4701,9 @@ _ORACLES: dict[str, str] = {
     "char_entropy": ORACLE_CHAR_ENTROPY,
     "ewma_smooth": ORACLE_EWMA,
     "last_touch": ORACLE_LAST_TOUCH,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "contract_check": ORACLE_CONTRACT_CHECK,
+    "rp_project": ORACLE_RP_PROJECT,
 }
 
 

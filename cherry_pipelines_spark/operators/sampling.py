@@ -304,3 +304,40 @@ def temperature_mix(
         .filter(F.pmod(h32(key.cast("string")), _MOD) < F.col("keep_thr"))
         .drop("keep_thr")
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    key: Column,
+    splits: Mapping[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by stable content hash:
+    ``splits`` maps split name → fraction (must sum to ≤ 1; any
+    remainder is assigned NULL — an explicit holdout bucket).  Same key
+    → same split on any cluster, any partitioning, any day — the
+    property that keeps eval sets honest across re-runs and makes the
+    assignment joinable from every derived table.
+
+    Map-only: one hash + a when-chain over cumulative thresholds
+    (names in sorted order, so the operator — not dict order — defines
+    the band layout).  No shuffle, no state, composes with scan
+    pruning."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    for s, r in splits.items():
+        if r < 0:
+            raise ValueError(f"negative fraction for split {s!r}")
+    bucket = F.pmod(h32(key.cast("string")), _MOD)
+    expr = F.lit(None).cast("string")
+    acc = 0.0
+    bands = []
+    for name, frac in sorted(splits.items()):
+        lo = int(acc * _MOD)
+        acc += frac
+        hi = int(acc * _MOD)
+        bands.append((name, lo, hi))
+    for name, lo, hi in reversed(bands):
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -395,6 +395,18 @@ def ann_recall(exact: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _balanced_sum(terms: list) -> Column:
+    """Sum Columns as a balanced binary tree (log depth).  Integer
+    addition is associative, so this equals the left-fold bit-for-bit
+    while generating shallow enough Java for Janino at wide fan-ins."""
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
 def _srp_weights(planes: int, dims: int, seed: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix from sha256 parity — the same
     bits any engine derives from the same strings (DuckDB:
@@ -444,18 +456,18 @@ def srp_sketch(
     # codes is also the documented storage posture for the quantized
     # ANN path, so this is the 100 TB shape, not a local hack.
     qz = quantize_embeddings(df, vec_col, id_col).localCheckpoint(eager=False)
-    # the weights are ±1, so each projection is a straight add/subtract
-    # chain over the vector elements — flat codegen arithmetic.  (The
-    # first form here was zip_with(literal-array)+aggregate; interpreted
-    # HOF lambdas cost ~1.4 s per 2k vectors at planes=32 — measured —
-    # vs milliseconds for the flat chain.)
+    # the weights are ±1, so each projection is a flat signed SUM of the
+    # vector elements — codegen arithmetic, no HOF.  (The first form
+    # here was zip_with(literal-array)+aggregate; interpreted HOF
+    # lambdas cost ~1.4 s per 2k vectors at planes=32 — measured.)
+    # Balanced tree, not a left chain: integer addition is associative
+    # so results are identical, and log-depth nesting keeps the
+    # generated Java inside Janino's limits at planes x dims scale.
     elems = [F.col("qvec")[j].cast("long") for j in range(dims)]
 
     def proj(p: int):
-        acc = elems[0] if W[p][0] > 0 else -elems[0]
-        for j in range(1, dims):
-            acc = acc + elems[j] if W[p][j] > 0 else acc - elems[j]
-        return acc
+        terms = [elems[j] if W[p][j] > 0 else -elems[j] for j in range(dims)]
+        return _balanced_sum(terms)
     bit = lambda p: F.when(proj(p) >= 0, F.lit(1)).otherwise(F.lit(0))
     nibble = lambda n: (
         bit(4 * n) * 8 + bit(4 * n + 1) * 4 + bit(4 * n + 2) * 2 + bit(4 * n + 3)
@@ -491,3 +503,54 @@ def srp_near_dups(
         bands=bands,
         hash_chars=planes // 4,
     )
+
+
+def rp_project(
+    df: DataFrame,
+    in_dims: int,
+    out_dims: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: reduce ``in_dims``
+    embeddings to ``out_dims`` with the deterministic ±1 sha256-parity
+    hyperplanes (`_srp_weights`) scaled by 1/sqrt(out_dims) — the
+    standard pre-step before billion-scale clustering/ANN when the
+    model width is larger than the geometry needs (distances preserved
+    within (1±eps) for out_dims ~ O(log n / eps^2)).
+
+    Engine-exact by the same trick as :func:`srp_sketch`: project the
+    int8-QUANTIZED codes (integer sums — order-independent), then apply
+    the per-vector scale and the 1/sqrt(out_dims) factor as ONE float
+    multiply per component, rounded to 9 dp.  Map-only flat add/
+    subtract chains; the ±1 matrix is a plan-time literal.
+
+    Returns ``(id, rp)`` with ``rp`` an ``array<double>`` of
+    ``out_dims`` components (NULL scale — the all-zero vector —
+    projects to zeros).
+    """
+    import math
+
+    W = _srp_weights(out_dims, in_dims, seed)
+    # materialized for the same CollapseProject reason as srp_sketch
+    qz = quantize_embeddings(df, vec_col, id_col).localCheckpoint(eager=False)
+    elems = [F.col("qvec")[j].cast("long") for j in range(in_dims)]
+
+    def proj(p: int):
+        acc = elems[0] if W[p][0] > 0 else -elems[0]
+        for j in range(1, in_dims):
+            acc = acc + elems[j] if W[p][j] > 0 else acc - elems[j]
+        return acc
+
+    inv = 1.0 / math.sqrt(out_dims)
+    comps = [
+        F.round(
+            proj(p).cast("double")
+            * F.coalesce(F.col("qscale"), F.lit(0.0))
+            * F.lit(inv),
+            9,
+        )
+        for p in range(out_dims)
+    ]
+    return qz.select(F.col(id_col), F.array(*comps).alias("rp"))

@@ -505,3 +505,30 @@ def test_last_touch_single_exchange_no_self_join(spark, sf_dir, queries):
     plan = plan_of(queries["last_touch"](spark, sf_dir))
     assert plan.count("hashpartitioning(user_id") == 1, plan
     assert "Join" not in plan  # carried window, never a self-join
+
+
+def test_dataset_split_is_map_only(spark, sf_dir, queries):
+    plan = plan_of(queries["dataset_split"](spark, sf_dir))
+    # the split assignment itself is hash + when-chain before the demo
+    # aggregation: no join, no Python anywhere
+    assert "Join" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_contract_check_single_aggregate(spark, sf_dir, queries):
+    plan = plan_of(queries["contract_check"](spark, sf_dir))
+    # every rule folds into ONE aggregation (partial-merged): exactly
+    # one exchange, and the unpivot is plain projection work
+    s = plan_summary(queries["contract_check"](spark, sf_dir))
+    assert s.get("Exchange", 0) == 1, s
+    assert "Join" not in plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_rp_project_stays_jvm_side(spark, sf_dir, queries):
+    plan = plan_of(queries["rp_project"](spark, sf_dir))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
+    assert "Join" not in plan
