@@ -4450,6 +4450,101 @@ FROM proj
 """
 
 
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (`operators/linkage.py:fuzzy_pairs`): supplier
+    names within edit distance 1, via symmetric-delete blocking — a
+    COMPLETE single-edit cover (equi-join on deletion variants), then
+    a candidate-bounded JVM levenshtein verify; the oracle is the
+    brute-force O(n²) levenshtein join, so the blocking's exactness is
+    what the hash compare actually certifies."""
+    from cherry_pipelines_spark.operators.linkage import fuzzy_pairs
+
+    (s,) = _load(spark, sf_dir, "supplier")
+    return fuzzy_pairs(s, "s_name", "s_suppkey")
+
+
+ORACLE_FUZZY_MATCH = """
+SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+       levenshtein(a.s_name, b.s_name)::BIGINT AS edit_dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric columns
+    (`operators/stats.py:correlation_matrix`) — all six pairs in ONE
+    aggregation pass, unpivoted with stack."""
+    from cherry_pipelines_spark.operators.stats import correlation_matrix
+
+    (l,) = _load(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        l, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+ORACLE_CORR_MATRIX = """
+WITH one AS (
+  SELECT round(corr(l_discount, l_extendedprice), 6) AS c0,
+         round(corr(l_discount, l_quantity), 6) AS c1,
+         round(corr(l_discount, l_tax), 6) AS c2,
+         round(corr(l_extendedprice, l_quantity), 6) AS c3,
+         round(corr(l_extendedprice, l_tax), 6) AS c4,
+         round(corr(l_quantity, l_tax), 6) AS c5
+  FROM lineitem
+)
+SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b, c0 AS corr FROM one
+UNION ALL SELECT 'l_discount', 'l_quantity', c1 FROM one
+UNION ALL SELECT 'l_discount', 'l_tax', c2 FROM one
+UNION ALL SELECT 'l_extendedprice', 'l_quantity', c3 FROM one
+UNION ALL SELECT 'l_extendedprice', 'l_tax', c4 FROM one
+UNION ALL SELECT 'l_quantity', 'l_tax', c5 FROM one
+"""
+
+
+def q_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value-over-time trend (`operators/stats.py:group_trend`):
+    decimal-exact sufficient statistics, fixed-order double closed
+    forms — a drift monitor whose slope/intercept replay bit-for-bit
+    in DuckDB (built-in regr_slope's float accumulation would not).
+    x is epoch seconds rebased to 2024-01-01 (smaller cancellation in
+    the normal equations)."""
+    from cherry_pipelines_spark.operators.stats import group_trend
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        (_ts_secs(e) - F.lit(1704067200)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return group_trend(base, ["event_type"], "x", "y")
+
+
+ORACLE_TREND_LINES = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_us(ts) // 1000000 - 1704067200)::DECIMAL(18,0) AS x,
+         value::DECIMAL(18,6) AS y
+  FROM events
+),
+agg AS (
+  SELECT event_type,
+         count(*)::DOUBLE AS n,
+         sum(x)::DOUBLE AS sx,
+         sum(y)::DOUBLE AS sy,
+         sum(x::DECIMAL(38,6) * y::DECIMAL(38,6))::DOUBLE AS sxy,
+         sum(x::DECIMAL(38,0) * x::DECIMAL(38,0))::DOUBLE AS sxx
+  FROM base GROUP BY 1
+)
+SELECT event_type,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       n::BIGINT AS n
+FROM agg
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -4576,6 +4671,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split": q_dataset_split,
     "contract_check": q_contract_check,
     "rp_project": q_rp_project,
+    "fuzzy_match": q_fuzzy_match,
+    "corr_matrix": q_corr_matrix,
+    "trend_lines": q_trend_lines,
 }
 
 
@@ -4704,6 +4802,9 @@ _ORACLES: dict[str, str] = {
     "dataset_split": ORACLE_DATASET_SPLIT,
     "contract_check": ORACLE_CONTRACT_CHECK,
     "rp_project": ORACLE_RP_PROJECT,
+    "fuzzy_match": ORACLE_FUZZY_MATCH,
+    "corr_matrix": ORACLE_CORR_MATRIX,
+    "trend_lines": ORACLE_TREND_LINES,
 }
 
 

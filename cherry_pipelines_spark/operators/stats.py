@@ -174,3 +174,84 @@ def mad_outliers(
         .filter((F.col("_mad") > 0) & (dev > threshold * scale * F.col("_mad")))
         .drop("_med", "_mad")
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    columns: Sequence[str],
+    scale: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns as
+    ``(col_a, col_b, corr)`` rows (upper triangle, names sorted) — the
+    profiling companion that catches redundant quality signals before
+    they double-count in a composite score.
+
+    Every pair's ``corr`` runs in ONE aggregation pass (the C(n,2)
+    aggregates share the single shuffle and their partials merge
+    map-side); the per-pair rows unpivot from that one row via
+    ``stack``.  Results round to ``scale`` dp — the usual float-sum
+    order tolerance across engines."""
+    cols = sorted(columns)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    aggs = [
+        F.round(F.corr(a, b), scale).alias(f"_c_{i}")
+        for i, (a, b) in enumerate(pairs)
+    ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', _c_{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) as (col_a, col_b, corr)"
+        )
+    )
+
+
+def group_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group least-squares trend line ``(group, slope, intercept,
+    n)`` — the drift detector over time-keyed quality metrics
+    ("is this source's score sliding?").
+
+    Engine-exact where the built-in ``regr_slope`` is not: the five
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) are summed in exact
+    decimal (order-independent), each cast to double ONCE, and the
+    closed forms ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)`` /
+    ``intercept = (Σy − slope·Σx) / n`` evaluate in a fixed double
+    expression order — so DuckDB replays the bits, which float
+    accumulation order never guarantees.  One keyed shuffle,
+    partial-merged map-side.  Requires integer-valued x (epoch
+    seconds, slot numbers); a constant-x group has NULL slope."""
+    x = F.col(x_col).cast("decimal(18,0)")
+    y = F.col(y_col).cast("decimal(18,6)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(y).cast("double").alias("_sy"),
+        F.sum(x.cast("decimal(38,6)") * y.cast("decimal(38,6)"))
+        .cast("double")
+        .alias("_sxy"),
+        F.sum(x.cast("decimal(38,0)") * x.cast("decimal(38,0)"))
+        .cast("double")
+        .alias("_sxx"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        den != 0.0,
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den,
+    )
+    intercept = F.when(
+        slope.isNotNull(),
+        (F.col("_sy") - slope * F.col("_sx")) / F.col("_n"),
+    )
+    return agg.select(
+        *group_cols,
+        F.round(slope, 9).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.col("_n").cast("long").alias("n"),
+    )

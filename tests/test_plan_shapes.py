@@ -532,3 +532,25 @@ def test_rp_project_stays_jvm_side(spark, sf_dir, queries):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
     assert "Join" not in plan
+
+
+def test_fuzzy_match_variant_equi_join_no_cross(spark, sf_dir, queries):
+    s = plan_summary(queries["fuzzy_match"](spark, sf_dir))
+    # symmetric-delete blocking: an equi-join on the variant, never a
+    # cross/nested-loop over the name table
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+
+
+def test_corr_matrix_single_aggregate(spark, sf_dir, queries):
+    s = plan_summary(queries["corr_matrix"](spark, sf_dir))
+    # all six corr aggregates share ONE aggregation (one exchange)
+    assert s.get("Exchange", 0) == 1, s
+    assert "Join" not in str(s)
+
+
+def test_trend_lines_one_keyed_shuffle(spark, sf_dir, queries):
+    s = plan_summary(queries["trend_lines"](spark, sf_dir))
+    assert s.get("Exchange", 0) == 1, s
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in s
