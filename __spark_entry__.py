@@ -4545,6 +4545,125 @@ FROM agg
 """
 
 
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst dedup (`operators/windows.py:debounce`): first event of
+    every ≤300 s-spaced run per (user, type) — one lag over one keyed
+    window, the at-least-once-delivery hygiene filter."""
+    from cherry_pipelines_spark.operators.windows import debounce
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", "event_type", _ts_secs(e).alias("secs")
+    )
+    out = debounce(
+        base,
+        key_cols=["user_id", "event_type"],
+        order_cols=["secs", "event_id"],
+        gap_col="secs",
+        window=300,
+    )
+    return out.select("event_id", "user_id", "event_type")
+
+
+ORACLE_DEBOUNCE = """
+WITH b AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) // 1000000 AS secs
+  FROM events
+),
+g AS (
+  SELECT event_id, user_id, event_type, secs,
+         lag(secs) OVER (PARTITION BY user_id, event_type
+                         ORDER BY secs, event_id) AS prev
+  FROM b
+)
+SELECT event_id, user_id, event_type
+FROM g WHERE prev IS NULL OR secs - prev > 300
+"""
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source score calibration
+    (`operators/windows.py:quantile_normalize`): per-type percentile
+    rank of the event value — partitioned windows only, never a global
+    total order."""
+    from cherry_pipelines_spark.operators.windows import quantile_normalize
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select("event_id", "event_type", "value")
+    return quantile_normalize(base, ["event_type"], "value")
+
+
+ORACLE_QUANTILE_NORMALIZE = """
+SELECT event_id, event_type, value,
+       round(percent_rank() OVER (PARTITION BY event_type ORDER BY value), 6)
+         AS qnorm
+FROM events
+"""
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities
+    (`operators/graph.py:label_propagation`), 2 deterministic rounds
+    (mode vote, ties to smallest label) over the thinned supplier
+    co-supply graph — the oracle unrolls both voting rounds as CTEs
+    with an explicit argmax window, so the determinism claim is
+    hash-checked, not asserted."""
+    from cherry_pipelines_spark.operators.graph import label_propagation
+
+    (l,) = _load(spark, sf_dir, "lineitem")
+    per_order = l.filter(F.col("l_orderkey") % 4 == 0).groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    m = F.size("ss")
+    adjacent = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - 2, F.lit(0))),
+        lambda j: F.struct(
+            F.element_at("ss", j + 1).alias("src"),
+            F.element_at("ss", j + 2).alias("dst"),
+        ),
+    )
+    edges = (
+        per_order.filter(m >= 2)
+        .select(F.explode(adjacent).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+    )
+    return label_propagation(edges, iters=2)
+
+
+ORACLE_LABEL_PROPAGATION = """
+WITH per_order AS (
+  SELECT l_orderkey, list_sort(list_distinct(list(l_suppkey))) AS ss
+  FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY l_orderkey
+),
+raw AS (
+  SELECT ss[j] AS src, ss[j + 1] AS dst
+  FROM per_order, LATERAL (SELECT unnest(range(1, len(ss))) AS j)
+  WHERE len(ss) >= 2
+),
+und AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS u, src AS v FROM raw WHERE src <> dst
+  )
+),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM und),
+v1 AS (SELECT und.u, l0.label, count(*) AS n
+       FROM und JOIN l0 ON l0.node = und.v GROUP BY 1, 2),
+l1 AS (SELECT u AS node, label FROM (
+         SELECT u, label,
+                row_number() OVER (PARTITION BY u ORDER BY n DESC, label) AS rn
+         FROM v1) WHERE rn = 1),
+v2 AS (SELECT und.u, l1.label, count(*) AS n
+       FROM und JOIN l1 ON l1.node = und.v GROUP BY 1, 2),
+l2 AS (SELECT u AS node, label FROM (
+         SELECT u, label,
+                row_number() OVER (PARTITION BY u ORDER BY n DESC, label) AS rn
+         FROM v2) WHERE rn = 1)
+SELECT node, label FROM l2
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -4674,6 +4793,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_match": q_fuzzy_match,
     "corr_matrix": q_corr_matrix,
     "trend_lines": q_trend_lines,
+    "debounce": q_debounce,
+    "quantile_normalize": q_quantile_normalize,
+    "label_propagation": q_label_propagation,
 }
 
 
@@ -4805,6 +4927,9 @@ _ORACLES: dict[str, str] = {
     "fuzzy_match": ORACLE_FUZZY_MATCH,
     "corr_matrix": ORACLE_CORR_MATRIX,
     "trend_lines": ORACLE_TREND_LINES,
+    "debounce": ORACLE_DEBOUNCE,
+    "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+    "label_propagation": ORACLE_LABEL_PROPAGATION,
 }
 
 

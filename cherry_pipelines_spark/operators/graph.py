@@ -158,3 +158,64 @@ def triangle_count(
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation over an
+    UNDIRECTED edge list: every node starts as its own label; each
+    round a node adopts its neighbors' most frequent label (ties break
+    to the SMALLEST label — fully deterministic, unlike textbook LPA's
+    random tie-break, so any engine replays the rounds exactly).
+
+    Communities are the soft/local complement to
+    ``dedup.duplicate_clusters``' connected components: CC merges
+    everything reachable; LPA keeps densely-linked groups apart even
+    when a stray edge bridges them.
+
+    Per round: one (node, label) join onto the symmetrized edges, a
+    (dst, label) count, and a per-node argmax window — two keyed
+    shuffles, no broadcast state, labels ``localCheckpoint``-ed every
+    few rounds like the other iterative operators.  Isolated nodes
+    (no edges) keep their own label by construction."""
+    from pyspark.sql import Window
+
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .distinct()
+        .cache()
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for i in range(iters):
+        votes = (
+            und.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.partitionBy("u").orderBy(F.col("n").desc(), F.col("label"))
+        labels = (
+            votes.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(F.col("u").alias("node"), "label")
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            labels = labels.localCheckpoint(eager=True)
+    return labels

@@ -168,3 +168,45 @@ def last_touch_attribution(
             F.last(F.when(is_touch, F.col(c)), ignorenulls=True).over(w),
         )
     return out.filter(F.col(type_col) == conversion_type)
+
+
+def debounce(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    gap_col: str,
+    window: int,
+) -> DataFrame:
+    """Burst deduplication ("debounce"): within each key, keep only the
+    FIRST event of every burst — a run of events each within ``window``
+    units (of ``gap_col``, e.g. epoch seconds) of its predecessor.
+    The event-pipeline hygiene op for double-clicks, retry storms, and
+    at-least-once duplicate deliveries.
+
+    Gaps-and-islands without the island id: one ``lag`` over one keyed
+    window; a row survives iff it has no predecessor or trails it by
+    more than ``window``.  One shuffle, no join, no state."""
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    prev = F.lag(F.col(gap_col)).over(w)
+    return df.withColumn("_prev", prev).filter(
+        F.col("_prev").isNull() | (F.col(gap_col) - F.col("_prev") > window)
+    ).drop("_prev")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "qnorm",
+    scale: int = 6,
+) -> DataFrame:
+    """Within-group percentile rank of ``value_col`` (percent_rank ∈
+    [0, 1], rounded) — the cross-source score calibration step: raw
+    quality scores from different sources/models live on different
+    scales, their per-source quantiles are comparable.
+
+    One keyed window per group (partitioned — never a global total
+    order, which would funnel the corpus through one task).  Ties get
+    equal rank (percent_rank semantics), single-row groups get 0."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), scale))

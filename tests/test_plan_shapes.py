@@ -484,9 +484,12 @@ def test_mad_outliers_facts_never_shuffle(spark, sf_dir, queries):
 
 def test_char_entropy_map_only_no_python(spark, sf_dir, queries):
     plan = plan_of(queries["char_entropy"](spark, sf_dir))
-    # 27 replace-counts + the entropy fold: zero shuffles, zero explode,
-    # zero Python eval — a pure codegen map stage
-    assert "Exchange" not in plan, plan
+    # 27 replace-counts + a flat entropy chain: no keyed shuffle, zero
+    # explode, zero Python eval.  The single allowed exchange is
+    # fan_out's round-robin spread of the CPU-bound map work — never a
+    # hash/range partitioning
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan.lower()
     assert "Generate" not in plan  # no explode
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
@@ -554,3 +557,23 @@ def test_trend_lines_one_keyed_shuffle(spark, sf_dir, queries):
     assert s.get("Exchange", 0) == 1, s
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in s
+
+
+def test_debounce_single_keyed_exchange_no_join(spark, sf_dir, queries):
+    s = plan_summary(queries["debounce"](spark, sf_dir))
+    assert s.get("Exchange", 0) == 1, s
+    assert not any("Join" in k for k in s)
+
+
+def test_quantile_normalize_partitioned_window_not_global(spark, sf_dir, queries):
+    plan = plan_of(queries["quantile_normalize"](spark, sf_dir))
+    # percentile rank is per-group: a hash exchange on the group, NEVER
+    # a global range sort (single-task funnel)
+    assert "hashpartitioning(event_type" in plan, plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_label_propagation_no_nested_loop(spark, sf_dir, queries):
+    s = plan_summary(queries["label_propagation"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s

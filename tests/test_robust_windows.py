@@ -192,3 +192,107 @@ def test_last_touch_never_attributes_to_conversion(spark):
     out = last_touch_attribution(df, carry_cols=("event_id",))
     got = {r.event_id: r.touch_event_id for r in out.collect()}
     assert got == {2: 1, 3: 1}
+
+
+# ------------------------------------------------------------ debounce
+
+
+def test_debounce_keeps_burst_heads(spark):
+    from cherry_pipelines_spark.operators.windows import debounce
+
+    rows = [
+        (1, "u", 0),    # head of burst 1
+        (2, "u", 100),  # within 300 of prev -> dropped
+        (3, "u", 350),  # within 300 of #2 (250) -> dropped (burst chains)
+        (4, "u", 800),  # gap 450 -> head of burst 2
+        (5, "w", 810),  # other key -> its own head
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, t long")
+    out = debounce(df, ["k"], ["t", "id"], "t", 300)
+    assert {r.id for r in out.collect()} == {1, 4, 5}
+
+
+def test_debounce_zero_gap_duplicates_dropped(spark):
+    from cherry_pipelines_spark.operators.windows import debounce
+
+    rows = [(1, "u", 50), (2, "u", 50), (3, "u", 50)]
+    df = spark.createDataFrame(rows, "id long, k string, t long")
+    out = debounce(df, ["k"], ["t", "id"], "t", 300)
+    assert {r.id for r in out.collect()} == {1}
+
+
+# --------------------------------------------------- quantile norm
+
+
+def test_quantile_normalize_ranks(spark):
+    from cherry_pipelines_spark.operators.windows import quantile_normalize
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 20.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = quantile_normalize(df, ["g"], "v").collect()
+    got = sorted((r.g, r.v, r.qnorm) for r in out)
+    # percent_rank: (rank-1)/(n-1); ties share rank; single-row group = 0
+    assert got == [
+        ("a", 10.0, 0.0),
+        ("a", 20.0, pytest.approx(1 / 3, abs=1e-6)),
+        ("a", 20.0, pytest.approx(1 / 3, abs=1e-6)),
+        ("a", 30.0, 1.0),
+        ("b", 5.0, 0.0),
+    ]
+
+
+# ------------------------------------------------- label propagation
+
+
+def _py_lpa(edges, iters):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    nodes = {u for u, _ in und}
+    labels = {n: n for n in nodes}
+    for _ in range(iters):
+        new = {}
+        for u in nodes:
+            votes = {}
+            for a, b in und:
+                if a == u:
+                    lbl = labels[b]
+                    votes[lbl] = votes.get(lbl, 0) + 1
+            new[u] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_replay(spark):
+    from cherry_pipelines_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: CC would merge everything; LPA
+    # keeps the dense groups apart.  Checked against a plain-python
+    # replay of the same synchronous mode/min-tie rule.
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2, 3):
+        got = {
+            r.node: r.label for r in label_propagation(df, iters=iters).collect()
+        }
+        assert got == _py_lpa(edges, iters), iters
+    # the two triangle cores end in different communities
+    final = {r.node: r.label for r in label_propagation(df, iters=3).collect()}
+    assert final[1] == final[2]
+    assert final[11] == final[12]
+    assert final[1] != final[11]
+
+
+def test_label_propagation_isolated_self_loop_hygiene(spark):
+    from cherry_pipelines_spark.operators.graph import label_propagation
+
+    edges = [(1, 1), (2, 3)]  # self loop ignored; 1 drops out (no real edge)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iters=2).collect()}
+    # a bare pair OSCILLATES under synchronous LPA (labels swap every
+    # round) — the replay pins that exactly; node 1 never appears
+    assert out == _py_lpa(edges, 2) == {2: 2, 3: 3}
+    out1 = {r.node: r.label for r in label_propagation(df, iters=1).collect()}
+    assert out1 == _py_lpa(edges, 1) == {2: 3, 3: 2}
