@@ -331,9 +331,14 @@ def quantized_cosine_topk(
         F.col("qvec").alias("qb"),
         idot(F.col("qvec"), F.col("qvec")).alias("_nb"),
     )
+    # pair-stage dot: the O(|Q|·|corpus|·dim) hot loop goes through the
+    # Arrow fold like cosine_topk's (interpreted HOF lambdas are the
+    # slow path).  float64 accumulation of int8 products is EXACT
+    # (|sum| ≤ dims·127² ≪ 2^53), so the long cast reproduces the
+    # integer fold bit-for-bit; the O(|rows|) self-norms stay JVM-side
     scored = (
         cz.join(F.broadcast(qz), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_dot", idot(F.col("qa"), F.col("qb")))
+        .withColumn("_dot", _dot_fold(F.col("qa"), F.col("qb")).cast("long"))
         .withColumn(
             "qcos",
             F.when(
