@@ -4664,6 +4664,78 @@ SELECT node, label FROM l2
 """
 
 
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid resample + forward-fill
+    (`operators/timeseries.py:resample_ffill`): each user's value on a
+    daily grid, carrying the latest at-or-before observation — the
+    hypertable regularization step, built as one in-plan grid explode
+    + one keyed window (no join, no driver collect)."""
+    from cherry_pipelines_spark.operators.timeseries import resample_ffill
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select(
+        "user_id", _ts_secs(e).alias("secs"), "value", "event_id"
+    )
+    return resample_ffill(
+        base, ["user_id"], "secs", "value", step=86_400,
+        order_tiebreak=("event_id",),
+    )
+
+
+ORACLE_RESAMPLE_DAILY = """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS t, value, event_id FROM events
+),
+b AS (
+  SELECT user_id, min(t) // 86400 AS lo, max(t) // 86400 AS hi
+  FROM d GROUP BY 1
+),
+g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS s FROM b),
+u AS (
+  SELECT user_id, t, value AS v, 0 AS is_grid, event_id FROM d
+  UNION ALL
+  SELECT user_id, s * 86400, NULL, 1, NULL FROM g
+),
+f AS (
+  SELECT user_id, t, is_grid,
+         last_value(v IGNORE NULLS)
+           OVER (PARTITION BY user_id
+                 ORDER BY t, is_grid, event_id ASC NULLS LAST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM u
+)
+SELECT user_id, t AS grid_ts, value FROM f WHERE is_grid = 1
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global cumulative sum WITHOUT the single-task window
+    (`operators/timeseries.py:chunked_running_sum`): day-chunked
+    partial scans + an exclusive prefix over per-chunk totals, decimal
+    end-to-end; the oracle is the textbook global window, so the hash
+    compare proves the distributed scan equals it row-for-row."""
+    from cherry_pipelines_spark.operators.timeseries import chunked_running_sum
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select("event_id", _ts_secs(e).alias("secs"), "value")
+    out = chunked_running_sum(
+        base, "secs", "value", order_tiebreak=("event_id",), chunk=86_400
+    )
+    return out.select(
+        "event_id", F.col("running_sum").cast("double").alias("running_sum")
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT event_id,
+       CAST(sum(value::DECIMAL(38,6))
+            OVER (ORDER BY epoch_us(ts) // 1000000, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_sum
+FROM events
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -4796,6 +4868,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "debounce": q_debounce,
     "quantile_normalize": q_quantile_normalize,
     "label_propagation": q_label_propagation,
+    "resample_daily": q_resample_daily,
+    "running_total": q_running_total,
 }
 
 
@@ -4930,6 +5004,8 @@ _ORACLES: dict[str, str] = {
     "debounce": ORACLE_DEBOUNCE,
     "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
     "label_propagation": ORACLE_LABEL_PROPAGATION,
+    "resample_daily": ORACLE_RESAMPLE_DAILY,
+    "running_total": ORACLE_RUNNING_TOTAL,
 }
 
 

@@ -577,3 +577,21 @@ def test_label_propagation_no_nested_loop(spark, sf_dir, queries):
     s = plan_summary(queries["label_propagation"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_resample_daily_no_join_one_keyed_window(spark, sf_dir, queries):
+    plan = plan_of(queries["resample_daily"](spark, sf_dir))
+    # the grid is unioned, not joined; the fill is one keyed window
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(user_id" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_running_total_never_single_task_global_window(spark, sf_dir, queries):
+    plan = plan_of(queries["running_total"](spark, sf_dir))
+    # the within-chunk scan is hash-partitioned; the only unpartitioned
+    # window runs over the per-chunk TOTALS (|chunks| rows); the
+    # offsets come back as a broadcast join
+    assert "hashpartitioning(_chunk" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -296,3 +296,64 @@ def test_label_propagation_isolated_self_loop_hygiene(spark):
     assert out == _py_lpa(edges, 2) == {2: 2, 3: 3}
     out1 = {r.node: r.label for r in label_propagation(df, iters=1).collect()}
     assert out1 == _py_lpa(edges, 1) == {2: 3, 3: 2}
+
+
+# ---------------------------------------------------------- timeseries
+
+
+def test_resample_ffill_semantics(spark):
+    from cherry_pipelines_spark.operators.timeseries import resample_ffill
+
+    rows = [
+        ("u", 95, 1.0, 1),
+        ("u", 205, 2.0, 2),
+        ("u", 205, 3.0, 3),  # tie: later tiebreak wins the carry
+        ("u", 430, 4.0, 4),
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double, id long")
+    out = {
+        r.grid_ts: r.value
+        for r in resample_ffill(df, ["k"], "t", "v", step=100,
+                                order_tiebreak=("id",)).collect()
+    }
+    # grid spans floor(95/100)=0 .. floor(430/100)=4
+    assert out == {0: None, 100: 1.0, 200: 1.0, 300: 3.0, 400: 3.0}
+
+
+def test_resample_ffill_grid_point_sees_same_instant_value(spark):
+    from cherry_pipelines_spark.operators.timeseries import resample_ffill
+
+    df = spark.createDataFrame(
+        [("u", 200, 9.0, 1)], "k string, t long, v double, id long"
+    )
+    out = {
+        r.grid_ts: r.value
+        for r in resample_ffill(df, ["k"], "t", "v", step=100,
+                                order_tiebreak=("id",)).collect()
+    }
+    assert out == {200: 9.0}  # data at exactly the grid instant is carried
+
+
+def test_chunked_running_sum_equals_global_scan(spark):
+    from cherry_pipelines_spark.operators.timeseries import chunked_running_sum
+    import random
+
+    rnd = random.Random(9)
+    rows = [(i, rnd.randint(0, 1000), round(rnd.uniform(-5, 5), 3)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, t long, v double")
+    for chunk in (7, 100, 10_000):  # many chunks, some chunks, one chunk
+        out = {
+            r.id: float(r.running_sum)
+            for r in chunked_running_sum(
+                df, "t", "v", order_tiebreak=("id",), chunk=chunk
+            ).collect()
+        }
+        acc = 0.0
+        want = {}
+        from decimal import Decimal
+
+        accd = Decimal(0)
+        for i, t, v in sorted(rows, key=lambda r: (r[1], r[0])):
+            accd += Decimal(str(round(v, 6)))
+            want[i] = float(accd)
+        assert out == want, chunk  # chunk splits never perturb the scan
