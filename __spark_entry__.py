@@ -4736,6 +4736,143 @@ FROM events
 """
 
 
+def q_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP absence pattern: purchases whose most recent preceding click
+    (same user, within 1 h) was NOT interrupted by an error event —
+    'A then B within T, with no C between'.  Carried last-event
+    windows (the `last_touch_attribution` machinery) — one keyed
+    shuffle, no self-joins; the absence test is just a comparison of
+    two carried timestamps."""
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", "event_type", _ts_secs(e).alias("secs")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("secs", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_click = F.last(
+        F.when(F.col("event_type") == "click", F.col("secs")), ignorenulls=True
+    ).over(w)
+    last_error = F.last(
+        F.when(F.col("event_type") == "error", F.col("secs")), ignorenulls=True
+    ).over(w)
+    out = (
+        base.withColumn("_lc", last_click)
+        .withColumn("_le", last_error)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("_lc").isNotNull()
+            & (F.col("secs") - F.col("_lc") <= 3600)
+            & (F.col("_le").isNull() | (F.col("_le") < F.col("_lc")))
+        )
+    )
+    return out.select(
+        "event_id", "user_id",
+        (F.col("secs") - F.col("_lc")).cast("long").alias("secs_since_click"),
+    )
+
+
+ORACLE_PATTERN_ABSENCE = """
+WITH b AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) // 1000000 AS secs
+  FROM events
+),
+c AS (
+  SELECT *,
+         last_value(CASE WHEN event_type = 'click' THEN secs END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY secs, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc,
+         last_value(CASE WHEN event_type = 'error' THEN secs END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY secs, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le
+  FROM b
+)
+SELECT event_id, user_id, (secs - lc)::BIGINT AS secs_since_click
+FROM c
+WHERE event_type = 'purchase' AND lc IS NOT NULL
+  AND secs - lc <= 3600 AND (le IS NULL OR le < lc)
+"""
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation harness for the dedup LSH dial (the companion to
+    `ann_recall`): candidate RECALL of minhash-LSH against the exact
+    n-gram Jaccard ≥ 0.5 pair set — one row (n_exact, n_candidates,
+    n_hit, recall).  Run per corpus sample before committing band/row
+    settings for a 100 TB dedup pass."""
+    from cherry_pipelines_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    (d,) = _load(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, threshold=0.5).select(
+        F.col("doc_a"), F.col("doc_b")
+    )
+    cand = minhash_lsh_candidates(d).select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")
+    )
+    hit = exact.join(
+        cand, (exact.doc_a == cand.ca) & (exact.doc_b == cand.cb), "semi"
+    )
+    return (
+        exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .crossJoin(
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+        )
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+ORACLE_LSH_RECALL = _SHINGLE_CTE + """,
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::BIGINT AS n_common
+          FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          GROUP BY l.doc_id, r.doc_id),
+exact AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common)::DOUBLE, 6) >= 0.5
+),
+sig AS (SELECT doc_id,
+    min((37*h+101) % 4294967311) AS mh0, min((49*h+198) % 4294967311) AS mh1,
+    min((61*h+295) % 4294967311) AS mh2, min((73*h+392) % 4294967311) AS mh3,
+    min((85*h+489) % 4294967311) AS mh4, min((97*h+586) % 4294967311) AS mh5,
+    min((109*h+683) % 4294967311) AS mh6, min((121*h+780) % 4294967311) AS mh7
+    FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS key FROM sig
+  UNION ALL SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 2, mh4::VARCHAR || '_' || mh5::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 3, mh6::VARCHAR || '_' || mh7::VARCHAR FROM sig),
+cand AS (
+  SELECT DISTINCT l.doc_id AS ca, r.doc_id AS cb
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+                             AND l.doc_id < r.doc_id
+),
+stats AS (
+  SELECT (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+         (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+         (SELECT count(*) FROM exact e
+          WHERE EXISTS (SELECT 1 FROM cand
+                        WHERE ca = e.doc_a AND cb = e.doc_b))::BIGINT AS n_hit
+)
+SELECT n_exact, n_candidates, n_hit,
+       round(n_hit::DOUBLE / n_exact::DOUBLE, 6) AS recall
+FROM stats
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -4870,6 +5007,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_propagation": q_label_propagation,
     "resample_daily": q_resample_daily,
     "running_total": q_running_total,
+    "pattern_absence": q_pattern_absence,
+    "lsh_recall": q_lsh_recall,
 }
 
 
@@ -5006,6 +5145,8 @@ _ORACLES: dict[str, str] = {
     "label_propagation": ORACLE_LABEL_PROPAGATION,
     "resample_daily": ORACLE_RESAMPLE_DAILY,
     "running_total": ORACLE_RUNNING_TOTAL,
+    "pattern_absence": ORACLE_PATTERN_ABSENCE,
+    "lsh_recall": ORACLE_LSH_RECALL,
 }
 
 

@@ -595,3 +595,17 @@ def test_running_total_never_single_task_global_window(spark, sf_dir, queries):
     assert "hashpartitioning(_chunk" in plan, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pattern_absence_one_keyed_window_no_join(spark, sf_dir, queries):
+    plan = plan_of(queries["pattern_absence"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_lsh_recall_no_nested_loop(spark, sf_dir, queries):
+    s = plan_summary(queries["lsh_recall"](spark, sf_dir))
+    # the hit probe is a semi join on pair keys; the three 1-row counts
+    # compose via broadcast cross joins (the sanctioned scalar pattern)
+    assert "CartesianProduct" not in s
+    assert s.get("BroadcastNestedLoopJoin", 0) <= 2, s
