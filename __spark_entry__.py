@@ -4873,6 +4873,59 @@ FROM stats
 """
 
 
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment (quote / near-superset detection,
+    `operators/dedup.py:containment_pairs`): |A∩B|/|A| per direction —
+    same one-exchange shingle self-join as exact jaccard, different
+    tail arithmetic.  Catches the quoted-paragraph case whole-doc
+    jaccard scores near zero."""
+    from cherry_pipelines_spark.operators.dedup import containment_pairs
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return containment_pairs(d, threshold=0.8)
+
+
+ORACLE_CONTAINMENT = _SHINGLE_CTE + """,
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*)::BIGINT AS n_common
+          FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+          GROUP BY l.doc_id, r.doc_id)
+SELECT doc_a, doc_b, n_common,
+       round(n_common::DOUBLE / sa.n::DOUBLE, 6) AS cont_a_in_b,
+       round(n_common::DOUBLE / sb.n::DOUBLE, 6) AS cont_b_in_a
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common::DOUBLE / sa.n::DOUBLE, 6) >= 0.8
+   OR round(n_common::DOUBLE / sb.n::DOUBLE, 6) >= 0.8
+"""
+
+
+def q_chunks_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking round-trip audit (`operators/text.py:doc_chunks` →
+    `chunks_reassemble`): re-stitched text must equal the original for
+    every document.  The oracle states the invariant (n_chunks from
+    the token count, ok = TRUE) — a Spark-side boundary bug (lost or
+    doubled overlap tokens) breaks the hash match."""
+    from cherry_pipelines_spark.operators.text import chunks_reassemble, doc_chunks
+
+    (d,) = _load(spark, sf_dir, "documents")
+    back = chunks_reassemble(doc_chunks(d, chunk=64, overlap=16))
+    joined = d.select("doc_id", F.col("text").alias("_orig")).join(back, "doc_id")
+    return joined.select(
+        "doc_id",
+        "n_chunks",
+        (F.col("text") == F.col("_orig")).alias("ok"),
+    )
+
+
+ORACLE_CHUNKS_ROUNDTRIP = """
+SELECT doc_id,
+       (greatest(len(string_split(text, ' ')) - 1, 0) // 48 + 1)::BIGINT
+         AS n_chunks,
+       TRUE AS ok
+FROM documents
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -5009,6 +5062,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_total": q_running_total,
     "pattern_absence": q_pattern_absence,
     "lsh_recall": q_lsh_recall,
+    "containment": q_containment,
+    "chunks_roundtrip": q_chunks_roundtrip,
 }
 
 
@@ -5147,6 +5202,8 @@ _ORACLES: dict[str, str] = {
     "running_total": ORACLE_RUNNING_TOTAL,
     "pattern_absence": ORACLE_PATTERN_ABSENCE,
     "lsh_recall": ORACLE_LSH_RECALL,
+    "containment": ORACLE_CONTAINMENT,
+    "chunks_roundtrip": ORACLE_CHUNKS_ROUNDTRIP,
 }
 
 

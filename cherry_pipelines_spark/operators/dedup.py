@@ -649,3 +649,57 @@ def span_scrub(
             F.concat_ws(" ", kept).alias("clean_text"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs: C(A→B) = |A∩B| / |A|.
+    Jaccard misses near-SUPERSET relations (a paragraph quoted inside a
+    much longer page scores tiny jaccard but containment ≈ 1), which is
+    exactly the quote/boilerplate-embedding/near-superset case a
+    training-data dedup pass wants to catch separately from whole-doc
+    duplicates.
+
+    Emits ``(doc_a < doc_b, cont_a_in_b, cont_b_in_a)`` where EITHER
+    direction clears ``threshold``.  Same shuffle-hash self-join shape
+    (and ``max_df`` stop-shingle guard) as
+    :func:`ngram_jaccard_pairs`'s exact mode — one shared exchange, the
+    only change is the tail arithmetic."""
+    sh = _shingle_rows(df, text_col, ngram)
+    if max_df is not None:
+        sh = sh.join(_rare_shingles(sh, max_df), "shingle")
+    l, r = sh.hint("shuffle_hash").alias("l"), sh.hint("shuffle_hash").alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n_sh").alias("size_a"),
+            F.col("r.n_sh").alias("size_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    c_ab = F.round(
+        F.col("n_common").cast("double") / F.col("size_a").cast("double"), 6
+    )
+    c_ba = F.round(
+        F.col("n_common").cast("double") / F.col("size_b").cast("double"), 6
+    )
+    return (
+        inter.withColumn("cont_a_in_b", c_ab)
+        .withColumn("cont_b_in_a", c_ba)
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+        .select("doc_a", "doc_b", "n_common", "cont_a_in_b", "cont_b_in_a")
+    )

@@ -615,7 +615,9 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     array/aggregate/filter HOFs: one HOF anywhere in the projection
     knocks the WHOLE stage out of codegen into interpreted eval, where
     the shared lower()/length() subtrees are re-evaluated per count
-    (measured 3.1 s → 0.26 s at sf0.1 for this exact rewrite).  Flat
+    (measured 3.1 s → 1.2 s steady-state at sf0.1; the residual is
+    per-invocation plan cost, not row work — sf0.001 times the same).
+    Flat
     order is fixed, so the rounded result stays engine-exact."""
     import math
 
@@ -657,4 +659,53 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         nn.cast("long").alias("n_chars_total"),
         F.round(ent, 6).alias("char_entropy_bits"),
+    )
+
+
+def chunks_reassemble(
+    chunks: DataFrame,
+    chunk: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inverse of :func:`doc_chunks`: stitch overlapping chunk rows back
+    into the original document text — the round-trip a chunked
+    embedding/training store needs for audits and re-exports (prove no
+    tokens were lost or duplicated at chunk boundaries).
+
+    De-overlap rule: every chunk contributes its first ``chunk -
+    overlap`` tokens; the LAST chunk (max index) contributes all of
+    them.  One keyed shuffle: a max-index window and the ordered
+    re-concat groupBy both hash on the doc id, so Catalyst reuses the
+    single exchange."""
+    if overlap >= chunk:
+        raise ValueError(f"overlap {overlap} must be < chunk {chunk}")
+    from pyspark.sql import Window
+
+    step = chunk - overlap
+    w = Window.partitionBy(id_col)
+    t = F.split(F.col("chunk_text"), " ")
+    part = F.when(
+        F.col("chunk_idx") < F.max("chunk_idx").over(w),
+        F.slice(t, 1, step),
+    ).otherwise(t)
+    return (
+        chunks.withColumn("_part", part)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("chunk_idx"), F.col("_part"))
+                            )
+                        ),
+                        lambda s: s["_part"],
+                    )
+                ),
+                " ",
+            ).alias("text"),
+        )
     )

@@ -305,3 +305,52 @@ def test_bpe_encode_rejects_unknown_symbol(spark):
     df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bpe_encode(df, [("ab", "c")])  # 'ab' never minted by a prior merge
+
+
+def test_containment_asymmetry_catches_quotes(spark):
+    """A short doc quoted verbatim inside a long doc: jaccard is small
+    but containment(short→long) = 1."""
+    from cherry_pipelines_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(60))
+    rows = [(1, quote), (2, filler + " " + quote + " " + filler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_pairs(df, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.cont_a_in_b == 1.0  # every shingle of the quote is in the page
+    assert r.cont_b_in_a < 0.1
+    # whole-doc jaccard misses the same pair at any useful threshold
+    assert ngram_jaccard_pairs(df, threshold=0.5).count() == 0
+
+
+def test_chunks_roundtrip_exact(spark):
+    from cherry_pipelines_spark.operators.text import chunks_reassemble, doc_chunks
+
+    texts = [
+        " ".join(f"t{i}" for i in range(200)),  # many chunks
+        " ".join(f"t{i}" for i in range(64)),   # exactly one chunk
+        " ".join(f"t{i}" for i in range(65)),   # one token spills
+        " ".join(f"t{i}" for i in range(48)),   # shorter than a chunk
+        "solo",                                  # single token
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    back = chunks_reassemble(doc_chunks(df, chunk=64, overlap=16))
+    got = {r.doc_id: r.text for r in back.collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == t, i
+
+
+def test_chunks_reassemble_validates_overlap(spark):
+    from cherry_pipelines_spark.operators.text import chunks_reassemble
+
+    df = spark.createDataFrame([(1, 0, "x")], "doc_id long, chunk_idx long, chunk_text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunks_reassemble(df, chunk=16, overlap=16)

@@ -609,3 +609,20 @@ def test_lsh_recall_no_nested_loop(spark, sf_dir, queries):
     # compose via broadcast cross joins (the sanctioned scalar pattern)
     assert "CartesianProduct" not in s
     assert s.get("BroadcastNestedLoopJoin", 0) <= 2, s
+
+
+def test_containment_shares_one_shingle_exchange(spark, sf_dir, queries):
+    plan = plan_of(queries["containment"](spark, sf_dir))
+    # identical l/r shingle subplans: one exchange + ReusedExchange,
+    # shuffle-hash join, no broadcast of the exploded table
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunks_roundtrip_single_doc_exchange(spark, sf_dir, queries):
+    plan = plan_of(queries["chunks_roundtrip"](spark, sf_dir))
+    # max-index window + re-concat groupBy + original-text join all
+    # hash on doc_id — the exchange is planned once and reused
+    assert "hashpartitioning(doc_id" in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "CartesianProduct" not in plan
