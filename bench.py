@@ -66,6 +66,18 @@ def main() -> None:
         except Exception as ex:
             timings[name] = {"err": f"{type(ex).__name__}: {ex}"[:300]}
             errors += 1
+        finally:
+            # a 133-query suite accumulates cached frames and
+            # localCheckpoint RDD blocks in one JVM; without cleanup
+            # the storage/GC pressure uniformly inflates LATER queries
+            # (~1.2x drift measured between a 76- and a 133-query run).
+            # Dropping the Python refs + clearing the SQL cache lets
+            # the ContextCleaner reclaim blocks between queries.
+            df = None
+            import gc
+
+            gc.collect()
+            spark.catalog.clearCache()
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
     print(
         json.dumps(
