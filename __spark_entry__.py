@@ -4926,6 +4926,165 @@ FROM documents
 """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: minhash-LSH near-dup pairs that cross
+    a dataset_split boundary — the eval-contamination check every
+    training pipeline must run before trusting held-out metrics.
+    Composes `dataset_split` (content-hash bands) with
+    `minhash_lsh_candidates`; output is the (split_a, split_b) pair
+    count matrix, leaking pairs only."""
+    from cherry_pipelines_spark.operators.dedup import minhash_lsh_candidates
+    from cherry_pipelines_spark.operators.sampling import dataset_split
+
+    (d,) = _load(spark, sf_dir, "documents")
+    splits = dataset_split(
+        d, F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    pairs = minhash_lsh_candidates(d, k=8, bands=4)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_leaks"))
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = _SHINGLE_CTE + """,
+sig AS (SELECT doc_id,
+    min((37*h+101) % 4294967311) AS mh0, min((49*h+198) % 4294967311) AS mh1,
+    min((61*h+295) % 4294967311) AS mh2, min((73*h+392) % 4294967311) AS mh3,
+    min((85*h+489) % 4294967311) AS mh4, min((97*h+586) % 4294967311) AS mh5,
+    min((109*h+683) % 4294967311) AS mh6, min((121*h+780) % 4294967311) AS mh7
+    FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS key FROM sig
+  UNION ALL SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 2, mh4::VARCHAR || '_' || mh5::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 3, mh6::VARCHAR || '_' || mh7::VARCHAR FROM sig),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+                             AND l.doc_id < r.doc_id),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN b < 1000 THEN 'test'
+              WHEN b < 9000 THEN 'train' ELSE 'val' END AS split
+  FROM (SELECT doc_id,
+               ('0x' || substr(sha256(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS b
+        FROM documents))
+SELECT a.split AS split_a, b.split AS split_b, count(*)::BIGINT AS n_leaks
+FROM pairs JOIN sp a ON a.doc_id = pairs.doc_a
+           JOIN sp b ON b.doc_id = pairs.doc_b
+WHERE a.split <> b.split
+GROUP BY 1, 2
+"""
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-100
+    vocabulary (`vocab_topk` broadcast back as a literal-free join) —
+    the tokenizer-fit signal: a doc whose tokens mostly miss the vocab
+    is wrong-language, wrong-domain, or encoding junk.  The corpus
+    never shuffles: the vocab aggregate is TakeOrdered-small and
+    broadcast into a map-side array_contains-free semi probe."""
+    from cherry_pipelines_spark.operators.text import tokens, vocab_topk
+
+    (d,) = _load(spark, sf_dir, "documents")
+    vocab = vocab_topk(d, k=100).select("token")
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    hit = tok.join(F.broadcast(vocab), "token", "left_semi").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("_in"))
+    all_ = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        all_.join(hit, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_n").cast("long").alias("n_tokens"),
+            F.round(
+                (F.col("_n") - F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("double") / F.col("_n").cast("double"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+ORACLE_OOV_RATE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS n FROM tok GROUP BY token
+    ORDER BY n DESC, token LIMIT 100)
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0
+                      ELSE 1 END)::DOUBLE / count(*)::DOUBLE, 6) AS oov_rate
+FROM tok GROUP BY doc_id
+"""
+
+
+def q_dup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication structure: near-dup candidate pairs
+    aggregated into a (source_a, source_b) matrix (sources sorted
+    within the pair so the matrix is upper-triangular) — tells a
+    curation run WHICH feeds are mirroring each other before any
+    per-doc action is taken."""
+    from cherry_pipelines_spark.operators.dedup import minhash_lsh_candidates
+
+    (d,) = _load(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    pairs = minhash_lsh_candidates(d, k=8, bands=4)
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+ORACLE_DUP_SOURCE_MATRIX = _SHINGLE_CTE + """,
+sig AS (SELECT doc_id,
+    min((37*h+101) % 4294967311) AS mh0, min((49*h+198) % 4294967311) AS mh1,
+    min((61*h+295) % 4294967311) AS mh2, min((73*h+392) % 4294967311) AS mh3,
+    min((85*h+489) % 4294967311) AS mh4, min((97*h+586) % 4294967311) AS mh5,
+    min((109*h+683) % 4294967311) AS mh6, min((121*h+780) % 4294967311) AS mh7
+    FROM h GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, mh0::VARCHAR || '_' || mh1::VARCHAR AS key FROM sig
+  UNION ALL SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 2, mh4::VARCHAR || '_' || mh5::VARCHAR FROM sig
+  UNION ALL SELECT doc_id, 3, mh6::VARCHAR || '_' || mh7::VARCHAR FROM sig),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+                             AND l.doc_id < r.doc_id)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       count(*)::BIGINT AS n_pairs
+FROM pairs JOIN documents a ON a.doc_id = pairs.doc_a
+           JOIN documents b ON b.doc_id = pairs.doc_b
+GROUP BY 1, 2
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -5064,6 +5223,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_recall": q_lsh_recall,
     "containment": q_containment,
     "chunks_roundtrip": q_chunks_roundtrip,
+    "split_leakage": q_split_leakage,
+    "oov_rate": q_oov_rate,
+    "dup_source_matrix": q_dup_source_matrix,
 }
 
 
@@ -5204,6 +5366,9 @@ _ORACLES: dict[str, str] = {
     "lsh_recall": ORACLE_LSH_RECALL,
     "containment": ORACLE_CONTAINMENT,
     "chunks_roundtrip": ORACLE_CHUNKS_ROUNDTRIP,
+    "split_leakage": ORACLE_SPLIT_LEAKAGE,
+    "oov_rate": ORACLE_OOV_RATE,
+    "dup_source_matrix": ORACLE_DUP_SOURCE_MATRIX,
 }
 
 

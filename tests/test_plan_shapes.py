@@ -626,3 +626,25 @@ def test_chunks_roundtrip_single_doc_exchange(spark, sf_dir, queries):
     assert "hashpartitioning(doc_id" in plan
     assert "rangepartitioning" not in plan.lower()
     assert "CartesianProduct" not in plan
+
+
+def test_split_leakage_broadcast_splits_no_nested_loop(spark, sf_dir, queries):
+    s = plan_summary(queries["split_leakage"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert s.get("BroadcastHashJoin", 0) >= 2, s  # both split sides
+
+
+def test_oov_rate_vocab_broadcast_semi(spark, sf_dir, queries):
+    plan = plan_of(queries["oov_rate"](spark, sf_dir))
+    # the top-k vocab comes back as a broadcast LEFT SEMI probe and the
+    # selection is TakeOrdered, never a global sort
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_dup_source_matrix_broadcast_sources(spark, sf_dir, queries):
+    s = plan_summary(queries["dup_source_matrix"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
