@@ -5085,6 +5085,122 @@ GROUP BY 1, 2
 """
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top 10 unshipped BUILDING-segment orders by
+    revenue — segment dim broadcast, both date filters pushed into
+    their scans, top-k via TakeOrdered."""
+    c, o, l = _load(spark, sf_dir, "customer", "orders", "lineitem")
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    cut = "1998-06-01"
+    return (
+        l.filter(F.col("l_shipdate") > F.lit(cut).cast("timestamp"))
+        .join(o.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+            F.col("revenue").cast("double").alias("revenue"),
+        )
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure filter+scalar-agg scan — every
+    predicate (date range, discount band, quantity cap) must reach the
+    parquet reader as a pushed filter; the answer is one row."""
+    (l,) = _load(spark, sf_dir, "lineitem")
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue_effect"),
+        )
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT count(*)::BIGINT AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_effect
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO parts' share of one month's revenue — a
+    conditional aggregate over a broadcast part join, share as one
+    deterministic double division."""
+    p, l = _load(spark, sf_dir, "part", "lineitem")
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey", "p_type")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                        .otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(rev) AS DOUBLE), 6) AS promo_share_pct,
+       count(*)::BIGINT AS n_items
+FROM (
+  SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+)
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -5226,6 +5342,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_leakage": q_split_leakage,
     "oov_rate": q_oov_rate,
     "dup_source_matrix": q_dup_source_matrix,
+    "shipping_priority": q_shipping_priority,
+    "forecast_revenue": q_forecast_revenue,
+    "promo_revenue": q_promo_revenue,
 }
 
 
@@ -5369,6 +5488,9 @@ _ORACLES: dict[str, str] = {
     "split_leakage": ORACLE_SPLIT_LEAKAGE,
     "oov_rate": ORACLE_OOV_RATE,
     "dup_source_matrix": ORACLE_DUP_SOURCE_MATRIX,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
 }
 
 

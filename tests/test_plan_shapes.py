@@ -648,3 +648,27 @@ def test_dup_source_matrix_broadcast_sources(spark, sf_dir, queries):
     s = plan_summary(queries["dup_source_matrix"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in s
     assert "CartesianProduct" not in s
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir, queries):
+    plan = plan_of(queries["forecast_revenue"](spark, sf_dir))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]")[0]
+    # every Q6 predicate reaches the parquet reader
+    assert "l_shipdate" in pushed and "l_discount" in pushed \
+        and "LessThan(l_quantity,24" in pushed, pushed
+    # partial-first scalar aggregate: the one exchange carries a single
+    # partial row per partition, never the filtered fact rows
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_shipping_priority_takeordered_broadcast_segment(spark, sf_dir, queries):
+    plan = plan_of(queries["shipping_priority"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_promo_revenue_broadcast_part(spark, sf_dir, queries):
+    plan = plan_of(queries["promo_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
