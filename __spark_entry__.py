@@ -5201,6 +5201,57 @@ FROM (
 """
 
 
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA (applyInPandasWithState,
+    `streaming/stateful.py:streaming_ewma`): the truncated
+    exponential average maintained across micro-batches — state is the
+    last 31 values per user.  The oracle is the BATCH definition
+    ((secs, event_id) order), so the hash match certifies the
+    batch≡streaming equivalence the operator contracts."""
+    from cherry_pipelines_spark.streaming.stateful import streaming_ewma
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "tstamp", "value", "event_id"
+    )
+    out = streaming_ewma(
+        stream, "user_id", "tstamp", "value",
+        alpha=0.2, lookback=32, id_col="event_id",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_ewma_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_ewma_out").select(
+        "key", "eid", F.round(F.col("ewma"), 6).alias("ewma")
+    )
+
+
+ORACLE_STREAM_EWMA = """
+WITH b AS (
+  SELECT user_id::VARCHAR AS key, event_id, value,
+         epoch_us(ts) // 1000000 AS secs
+  FROM events
+),
+n AS (
+  SELECT key, event_id, value, secs,
+         row_number() OVER (PARTITION BY key ORDER BY secs, event_id) AS rn
+  FROM b
+)
+SELECT e1.key, e1.event_id AS eid,
+       round(0.2 * (SELECT sum(e2.value * power(0.8, e1.rn - e2.rn))
+                    FROM n e2
+                    WHERE e2.key = e1.key
+                      AND e2.rn > e1.rn - 32 AND e2.rn <= e1.rn), 6) AS ewma
+FROM n e1
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -5345,6 +5396,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shipping_priority": q_shipping_priority,
     "forecast_revenue": q_forecast_revenue,
     "promo_revenue": q_promo_revenue,
+    "stream_ewma": q_stream_ewma,
 }
 
 
@@ -5491,6 +5543,7 @@ _ORACLES: dict[str, str] = {
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
     "promo_revenue": ORACLE_PROMO_REVENUE,
+    "stream_ewma": ORACLE_STREAM_EWMA,
 }
 
 

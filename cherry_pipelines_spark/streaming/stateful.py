@@ -143,3 +143,83 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+    lookback: int = 32,
+    id_col: "str | None" = None,
+) -> DataFrame:
+    """Streaming form of ``operators/windows.ewma``: the truncated
+    exponentially-weighted average maintained ACROSS micro-batches —
+    state is the last ``lookback - 1`` values per key (a bounded
+    double array, the smallest state that reproduces the batch
+    operator exactly).
+
+    Equivalence contract (test-pinned): feeding the same rows in
+    event-time order through any micro-batch split yields the same
+    (key, secs, ewma) rows as the batch operator over the union —
+    same left-to-right float fold, same ``(1-alpha)^j`` weights.
+    Within a batch rows are processed in (secs) order; cross-batch
+    order must be monotone per key (the incremental block-ordered
+    ingestion contract, SURVEY §2.7 — not a general out-of-order
+    stream)."""
+    out_schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("secs", T.LongType())]
+        + ([T.StructField("eid", T.LongType())] if id_col else [])
+        + [
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("buf", T.ArrayType(T.DoubleType()))]
+    )
+    keep = lookback - 1
+
+    def fold(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        k = str(key[0])
+        buf = list(state.get[0]) if state.exists else []
+        rows = []
+        parts = []
+        for pdf in pdfs:
+            if len(pdf):
+                secs = (
+                    pdf[ts_col].to_numpy().astype("datetime64[s]").astype("int64")
+                )
+                d = {"s": secs, "v": pdf[value_col].astype(float)}
+                if id_col:
+                    d["e"] = pdf[id_col].astype("int64")
+                parts.append(pd.DataFrame(d))
+        if parts:
+            order = ["s", "e"] if id_col else ["s"]
+            allp = pd.concat(parts).sort_values(order, kind="mergesort")
+            eids = allp["e"].tolist() if id_col else [None] * len(allp)
+            for s, x, e in zip(allp["s"].tolist(), allp["v"].tolist(), eids):
+                window = (buf + [x])[-lookback:]
+                acc = 0.0
+                for j, v in enumerate(reversed(window)):
+                    acc += v * (1.0 - alpha) ** j
+                row = (k, int(s)) + ((int(e),) if id_col else ()) + (float(x), alpha * acc)
+                rows.append(row)
+                buf.append(x)
+                if len(buf) > keep:
+                    buf = buf[-keep:]
+        state.update((buf,))
+        if rows:
+            cols = ["key", "secs"] + (["eid"] if id_col else []) + ["value", "ewma"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

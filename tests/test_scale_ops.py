@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cherry_pipelines_spark.operators.multimodal import sample_frames
@@ -318,3 +320,55 @@ def test_streaming_sessionize_across_batches(spark, tmp_path):
     assert ("a", 140, 140, 1) in final
     # b's session closes once c@2000 pushes the watermark past 610
     assert ("b", 600, 600, 1) in final
+
+
+def test_streaming_ewma_equals_batch_across_batches(spark, tmp_path):
+    """The streaming EWMA over 3 micro-batches must equal the batch
+    operator over the union — same fold, state carries the lookback
+    buffer across batch boundaries."""
+    from cherry_pipelines_spark.operators.windows import ewma as batch_ewma
+    from cherry_pipelines_spark.streaming.stateful import streaming_ewma
+
+    src = str(tmp_path / "ewma_src")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(rows, "k string, secs long, v double").select(
+        "k", F.timestamp_seconds("secs").alias("ts"), "v"
+    ).coalesce(1)
+    batches = [
+        [("a", 100, 1.0), ("a", 110, 2.0), ("b", 105, 5.0)],
+        [("a", 120, 3.0), ("b", 115, 7.0)],
+        [("a", 130, 10.0), ("a", 140, 0.0), ("b", 125, 1.0)],
+    ]
+    mk(batches[0]).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_ewma(stream, "k", "ts", "v", alpha=0.2, lookback=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ewma_out")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            mk(b).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        got = {
+            (r["key"], r["secs"]): r["ewma"]
+            for r in spark.table("ewma_out").collect()
+        }
+    finally:
+        q.stop()
+    allrows = [(k, s, v) for b in batches for (k, s, v) in b]
+    bdf = spark.createDataFrame(allrows, "k string, secs long, v double")
+    want = {
+        (r["k"], r["secs"]): r["ewma"]
+        for r in batch_ewma(
+            bdf, ["secs"], "v", alpha=0.2, lookback=4, partition_cols=["k"]
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == pytest.approx(want[key], rel=1e-12), key
