@@ -5252,6 +5252,29 @@ FROM n e1
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized event values
+    (`operators/sampling.py:winsorize`): tails clipped to the group's
+    [p05, p95] — bounds broadcast back, facts never shuffle."""
+    from cherry_pipelines_spark.operators.sampling import winsorize
+
+    (e,) = _load(spark, sf_dir, "events")
+    base = e.select("event_id", "event_type", "value")
+    return winsorize(base, ["event_type"], "value")
+
+
+ORACLE_WINSORIZE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_winsor
+FROM events e JOIN b USING (event_type)
+"""
+
+
 # =====================================================================
 # public contract
 # =====================================================================
@@ -5397,6 +5420,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "forecast_revenue": q_forecast_revenue,
     "promo_revenue": q_promo_revenue,
     "stream_ewma": q_stream_ewma,
+    "winsorize": q_winsorize,
 }
 
 
@@ -5544,6 +5568,7 @@ _ORACLES: dict[str, str] = {
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "stream_ewma": ORACLE_STREAM_EWMA,
+    "winsorize": ORACLE_WINSORIZE,
 }
 
 

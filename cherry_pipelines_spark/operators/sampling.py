@@ -341,3 +341,37 @@ def dataset_split(
     for name, lo, hi in reversed(bands):
         expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-group winsorization: CLIP ``value_col`` to its group's
+    [``lo``, ``hi``] interpolated quantiles — the third member of the
+    robust-numeric family (``quantile_gate`` filters, ``mad_outliers``
+    flags, winsorize keeps every row but bounds the tails, which is
+    what a loss-weighting or feature column usually wants).
+
+    Same shape as :func:`quantile_gate`: one per-group percentile
+    aggregate (two quantiles in ONE pass), one-row-per-group bounds
+    broadcast back, clip as pure expression work — the facts never
+    shuffle.  Same scale swap: ``approx_percentile`` at extreme group
+    cardinality."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    out = out_col or f"{value_col}_winsor"
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("_hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+    return (
+        df.join(F.broadcast(bounds), list(group_cols))
+        .withColumn(out, F.round(clipped, 6))
+        .drop("_lo", "_hi")
+    )

@@ -672,3 +672,11 @@ def test_promo_revenue_broadcast_part(spark, sf_dir, queries):
     plan = plan_of(queries["promo_revenue"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winsorize_bounds_broadcast_back(spark, sf_dir, queries):
+    plan = plan_of(queries["winsorize"](spark, sf_dir))
+    # one percentile aggregate per group, bounds broadcast: the fact
+    # side reaches the clip without an exchange
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -357,3 +357,23 @@ def test_chunked_running_sum_equals_global_scan(spark):
             accd += Decimal(str(round(v, 6)))
             want[i] = float(accd)
         assert out == want, chunk  # chunk splits never perturb the scan
+
+
+# ----------------------------------------------------------- winsorize
+
+
+def test_winsorize_clips_tails_only(spark):
+    from cherry_pipelines_spark.operators.sampling import winsorize
+
+    vals = list(range(1, 101))  # 1..100
+    df = spark.createDataFrame(
+        [(i, "g", float(v)) for i, v in enumerate(vals)],
+        "id long, grp string, v double",
+    )
+    out = {r.id: r.v_winsor for r in winsorize(df, ["grp"], "v", 0.05, 0.95).collect()}
+    # interpolated p05 of 1..100 is 5.95, p95 is 95.05
+    assert out[0] == 5.95 and out[1] == 5.95  # 1, 2 clipped up
+    assert out[99] == 95.05  # 100 clipped down
+    assert out[49] == 50.0  # middle untouched
+    with __import__("pytest").raises(ValueError):
+        winsorize(df, ["grp"], "v", 0.9, 0.1)
