@@ -1364,6 +1364,110 @@ FROM v
 """
 
 
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (operators/multimodal.py ``_decode_png``): a
+    spec-valid 8-bit truecolor PNG is built per document PURELY IN SQL
+    expressions — IHDR/IDAT/IEND chunk framing with ``F.crc32`` CRCs, a
+    zlib container holding one STORED deflate block with the Adler-32
+    checksum computed by ``F.aggregate``, and every scanline FILTERED
+    with type ``(row + doc_id) % 5`` (None/Sub/Up/Average/Paeth, Paeth
+    predictor in ``F.when`` algebra).  ``decode_image_stats`` must
+    inflate and UNFILTER it all back to reproduce the closed-form pixel
+    stats (pixel k = ``(doc_id*31 + k*7) % 256``) the DuckDB oracle
+    computes arithmetically."""
+    from cherry_pipelines_spark.operators.multimodal import decode_image_stats
+
+    (d,) = _load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    w = (i % 5 + 2).cast("int")
+    h = (i % 4 + 3).cast("int")
+    stride = w * 3
+    v = lambda k: (i * 31 + k * 7) % 256  # raw pixel byte at flat index k
+    be32 = lambda c: F.lpad(F.hex(c.cast("long")), 8, "0")
+
+    def filt_byte(r, x):
+        # PNG filter of raw(r,x) given left/up/upper-left neighbors
+        raw = v(r * stride + x)
+        left = F.when(x >= 3, v(r * stride + x - 3)).otherwise(F.lit(0))
+        up = F.when(r >= 1, v((r - 1) * stride + x)).otherwise(F.lit(0))
+        ul = F.when((r >= 1) & (x >= 3), v((r - 1) * stride + x - 3)).otherwise(
+            F.lit(0)
+        )
+        t = F.pmod(r + i, F.lit(5))
+        p = left + up - ul
+        pa, pb, pc = F.abs(p - left), F.abs(p - up), F.abs(p - ul)
+        paeth = F.when((pa <= pb) & (pa <= pc), left).when(pb <= pc, up).otherwise(ul)
+        pred = (
+            F.when(t == 0, F.lit(0))
+            .when(t == 1, left)
+            .when(t == 2, up)
+            .when(t == 3, F.floor((left + up) / 2))
+            .otherwise(paeth)
+        )
+        return F.pmod(raw - pred, F.lit(256))
+
+    # filtered scanlines: [filter_type, f(x)...] per row, flattened
+    data = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), h - 1),
+            lambda r: F.concat(
+                F.array(F.pmod(r + i, F.lit(5)).cast("int")),
+                F.transform(
+                    F.sequence(F.lit(0), stride - 1),
+                    lambda x: filt_byte(r, x).cast("int"),
+                ),
+            ),
+        )
+    )
+    n = (h * (stride + 1)).cast("int")  # stored-block payload length (< 64 KiB)
+    data_hex = F.concat_ws("", F.transform(data, lambda b: F.lpad(F.hex(b), 2, "0")))
+    # zlib: header 0x78 0x01, one final STORED block, Adler-32 (s2<<16 | s1)
+    s1 = F.pmod(
+        F.lit(1).cast("long") + F.aggregate(data, F.lit(0).cast("long"), lambda a, b: a + b),
+        F.lit(65521),
+    )
+    wsum = F.aggregate(
+        F.zip_with(data, F.sequence(F.lit(0), n - 1), lambda dd, ix: (dd * (n - ix)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    s2 = F.pmod(n.cast("long") + wsum, F.lit(65521))
+    zlib_hex = F.concat(
+        F.lit("780101"), _le_hex(n, 2), _le_hex(F.lit(65535) - n, 2), data_hex,
+        be32(s2 * 65536 + s1),
+    )
+    chunk_hex = lambda type_hex, body_len, body_hex: F.concat(
+        be32(body_len), F.lit(type_hex), body_hex,
+        be32(F.crc32(F.unhex(F.concat(F.lit(type_hex), body_hex)))),
+    )
+    ihdr_body = F.concat(be32(w), be32(h), F.lit("0802000000"))
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),
+        chunk_hex("49484452", F.lit(13), ihdr_body),
+        chunk_hex("49444154", n + 11, zlib_hex),
+        F.lit("0000000049454E44AE426082"),
+    )
+    blobs = d.select(i.alias("media_id"), F.unhex(png_hex).alias("blob"))
+    return decode_image_stats(blobs)
+
+
+ORACLE_MULTIMODAL_DECODE_PNG = """
+WITH b AS (
+  SELECT doc_id, doc_id % 5 + 2 AS w, doc_id % 4 + 3 AS h FROM documents
+),
+v AS (
+  SELECT doc_id, w, h,
+         [(doc_id*31 + k*7) % 256 for k in generate_series(0, 3*w*h - 1)] AS px
+  FROM b
+)
+SELECT doc_id AS media_id, 'png' AS format, w::INTEGER AS width, h::INTEGER AS height,
+       list_aggregate(px, 'sum')::BIGINT AS px_sum,
+       list_aggregate(px, 'min')::INTEGER AS px_min,
+       list_aggregate(px, 'max')::INTEGER AS px_max
+FROM v
+"""
+
+
 ORACLE_MULTIMODAL_FEATURES = """
 WITH f AS (
   SELECT doc_id AS media_id,
@@ -5421,6 +5525,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue": q_promo_revenue,
     "stream_ewma": q_stream_ewma,
     "winsorize": q_winsorize,
+    "multimodal_decode_png": q_multimodal_decode_png,
 }
 
 
@@ -5569,6 +5674,7 @@ _ORACLES: dict[str, str] = {
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "stream_ewma": ORACLE_STREAM_EWMA,
     "winsorize": ORACLE_WINSORIZE,
+    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
 }
 
 

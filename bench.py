@@ -1,18 +1,24 @@
-"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+"""Benchmark runner: every declared query at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+Prints ONE COMPACT JSON line (last line of stdout) the driver can always
+capture:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+   "n_queries": N, "errors": E, "queries": {"<slowest>": sec, ... top 10}}
+
+The full per-query map (141+ entries, ~5 KB — too large for the driver's
+tail-capture window, which left BENCH_r02..r04 with ``parsed: null``) is
+written to ``BENCH_FULL.json`` next to this file instead.
 
 Each query is forced to full materialization with the noop sink (no
 driver-side collection skew).  The set covers every operator family:
 scans+aggs, multi-joins, window/adjacency, decode UDFs, dedup,
-similarity, text analysis.
+similarity, text analysis, streaming-equivalence shapes.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -23,15 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod
 from cherry_pipelines_spark.session import get_spark
 
-# bench EVERY declared query — derived from the driver contract so a
-# newly added operator is automatically measured (a regression in any
-# declared query must be visible in the per-round BENCH json)
-BENCH_QUERIES = None  # resolved to list(entry_mod.queries()) at runtime
-
 # single-JVM timing is noisy (JIT/codegen warmup, GC, AQE): time each
-# query twice and keep the better run — steady-state throughput is the
-# number that predicts cluster behavior, not first-run compile cost
+# query up to twice and keep the better run — steady-state throughput is
+# the number that predicts cluster behavior, not first-run compile cost.
+# Queries whose FIRST run already exceeds SECOND_RUN_CUTOFF skip the
+# retime: at >2 s the codegen-warmup share is negligible and the rerun
+# would only grow the suite's wall time past the driver's budget.
 RUNS_PER_QUERY = 2
+SECOND_RUN_CUTOFF = 2.0
+
+SLOWEST_IN_SUMMARY = 10
 
 
 def main() -> None:
@@ -43,7 +50,7 @@ def main() -> None:
         sf_val = sf
     spark = get_spark("cherry_bench")
     qs = entry_mod.queries()
-    bench_queries = BENCH_QUERIES if BENCH_QUERIES is not None else list(qs)
+    bench_queries = list(qs)
 
     # warm up the JVM / file listing with one tiny action (not timed)
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
@@ -57,41 +64,67 @@ def main() -> None:
         try:
             df = qs[name](spark, sf_dir)
             best = None
-            for _ in range(RUNS_PER_QUERY):
+            for run in range(RUNS_PER_QUERY):
                 t0 = time.monotonic()
                 df.write.mode("overwrite").format("noop").save()
                 el = time.monotonic() - t0
                 best = el if best is None else min(best, el)
+                if el > SECOND_RUN_CUTOFF:
+                    break
             timings[name] = round(best, 3)
         except Exception as ex:
             timings[name] = {"err": f"{type(ex).__name__}: {ex}"[:300]}
             errors += 1
         finally:
-            # a 133-query suite accumulates cached frames and
+            # a 141-query suite accumulates cached frames and
             # localCheckpoint RDD blocks in one JVM; without cleanup
             # the storage/GC pressure uniformly inflates LATER queries
             # (~1.2x drift measured between a 76- and a 133-query run).
             # Dropping the Python refs + clearing the SQL cache lets
             # the ContextCleaner reclaim blocks between queries.
             df = None
-            import gc
-
             gc.collect()
             spark.catalog.clearCache()
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
+
+    full = {
+        "metric": (
+            f"total wall seconds, {len(bench_queries) - errors}/"
+            f"{len(bench_queries)} declared queries "
+            f"(noop sink, best of <= {RUNS_PER_QUERY})"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in timings.items() if isinstance(v, float)),
+            key=lambda kv: kv[1],
+            reverse=True,
+        )[:SLOWEST_IN_SUMMARY]
+    )
+    # the one line the driver parses: keep it compact (well under any
+    # plausible tail-capture window) and print it LAST
     print(
         json.dumps(
             {
-                "metric": (
-                    f"total wall seconds, {len(bench_queries) - errors}/"
-                    f"{len(bench_queries)} declared queries "
-                    f"(noop sink, best of {RUNS_PER_QUERY})"
-                ),
+                "metric": "total wall seconds, all declared queries (noop sink)",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
-            }
+                "n_queries": len(bench_queries),
+                "errors": errors,
+                "queries": slowest,
+                "full_map": "BENCH_FULL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

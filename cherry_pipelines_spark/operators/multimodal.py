@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Codec-free formats (PPM P6, uncompressed 24bpp BMP) are decoded FOR
-REAL here — numpy header parse, stride math, channel/row order — via
-``decode_image_stats`` / ``resize_image``.  Compressed formats
-(JPEG/PNG) need an external codec the container lacks, so those paths
-use deterministic stand-ins with identical Spark-side plumbing: schema,
+PPM (P6), uncompressed 24bpp BMP, and 8-bit truecolor PNG (stdlib zlib
+inflate + all five scanline filters) are decoded FOR REAL here — numpy
+header parse, stride math, channel/row order, unfilter — via
+``decode_image_stats`` / ``resize_image``.  JPEG needs an external
+codec the container lacks, so that path uses a deterministic stand-in
+with identical Spark-side plumbing: schema,
 Arrow batch shape, ``mapInPandas`` signature, partition behavior — the
 parts that matter for running this on a cluster where the workers *do*
 have codecs (extend ``_decode_blob`` with PIL/libvips there).
@@ -432,13 +433,144 @@ def _encode_bmp(pix) -> bytes:
     return head + raster.tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(blob: bytes):
+    """Real PNG decode without external codecs: chunk walk (IHDR/IDAT/
+    IEND), stdlib ``zlib.decompress`` of the concatenated IDAT stream,
+    then per-scanline UNFILTER of all five PNG filter types — None(0),
+    Sub(1), Up(2), Average(3), Paeth(4) — in numpy.  Supports the
+    dominant training-data shape: 8-bit truecolor (color type 2),
+    non-interlaced.  Returns (h, w, 3) uint8 RGB.
+
+    Sub rows vectorize as a per-channel cumulative sum; Average/Paeth
+    have a true left-neighbor recurrence, so those rows walk pixels
+    (vectorized across the 3 channels) — the same per-row sequential
+    dependency every PNG implementation has.
+    """
+    import numpy as np
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a png")
+    i, idat, w, h = 8, [], None, None
+    while i + 8 <= len(blob):
+        ln = int.from_bytes(blob[i : i + 4], "big")
+        typ = blob[i + 4 : i + 8]
+        data = blob[i + 8 : i + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated png chunk")
+        i += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitd, ct, comp, filt, ilace = data[8], data[9], data[10], data[11], data[12]
+            if (bitd, ct, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit truecolor non-interlaced supported")
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != h * (1 + stride):
+        raise ValueError("bad png raster length")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, 1 + stride)
+    out = np.empty((h, stride), np.uint8)
+    zero = np.zeros(stride, np.int32)
+    for r in range(h):
+        f = int(arr[r, 0])
+        line = arr[r, 1:].astype(np.int32)
+        prior = out[r - 1].astype(np.int32) if r else zero
+        if f == 0:  # None
+            recon = line
+        elif f == 1:  # Sub: recon[x] = line[x] + recon[x-3]
+            recon = np.cumsum(line.reshape(w, 3), axis=0).reshape(stride)
+        elif f == 2:  # Up
+            recon = line + prior
+        elif f in (3, 4):  # Average / Paeth: left-neighbor recurrence
+            recon = np.empty(stride, np.int32)
+            left = np.zeros(3, np.int32)
+            pl = prior.reshape(w, 3)
+            ln2 = line.reshape(w, 3)
+            for p in range(w):
+                b = pl[p]
+                if f == 3:
+                    recon[p * 3 : p * 3 + 3] = (ln2[p] + (left + b) // 2) & 0xFF
+                else:
+                    c = pl[p - 1] if p else np.zeros(3, np.int32)
+                    pp = left + b - c
+                    pa, pb, pc = abs(pp - left), abs(pp - b), abs(pp - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, c)
+                    )
+                    recon[p * 3 : p * 3 + 3] = (ln2[p] + pred) & 0xFF
+                left = recon[p * 3 : p * 3 + 3]
+        else:
+            raise ValueError(f"bad png filter {f}")
+        out[r] = (recon & 0xFF).astype(np.uint8)
+    return out.reshape(h, w, 3)
+
+
+def _encode_png(pix, filters=None) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as 8-bit truecolor PNG.  ``filters``
+    optionally pins the per-row filter type (default: None-filter rows);
+    used by the tests to round-trip every filter type through
+    ``_decode_png``."""
+    import numpy as np
+    import struct
+    import zlib
+
+    h, w, _ = pix.shape
+    px = pix.astype(np.int32)
+    lines = []
+    for r in range(h):
+        f = 0 if filters is None else int(filters[r % len(filters)])
+        cur = px[r].reshape(-1)
+        prior = px[r - 1].reshape(-1) if r else np.zeros(w * 3, np.int32)
+        left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+        pl = np.concatenate([np.zeros(3, np.int32), prior[:-3]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - (left + prior) // 2
+        else:  # Paeth
+            pp = left + prior - pl
+            pa, pb, pc = abs(pp - left), abs(pp - prior), abs(pp - pl)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, pl))
+            filt = cur - pred
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def _decode_blob(blob: bytes):
-    """Dispatch on magic bytes → ("ppm"|"bmp", pixel array).  Raises for
-    formats needing an external codec (JPEG/PNG) or malformed data."""
+    """Dispatch on magic bytes → ("ppm"|"bmp"|"png", pixel array).
+    Raises for formats needing an external codec (JPEG) or malformed
+    data."""
     if blob[:2] == b"P6":
         return "ppm", _decode_ppm(blob)
     if blob[:2] == b"BM":
         return "bmp", _decode_bmp(blob)
+    if blob[:8] == _PNG_SIG:
+        return "png", _decode_png(blob)
     raise ValueError("unsupported image format (codec required)")
 
 

@@ -13,8 +13,10 @@ from pyspark.sql import types as T
 from cherry_pipelines_spark.operators.multimodal import (
     _decode_blob,
     _decode_bmp,
+    _decode_png,
     _decode_ppm,
     _encode_bmp,
+    _encode_png,
     _encode_ppm,
     decode_image_stats,
     resize_image,
@@ -56,6 +58,100 @@ def test_unsupported_formats_raise():
         _decode_bmp(_encode_bmp(np.zeros((1, 1, 3), np.uint8))[:30])  # truncated
 
 
+@pytest.mark.parametrize("filters", [None, [1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_roundtrip_every_filter(filters):
+    """_decode_png must undo every PNG scanline filter type exactly,
+    including the Paeth predictor and the row-0 zero-prior edge."""
+    rng = np.random.default_rng(17 if filters is None else sum(filters))
+    for w, h in [(1, 1), (2, 3), (7, 5), (16, 16)]:
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(_decode_png(_encode_png(pix, filters)), pix), (w, h)
+
+
+def test_png_stored_deflate_block():
+    """A zlib stream of one STORED (uncompressed) deflate block — the
+    shape the SQL-built driver fixture emits — must decode identically
+    to the compressed stream."""
+    import struct
+    import zlib
+
+    pix = (np.arange(2 * 3 * 3) % 256).astype(np.uint8).reshape(2, 3, 3)
+    raw = b"".join(b"\x00" + pix[r].tobytes() for r in range(2))
+    stored = b"\x78\x01\x01" + struct.pack("<HH", len(raw), 0xFFFF ^ len(raw)) + raw
+    stored += struct.pack(">I", zlib.adler32(raw))
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", stored)
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(_decode_png(blob), pix)
+    fmt, got = _decode_blob(blob)
+    assert fmt == "png" and np.array_equal(got, pix)
+
+
+def test_png_multiple_idat_chunks_concatenate():
+    import struct
+    import zlib
+
+    pix = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    whole = _encode_png(pix)
+    # re-split the IDAT payload into two chunks
+    sig, rest = whole[:8], whole[8:]
+    ihdr_len = 12 + 13
+    ihdr, rest = rest[:ihdr_len], rest[ihdr_len:]
+    idat_len = int.from_bytes(rest[:4], "big")
+    payload = rest[8 : 8 + idat_len]
+    iend = rest[12 + idat_len :]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    mid = len(payload) // 2
+    split = sig + ihdr + chunk(b"IDAT", payload[:mid]) + chunk(b"IDAT", payload[mid:]) + iend
+    assert np.array_equal(_decode_png(split), pix)
+
+
+def test_png_unsupported_and_malformed_raise():
+    import struct
+    import zlib
+
+    pix = np.zeros((2, 2, 3), np.uint8)
+    good = _encode_png(pix)
+    with pytest.raises(ValueError):
+        _decode_png(good[:20])  # truncated chunk
+    # unsupported color type (grayscale)
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    gray = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02\x00\x03\x04"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        _decode_png(gray)
+    # corrupt zlib stream
+    bad = bytearray(good)
+    bad[8 + 25 + 8] ^= 0xFF  # flip a byte inside IDAT payload
+    with pytest.raises(Exception):
+        _decode_png(bytes(bad))
+
+
 def _media_df(spark, blobs):
     schema = T.StructType(
         [
@@ -70,8 +166,15 @@ def test_decode_image_stats_operator(spark):
     rng = np.random.default_rng(3)
     p1 = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
     p2 = rng.integers(0, 256, (2, 7, 3), dtype=np.uint8)
+    p3 = rng.integers(0, 256, (3, 4, 3), dtype=np.uint8)
     df = _media_df(
-        spark, [_encode_ppm(p1), _encode_bmp(p2), b"\x89PNG not decodable"]
+        spark,
+        [
+            _encode_ppm(p1),
+            _encode_bmp(p2),
+            b"\x89PNG not decodable",
+            _encode_png(p3, [0, 1, 2, 3, 4]),
+        ],
     )
     rows = {r["media_id"]: r for r in decode_image_stats(df).collect()}
     assert (rows[0]["format"], rows[0]["width"], rows[0]["height"]) == ("ppm", 5, 4)
@@ -79,6 +182,8 @@ def test_decode_image_stats_operator(spark):
     assert (rows[1]["format"], rows[1]["width"], rows[1]["height"]) == ("bmp", 7, 2)
     assert rows[1]["px_min"] == int(p2.min()) and rows[1]["px_max"] == int(p2.max())
     assert rows[2]["format"] is None and rows[2]["px_sum"] is None
+    assert (rows[3]["format"], rows[3]["width"], rows[3]["height"]) == ("png", 4, 3)
+    assert rows[3]["px_sum"] == int(p3.astype("int64").sum())
 
 
 def test_resize_image_matches_numpy(spark):
