@@ -2903,6 +2903,193 @@ FROM d
 """
 
 
+def q_swap_prices_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END derived swap-prices pipeline (pipelines/svm/
+    swap_prices.py ``compute_prices`` — reference swap_prices.py:149-300)
+    as ONE driver-checked chain: J5 trailing ``rangeBetween(-20,0)``
+    window (chunked variant, chunk=64, so boundary replication is
+    exercised too), A2 fan-out multiplicity (groups sum per-row window
+    totals), A3 the 1e9 total-output threshold, A4 Decimal(38,9) price
+    ladder, T6 the 20-slot lookback (slots 100-119 feed windows, anchors
+    start at 120), plus the bidirectional union + USD/WSOL mint algebra
+    and the token-price join against the priced-output union.
+
+    A deterministic swaps table is synthesized from ``lineitem`` — six
+    legs covering sol→USD (both USD coins), token→WSOL / token→USD, and
+    a REVERSED usd→sol swap that only contributes via the directional
+    flip.  The DuckDB oracle replays the whole chain with HUGEINT
+    round-half-up arithmetic ((2a+b)//(2b)) so every digit of the
+    scale-9 decimal strings must match."""
+    from cherry_pipelines_spark.pipelines.svm.swap_prices import (
+        USD_COINS,
+        WSOL,
+        compute_prices,
+    )
+
+    (l,) = _load(spark, sf_dir, "lineitem")
+    slot = (F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 400
+    leg = F.col("l_partkey") % 6
+    amt_in = (F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 1000
+    amt_out = (F.col("l_orderkey") * 13 + F.col("l_linenumber") * 5) % 500 + 1
+    TOKA, TOKB = bytes([1]) * 32, bytes([2]) * 32
+    input_mint = (
+        F.when(leg <= 1, F.lit(WSOL))
+        .when(leg == 2, F.lit(TOKA))
+        .when(leg == 3, F.lit(TOKB))
+        .when(leg == 4, F.lit(TOKA))
+        .otherwise(F.lit(USD_COINS[0]))
+    )
+    output_mint = (
+        F.when(leg == 0, F.lit(USD_COINS[0]))
+        .when(leg == 1, F.lit(USD_COINS[1]))
+        .when(leg == 2, F.lit(WSOL))
+        .when(leg == 3, F.lit(USD_COINS[0]))
+        .when(leg == 4, F.lit(USD_COINS[1]))
+        .otherwise(F.lit(WSOL))
+    )
+    # USD-side amounts go quiet (tiny, sometimes zero → row dropped) in
+    # slots x00..x39 of each century: a trailing window fully inside the
+    # band stays under the 1e9 threshold, so A3 actually rejects slots
+    # x20..x39 (and the dependent token rows lose their WSOL price)
+    usd_amt = F.when(slot % 100 >= 40, amt_out * 10000000).otherwise(amt_out % 3)
+    in_amt = (
+        F.when(leg <= 1, amt_in * 1000).when(leg == 5, usd_amt).otherwise(amt_in)
+    )
+    out_amt = (
+        F.when(leg <= 1, usd_amt).when(leg == 5, amt_in * 1000).otherwise(amt_out)
+    )
+    swaps = l.select(
+        in_amt.cast("long").alias("input_amount"),
+        out_amt.cast("long").alias("output_amount"),
+        input_mint.alias("input_mint"),
+        output_mint.alias("output_mint"),
+        slot.cast("long").alias("block_slot"),
+        (slot * 1000).cast("long").alias("timestamp"),
+    )
+    window_src = swaps.filter(
+        (F.col("block_slot") >= 100) & (F.col("block_slot") <= 319)
+    )
+    prices = compute_prices(spark, window_src, 120, 319, chunk=64)
+    return prices.select(
+        F.col("price").cast("string").alias("price"),
+        "block_slot",
+        "mint",
+        "timestamp",
+        F.col("window_total_amount").cast("string").alias("window_total_amount"),
+    )
+
+
+ORACLE_SWAP_PRICES_CHAIN = """
+WITH raw AS (
+  SELECT (l_orderkey * 7 + l_linenumber) % 400 AS slot,
+         ((l_orderkey * 7 + l_linenumber) % 400) * 1000 AS ts,
+         l_partkey % 6 AS leg,
+         (l_orderkey * 31 + l_linenumber * 7) % 1000 AS amt_in,
+         (l_orderkey * 13 + l_linenumber * 5) % 500 + 1 AS amt_out
+  FROM lineitem
+),
+swaps AS (
+  SELECT slot, ts,
+    CASE WHEN leg <= 1 THEN 'WSOL' WHEN leg = 2 THEN 'TOKA'
+         WHEN leg = 3 THEN 'TOKB' WHEN leg = 4 THEN 'TOKA' ELSE 'USDC' END AS imint,
+    CASE WHEN leg = 0 THEN 'USDC' WHEN leg = 1 THEN 'USDT' WHEN leg = 2 THEN 'WSOL'
+         WHEN leg = 3 THEN 'USDC' WHEN leg = 4 THEN 'USDT' ELSE 'WSOL' END AS omint,
+    CASE WHEN leg <= 1 THEN amt_in * 1000
+         WHEN leg = 5 THEN (CASE WHEN slot % 100 >= 40 THEN amt_out * 10000000
+                                 ELSE amt_out % 3 END)
+         ELSE amt_in END AS iamt,
+    CASE WHEN leg <= 1 THEN (CASE WHEN slot % 100 >= 40 THEN amt_out * 10000000
+                                  ELSE amt_out % 3 END)
+         WHEN leg = 5 THEN amt_in * 1000
+         ELSE amt_out END AS oamt
+  FROM raw WHERE slot BETWEEN 100 AND 319
+),
+dirsw AS (
+  SELECT imint, omint, iamt, oamt, slot, ts
+  FROM swaps WHERE iamt != 0 AND oamt != 0
+  UNION ALL
+  SELECT omint, imint, oamt, iamt, slot, ts
+  FROM swaps WHERE iamt != 0 AND oamt != 0
+),
+flt AS (
+  SELECT * FROM dirsw
+  WHERE imint NOT IN ('USDC','USDT')
+    AND (omint = 'WSOL' OR omint IN ('USDC','USDT'))
+),
+sol_win AS (
+  SELECT slot, ts,
+         sum(iamt) OVER w AS w_in, sum(oamt) OVER w AS w_out
+  FROM flt WHERE imint = 'WSOL' AND omint IN ('USDC','USDT')
+  WINDOW w AS (ORDER BY slot RANGE BETWEEN 20 PRECEDING AND CURRENT ROW)
+),
+sol_tot AS (
+  SELECT slot, ts, sum(w_in)::HUGEINT AS ti, sum(w_out)::HUGEINT AS tot
+  FROM sol_win WHERE slot >= 120 GROUP BY slot, ts
+),
+sol_px AS (
+  SELECT slot, ts, tot,
+         (2 * tot * 1000000 + ti) // (2 * ti) AS px6
+  FROM sol_tot WHERE tot > 1000000000
+),
+-- priced outputs: WSOL at px6 (scale 6), USD coins constant 1000
+price_tab AS (
+  SELECT slot, 'WSOL' AS mint, px6 * 1000 AS p6 FROM sol_px
+  UNION ALL
+  SELECT r.range AS slot, m.mint, 1000000000 AS p6
+  FROM range(120, 320) r, (SELECT 'USDC' AS mint UNION ALL SELECT 'USDT') m
+),
+tok AS (
+  SELECT f.imint, f.slot, f.ts, f.iamt,
+         f.oamt::HUGEINT * p.p6 AS op6
+  FROM flt f JOIN price_tab p ON p.mint = f.omint AND p.slot = f.slot
+  WHERE f.imint != 'WSOL'
+),
+tok_win AS (
+  SELECT imint, slot, ts,
+         sum(iamt) OVER w AS w_in, sum(op6) OVER w AS w_out6
+  FROM tok
+  WINDOW w AS (PARTITION BY imint ORDER BY slot
+               RANGE BETWEEN 20 PRECEDING AND CURRENT ROW)
+),
+tok_tot AS (
+  SELECT imint, slot, ts, sum(w_in)::HUGEINT AS ti, sum(w_out6)::HUGEINT AS to6
+  FROM tok_win WHERE slot >= 120 GROUP BY imint, slot, ts
+),
+tok_px AS (
+  SELECT imint, slot, ts, to6,
+         (2 * to6 + ti) // (2 * ti) AS px6
+  FROM tok_tot
+),
+allrows AS (
+  SELECT px6 * 1000000 AS price9, slot, 'WSOL' AS mint, ts, tot * 1000000 AS wta9
+  FROM sol_px
+  UNION ALL
+  SELECT px6 * 1000 AS price9, slot, imint AS mint, ts, to6 AS wta9
+  FROM tok_px
+),
+hexed AS (
+  SELECT *,
+    CASE mint
+      WHEN 'WSOL' THEN '069b8857feab8184fb687f634618c035dac439dc1aeb3b5598a0f00000000001'
+      WHEN 'USDC' THEN 'c6fa7af3bedbad3a3d65f36aabc97431b1bbe4c2d2f6e0e47ca60203452f5d61'
+      WHEN 'USDT' THEN 'ce010e60afedb22717bd63192f54145a3f965a33bb82d2c7029eb2ce1e208264'
+      WHEN 'TOKA' THEN '0101010101010101010101010101010101010101010101010101010101010101'
+      ELSE '0202020202020202020202020202020202020202020202020202020202020202'
+    END AS mint_hex
+  FROM allrows
+)
+SELECT
+  (price9 // 1000000000)::VARCHAR || '.' ||
+    lpad((price9 % 1000000000)::VARCHAR, 9, '0') AS price,
+  slot::BIGINT AS block_slot,
+  unhex(mint_hex) AS mint,
+  ts::BIGINT AS timestamp,
+  (wta9 // 1000000000)::VARCHAR || '.' ||
+    lpad((wta9 % 1000000000)::VARCHAR, 9, '0') AS window_total_amount
+FROM hexed
+"""
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-means (2 Lloyd rounds, k=4) over the embeddings
     table (operators/clustering.py): broadcast-centroid assignment +
@@ -5526,6 +5713,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_ewma": q_stream_ewma,
     "winsorize": q_winsorize,
     "multimodal_decode_png": q_multimodal_decode_png,
+    "swap_prices_chain": q_swap_prices_chain,
 }
 
 
@@ -5675,6 +5863,7 @@ _ORACLES: dict[str, str] = {
     "stream_ewma": ORACLE_STREAM_EWMA,
     "winsorize": ORACLE_WINSORIZE,
     "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
+    "swap_prices_chain": ORACLE_SWAP_PRICES_CHAIN,
 }
 
 
