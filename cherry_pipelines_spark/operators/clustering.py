@@ -112,8 +112,10 @@ def _lloyd(
         .limit(k)
         .select(F.col(vec_col).cast("array<double>").alias("centroid"), F.col(id_col))
     )
+    # constant partition key: `init` is k rows — one window partition is
+    # the intent; the explicit key silences WindowExec's warning
     cents = init.select(
-        (F.row_number().over(Window.orderBy(id_col)) - 1)
+        (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy(id_col)) - 1)
         .cast("long")
         .alias("cluster_id"),
         "centroid",

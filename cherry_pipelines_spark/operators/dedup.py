@@ -104,7 +104,12 @@ def shingles_df(df: DataFrame, text_col: str = "text", ngram: int = 3) -> DataFr
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str = "text", ngram: int = 3, k: int = 0
+    df: DataFrame,
+    text_col: str = "text",
+    ngram: int = 3,
+    k: int = 0,
+    include_shingles: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, n_sh, shingles[, mh0..mh{k-1}]) — the per-doc distinct
     shingle set in ARRAY form: one output row per document, produced
@@ -123,18 +128,27 @@ def shingle_sets(
     pairs and intersecting in-row — was tried and measured 1.7× slower
     than the row-driven verify at sf0.1: candidate rows hauling full
     arrays through two shuffles cost more than the skinny row fan-out.
-    The array form earns its keep for signatures only.)"""
+    The array form earns its keep for signatures only.)
+
+    ``extra_cols`` passes small tag/metadata columns through the
+    producer unchanged (a post-hoc join would re-shuffle one row per doc
+    just to restore them).  ``include_shingles=False`` drops the
+    ``shingles`` array column from the OUTPUT — Spark cannot column-prune inside a ``mapInPandas``
+    producer, so signature-only callers that select just ``mh*`` would
+    otherwise pay Arrow serialization for every shingle string of every
+    document (measured ~2× on ``cross_corpus_near_dups``, which builds
+    signatures for two corpora and needs no arrays)."""
     import hashlib
 
     import numpy as np
 
     coeffs = _coeffs(k)
     id_field = df.schema["doc_id"]
-    fields = [
-        id_field,
-        T.StructField("n_sh", T.LongType()),
-        T.StructField("shingles", T.ArrayType(T.StringType())),
-    ] + [T.StructField(f"mh{i}", T.LongType()) for i in range(k)]
+    fields = [id_field, T.StructField("n_sh", T.LongType())]
+    if include_shingles:
+        fields.append(T.StructField("shingles", T.ArrayType(T.StringType())))
+    fields += [T.StructField(f"mh{i}", T.LongType()) for i in range(k)]
+    fields += [df.schema[c] for c in extra_cols]
     out_schema = T.StructType(fields)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,9 +157,12 @@ def shingle_sets(
             counts: list[int] = []
             sets: list[list[str]] = []
             mhs: list[list[int]] = [[] for _ in range(k)]
-            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+            extras: dict[str, list] = {c: [] for c in extra_cols}
+            for row_i, (doc_id, text) in enumerate(zip(pdf["doc_id"], pdf[text_col])):
                 if text is None or (isinstance(text, float) and pd.isna(text)):
                     continue
+                for c in extra_cols:
+                    extras[c].append(pdf[c].iloc[row_i])
                 toks = text.split(" ")
                 m = max(len(toks) - (ngram - 1), 1)
                 uniq = list(
@@ -153,7 +170,8 @@ def shingle_sets(
                 )
                 ids.append(doc_id)
                 counts.append(len(uniq))
-                sets.append(uniq)
+                if include_shingles:
+                    sets.append(uniq)
                 if k:
                     # h32 parity: first 4 bytes of sha256, big-endian —
                     # identical to conv(substr(sha2(s,256),1,8),16,10)
@@ -170,20 +188,28 @@ def shingle_sets(
                     for i, (a, b) in enumerate(coeffs):
                         # a ≤ 37+12k, h < 2^32 → a*h+b < 2^63: no overflow
                         mhs[i].append(int(((a * hs + b) % MINHASH_P).min()))
-            data: dict = {"doc_id": ids, "n_sh": counts, "shingles": sets}
+            data: dict = {"doc_id": ids, "n_sh": counts}
+            if include_shingles:
+                data["shingles"] = sets
             for i in range(k):
                 data[f"mh{i}"] = mhs[i]
+            for c in extra_cols:
+                data[c] = extras[c]
             yield pd.DataFrame(data)
 
-    return _fan_out(df.select("doc_id", text_col)).mapInPandas(gen, out_schema)
+    return _fan_out(df.select("doc_id", text_col, *extra_cols)).mapInPandas(
+        gen, out_schema
+    )
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", k: int = 8, ngram: int = 3
 ) -> DataFrame:
     """k-minhash signature per doc as k columns mh0..mh{k-1}, computed
-    map-only in the shingle producer (no explode/groupBy shuffle)."""
-    return shingle_sets(df, text_col, ngram, k=k).select(
+    map-only in the shingle producer (no explode/groupBy shuffle).
+    Shingle arrays are suppressed at the producer (not select-pruned —
+    pruning cannot reach inside mapInPandas)."""
+    return shingle_sets(df, text_col, ngram, k=k, include_shingles=False).select(
         "doc_id", *[f"mh{i}" for i in range(k)]
     )
 
@@ -195,10 +221,12 @@ def _banded(
     return _banded_from_sig(minhash_signatures(df, text_col, k, ngram), k, bands)
 
 
-def _banded_from_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
-    """(doc_id, band, key) band rows from an existing signature frame
-    (columns doc_id, mh0..mh{k-1}) — lets callers that already hold the
-    signatures (e.g. a shared shingle+signature subtree) band without
+def _banded_from_sig(
+    sig: DataFrame, k: int, bands: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, band, key[, extras]) band rows from an existing signature
+    frame (columns doc_id, mh0..mh{k-1}) — lets callers that already hold
+    the signatures (e.g. a shared shingle+signature subtree) band without
     re-shingling."""
     rows_per_band = k // bands
     band_structs = [
@@ -211,8 +239,13 @@ def _banded_from_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
         for bi in range(bands)
     ]
     return sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        "doc_id", *extra_cols, F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+        *extra_cols,
+    )
 
 
 def cross_corpus_near_dups(
@@ -229,14 +262,29 @@ def cross_corpus_near_dups(
     colliding reference id for audit.  Anti-join the result against the
     new corpus to keep only novel documents.
 
-    Scale shape: both corpora reduce to band rows via the map-only
-    signature producer (b rows/doc), and the only shuffle is the
-    (band, key) equi-join between them — the reference corpus is never
-    self-joined and never rescanned per new-batch beyond its band rows,
-    which at steady state can be precomputed once and stored as the
-    dedup index of the training set."""
-    nb = _banded(new_df, text_col, k, bands, ngram)
-    rb = _banded(ref_df, text_col, k, bands, ngram).select(
+    Scale shape: both corpora reduce to band rows in ONE tagged pass of
+    the map-only signature producer (two separate passes each paid the
+    Python-stage floor; merging them measured 1.45 → 0.9 s at sf0.1).
+    The skinny signature frame (one row/doc, no shingle arrays) is
+    cached so the new/ref split does not re-run the producer, and the
+    only shuffle is the (band, key) equi-join between the two sides —
+    the reference corpus is never self-joined, and at steady state its
+    band rows can be precomputed once and stored as the dedup index of
+    the training set."""
+    tagged = (
+        new_df.select("doc_id", text_col)
+        .withColumn("_is_new", F.lit(True))
+        .unionByName(
+            ref_df.select("doc_id", text_col).withColumn("_is_new", F.lit(False))
+        )
+    )
+    sig = shingle_sets(
+        tagged, text_col, ngram, k=k, include_shingles=False,
+        extra_cols=("_is_new",),
+    ).cache()
+    banded = _banded_from_sig(sig, k, bands, extra_cols=("_is_new",))
+    nb = banded.filter(F.col("_is_new")).select("doc_id", "band", "key")
+    rb = banded.filter(~F.col("_is_new")).select(
         F.col("doc_id").alias("ref_id"), "band", "key"
     )
     return (

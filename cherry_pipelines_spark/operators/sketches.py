@@ -225,12 +225,18 @@ def histogram_quantiles(
         if not 0.0 < q <= 1.0:
             raise ValueError(f"quantile {q} outside (0, 1]")
     width = (hi - lo) / bins
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # constant partition key: the sketch is <= `bins` rows BY CONSTRUCTION,
+    # so one window partition is the intent — the explicit key documents
+    # that and keeps WindowExec's no-partition warning out of executor logs
+    one = Window.partitionBy(F.lit(0))
+    w = one.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = sketch.select(
         "bin",
         "n",
         F.sum("n").over(w).alias("cum"),
-        F.sum("n").over(Window.orderBy(F.lit(1))).alias("total"),
+        F.sum("n")
+        .over(one.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("total"),
     )
     qcol = F.explode(
         F.array(*[F.lit(float(q)) for q in sorted(qs)])

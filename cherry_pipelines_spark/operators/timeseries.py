@@ -118,8 +118,12 @@ def chunked_running_sum(
     )
     within = base.withColumn("_local", F.sum(v).over(w_in))
     totals = base.groupBy("_chunk").agg(F.sum(v).alias("_total"))
+    # constant partition key: the carry frame is |chunks| rows, small by
+    # construction — one partition is the intent, and the explicit key
+    # keeps WindowExec's no-partition warning out of executor logs
     w_chunks = (
-        Window.orderBy("_chunk")
+        Window.partitionBy(F.lit(0))
+        .orderBy("_chunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
