@@ -12,9 +12,10 @@ Since the registry holds 143 oracle-checked queries, the dict order is
 ROTATED each round so coverage accumulates: queries already green in a
 prior round's CORRECTNESS_r{N}.json move to the back, never-snapshotted
 queries move to the front.  Round-5 front-50 = the 2 new queries
-(multimodal_decode_png, swap_prices_chain) + 48 of the 91 queries that
-had no driver row in rounds 2-4; the remaining 43 unchecked rotate in
-next round.  EVERY query — snapshotted or not — passes the identical
+(multimodal_decode_png, swap_prices_chain) + 48 of the 89 queries that
+had no green driver row in any of rounds 1-4; the remaining 41 rotate
+in next round (``scripts/rotate_registry.py`` mechanizes this from the
+CORRECTNESS_r*.json history).  EVERY query — snapshotted or not — passes the identical
 compare locally via ``scripts/check_entry.py`` (sf0.01 and sf0.1)
 before each round ends.
 """
@@ -5585,8 +5586,6 @@ FROM events e JOIN b USING (event_type)
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_png": q_multimodal_decode_png,
     "swap_prices_chain": q_swap_prices_chain,
-    "pii_scrub": q_pii_scrub,
-    "repetition_stats": q_repetition_stats,
     "idf_keywords": q_idf_keywords,
     "contamination_check": q_contamination_check,
     "docs_curation": q_docs_curation,
@@ -5676,6 +5675,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue": q_promo_revenue,
     "stream_ewma": q_stream_ewma,
     "winsorize": q_winsorize,
+    "pii_scrub": q_pii_scrub,
+    "repetition_stats": q_repetition_stats,
     "pricing_summary": q_pricing_summary,
     "topk_revenue": q_topk_revenue,
     "local_supplier_volume": q_local_supplier_volume,
@@ -5732,8 +5733,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ORACLES: dict[str, str] = {
     "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
     "swap_prices_chain": ORACLE_SWAP_PRICES_CHAIN,
-    "pii_scrub": ORACLE_PII,
-    "repetition_stats": ORACLE_REPETITION,
     "idf_keywords": ORACLE_IDF,
     "contamination_check": ORACLE_CONTAMINATION,
     "docs_curation": ORACLE_DOCS_CURATION,
@@ -5823,6 +5822,8 @@ _ORACLES: dict[str, str] = {
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "stream_ewma": ORACLE_STREAM_EWMA,
     "winsorize": ORACLE_WINSORIZE,
+    "pii_scrub": ORACLE_PII,
+    "repetition_stats": ORACLE_REPETITION,
     "pricing_summary": ORACLE_PRICING,
     "topk_revenue": ORACLE_TOPK,
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER,

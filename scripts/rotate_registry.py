@@ -1,0 +1,85 @@
+"""Rotate the ``__spark_entry__`` query registry so the driver's fixed
+first-50 CORRECTNESS snapshot accumulates coverage across rounds.
+
+Reads every ``CORRECTNESS_r*.json`` in the repo root, computes the set
+of queries that have EVER had a green driver row, and rewrites the
+``_QUERIES`` / ``_ORACLES`` dict literals with never-snapshotted keys
+first (preserving their relative order, and keeping any comment lines
+attached to the entry below them).  Run AFTER a round's snapshot lands
+and BEFORE adding new queries; new queries should be inserted at the
+front so they are checked in their first round.
+
+Usage: python scripts/rotate_registry.py [--dry-run]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENTRY = os.path.join(ROOT, "__spark_entry__.py")
+SNAPSHOT_WINDOW = 50
+
+
+def parse_dict(src: str, name: str):
+    m = re.search(rf"{name}: dict\[[^\]]+\][^=]*= \{{\n(.*?)\n\}}", src, re.S)
+    if not m:
+        raise SystemExit(f"could not locate {name} literal")
+    entries: dict[str, list[str]] = {}
+    order: list[str] = []
+    pending: list[str] = []
+    for line in m.group(1).split("\n"):
+        s = line.strip()
+        if s.startswith("#") or not s:
+            pending.append(line)
+            continue
+        k = re.match(r'\s*"([a-z0-9_]+)":', line)
+        if not k:
+            raise SystemExit(f"unparseable {name} line: {line!r}")
+        entries[k.group(1)] = pending + [line]
+        order.append(k.group(1))
+        pending = []
+    return entries, order, m.group(0)
+
+
+def main() -> int:
+    dry = "--dry-run" in sys.argv
+    src = open(ENTRY).read()
+    ever_checked: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(path)).items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                ever_checked.add(name)
+    qe, qorder, qfull = parse_dict(src, "_QUERIES")
+    oe, _, ofull = parse_dict(src, "_ORACLES")
+    unchecked = [k for k in qorder if k not in ever_checked]
+    checked = [k for k in qorder if k in ever_checked]
+    new_order = unchecked + checked
+    print(f"{len(ever_checked)} ever driver-checked; {len(unchecked)} pending")
+    print(f"next snapshot window ({SNAPSHOT_WINDOW}): {new_order[:SNAPSHOT_WINDOW]}")
+    if new_order == qorder:
+        print("already in rotated order; nothing to do")
+        return 0
+    if dry:
+        return 0
+
+    def rebuild(entries, header):
+        lines = [header.split("\n")[0]]
+        for k in new_order:
+            if k in entries:
+                lines.extend(entries[k])
+        lines.append("}")
+        return "\n".join(lines)
+
+    out = src.replace(qfull, rebuild(qe, qfull)).replace(ofull, rebuild(oe, ofull))
+    open(ENTRY, "w").write(out)
+    print("rewritten; re-run scripts/check_entry.py before committing")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
