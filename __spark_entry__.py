@@ -5583,7 +5583,278 @@ FROM events e JOIN b USING (event_type)
 # public contract
 # =====================================================================
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    ship year — both nation-filtered dims broadcast, the OR of the two
+    direction pairs evaluated after the joins, year extraction grouped."""
+    s, c, o, l, n = _load(
+        spark, sf_dir, "supplier", "customer", "orders", "lineitem", "nation"
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    pair = n.filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    sn = s.join(F.broadcast(pair), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cn = c.join(F.broadcast(pair), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+ORACLE_VOLUME_SHIPPING = """
+SELECT sn AS supp_nation, cn AS cust_nation, l_year,
+       CAST(sum(rev) AS DOUBLE) AS revenue
+FROM (
+  SELECT ns.n_name AS sn, nc.n_name AS cn, year(l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name IN ('NATION_1','NATION_2') AND nc.n_name IN ('NATION_1','NATION_2')
+    AND ns.n_name <> nc.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the fixture has no partsupp, so unit
+    cost comes from part.p_retailprice): per (supplier nation, order
+    year) profit on 'widget' parts — name filter pushed into the
+    broadcast part dim, decimal revenue-minus-cost kept exact until the
+    final double cast."""
+    s, o, l, n, p = _load(
+        spark, sf_dir, "supplier", "orders", "lineitem", "nation", "part"
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    amount = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - dec("l_discount")
+    ) - dec("p_retailprice") * dec("l_quantity") * F.lit("0.5").cast("decimal(18,2)")
+    return (
+        l.join(
+            F.broadcast(
+                p.filter(F.col("p_name").contains("widget")).select("p_partkey", "p_retailprice")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                - CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST('0.5' AS DECIMAL(18,2))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    INCLUDING zero-order customers — the left join keeps them, the
+    join-side predicate (priority filter) stays in the join condition
+    rather than a WHERE (a WHERE would silently turn the join inner),
+    then a second aggregation histograms the counts."""
+    c, o = _load(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        c.join(
+            o.select("o_orderkey", "o_custkey", "o_orderpriority"),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "2-HIGH"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+ORACLE_ORDER_COUNT_DISTRIBUTION = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '2-HIGH'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue over one quarter, then the
+    supplier(s) whose revenue EQUALS the maximum — the scalar max joins
+    back as a broadcast 1-row frame, and the equality check happens on
+    the exact decimal BEFORE any double cast."""
+    s, l = _load(spark, sf_dir, "supplier", "lineitem")
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max_rev"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    supplier count per (brand, type, size) bucket with an attribute
+    exclusion AND a NOT-IN anti-join against flagged suppliers
+    (negative account balance as the complaints stand-in)."""
+    s, p, l = _load(spark, sf_dir, "supplier", "part", "lineitem")
+    sizes = [1, 5, 9, 13, 17, 21, 25, 29]
+    pf = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = s.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("_bad_supp")
+    )
+    return (
+        l.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(flagged),
+            F.col("l_suppkey") == F.col("_bad_supp"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+ORACLE_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1,5,9,13,17,21,25,29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (lineitem shipments stand in for partsupp
+    availability): suppliers in NATION_5 who, for some 'red' part,
+    shipped more than 1.5x the per-supplier average for that part in
+    1997 — per-(part,supplier) totals, a per-part mean joined back, then
+    a LEFT SEMI join up to the supplier dim."""
+    s, p, l, n = _load(spark, sf_dir, "supplier", "part", "lineitem", "nation")
+    red = p.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    ps = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q_ps"))
+    )
+    part_avg = ps.groupBy("l_partkey").agg(
+        F.avg("q_ps").alias("avg_ps"), F.count(F.lit(1)).alias("_n")
+    )
+    excess = (
+        ps.join(part_avg.select("l_partkey", "avg_ps"), "l_partkey")
+        .filter(F.col("q_ps") > F.col("avg_ps") * 1.5)
+        .select("l_suppkey")
+    )
+    nat5 = n.filter(F.col("n_name") == "NATION_5")
+    return (
+        s.join(F.broadcast(nat5), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_EXCESS_STOCK_SUPPLIERS = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q_ps
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+pa AS (SELECT l_partkey, avg(q_ps) AS avg_ps FROM ps GROUP BY 1)
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT ps.l_suppkey FROM ps JOIN pa ON ps.l_partkey = pa.l_partkey
+    WHERE ps.q_ps > pa.avg_ps * 1.5)
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "volume_shipping": q_volume_shipping,
+    "product_profit": q_product_profit,
+    "order_count_distribution": q_order_count_distribution,
+    "top_supplier": q_top_supplier,
+    "part_supplier_counts": q_part_supplier_counts,
+    "excess_stock_suppliers": q_excess_stock_suppliers,
     "multimodal_decode_png": q_multimodal_decode_png,
     "swap_prices_chain": q_swap_prices_chain,
     "idf_keywords": q_idf_keywords,
@@ -5731,6 +6002,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _ORACLES: dict[str, str] = {
+    "volume_shipping": ORACLE_VOLUME_SHIPPING,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
+    "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
+    "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
+    "excess_stock_suppliers": ORACLE_EXCESS_STOCK_SUPPLIERS,
     "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
     "swap_prices_chain": ORACLE_SWAP_PRICES_CHAIN,
     "idf_keywords": ORACLE_IDF,
