@@ -5583,6 +5583,116 @@ FROM events e JOIN b USING (event_type)
 # public contract
 # =====================================================================
 
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus text normalization (operators/text.py:normalize_text):
+    deterministic junk (tab, mixed case, a C0 control, newline, ragged
+    spaces) is wrapped around every document IN SQL, and the operator
+    must strip controls → collapse whitespace → trim → lowercase in
+    exactly that order to reproduce the oracle's string and char
+    counts.  (Controls are spaced out BEFORE the whitespace collapse on
+    both engines, which also neutralizes the Java-vs-RE2 ``\\s``
+    vertical-tab difference.)"""
+    from cherry_pipelines_spark.operators.text import normalize_text
+
+    (d,) = _load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("\tMixed CASE  "), F.col("text"), F.lit(" \x01\n end ")
+    )
+    base = d.select("doc_id", messy.alias("messy"))
+    return normalize_text(base, "messy").select(
+        "doc_id",
+        F.col("messy_norm").alias("text_norm"),
+        "n_chars_raw",
+        "n_chars_norm",
+    )
+
+
+ORACLE_TEXT_CLEAN = """
+WITH m AS (
+  SELECT doc_id,
+         chr(9) || 'Mixed CASE  ' || text || ' ' || chr(1) || chr(10) || ' end '
+           AS messy
+  FROM documents
+)
+SELECT doc_id,
+       lower(trim(regexp_replace(
+         regexp_replace(messy, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+         '\\s+', ' ', 'g'))) AS text_norm,
+       length(messy)::BIGINT AS n_chars_raw,
+       length(lower(trim(regexp_replace(
+         regexp_replace(messy, '[\\x00-\\x1F\\x7F]', ' ', 'g'),
+         '\\s+', ' ', 'g'))))::BIGINT AS n_chars_norm
+FROM m
+"""
+
+
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash Jaccard ESTIMATES on LSH candidate pairs
+    (operators/dedup.py:minhash_jaccard_estimates): the constant-per-
+    pair screen (fraction of matching signature components) that
+    replaces the exact shingle-intersection verify at scale.  The
+    oracle replays signatures, banding, and the match fraction."""
+    from cherry_pipelines_spark.operators.dedup import minhash_jaccard_estimates
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return minhash_jaccard_estimates(d, k=8, bands=4)
+
+
+ORACLE_MINHASH_EST = _LSH_HEAD + """,
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(((a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT + (a.mh2 = b.mh2)::INT
+           + (a.mh3 = b.mh3)::INT + (a.mh4 = b.mh4)::INT + (a.mh5 = b.mh5)::INT
+           + (a.mh6 = b.mh6)::INT + (a.mh7 = b.mh7)::INT) / 8.0 AS DOUBLE)
+         AS jaccard_est
+FROM pairs p
+JOIN sig a ON p.doc_a = a.doc_id
+JOIN sig b ON p.doc_b = b.doc_id
+"""
+
+
+def q_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HyperLogLog + merge proof (operators/sketches.py:
+    hll_distinct_by_group): per-source text cardinality estimates plus
+    an __ALL__ row whose estimate comes from MERGING the per-source
+    register files (max per bucket) — the mergeability that makes HLL
+    the right 100 TB shape, checked as data."""
+    from cherry_pipelines_spark.operators.sketches import hll_distinct_by_group
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return hll_distinct_by_group(d, F.col("text"), "source")
+
+
+ORACLE_HLL_BY_GROUP = """
+WITH h AS (SELECT source, ('0x' || substr(sha256(text), 1, 8))::BIGINT AS h
+           FROM documents),
+r AS (SELECT source, h >> 24 AS bucket,
+             CASE WHEN (h & 16777215) = 0 THEN 25
+                  ELSE 25 - length(bin(h & 16777215)) END AS rho
+      FROM h),
+reg AS (SELECT source, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+estg AS (SELECT source, count(*)::BIGINT AS buckets_used,
+                round(47072.71267120224 /
+                      (256.0 - count(*) + sum(power(2.0, -rho))), 4) AS estimate
+         FROM reg GROUP BY source),
+exg AS (SELECT source, count(DISTINCT text)::BIGINT AS exact
+        FROM documents GROUP BY source),
+merged AS (SELECT bucket, max(rho) AS rho FROM reg GROUP BY bucket),
+estall AS (SELECT count(*)::BIGINT AS buckets_used,
+                  round(47072.71267120224 /
+                        (256.0 - count(*) + sum(power(2.0, -rho))), 4) AS estimate
+           FROM merged),
+exall AS (SELECT count(DISTINCT text)::BIGINT AS exact FROM documents)
+SELECT source AS key, buckets_used, estimate, exact FROM estg JOIN exg USING (source)
+UNION ALL
+SELECT '__ALL__' AS key, buckets_used, estimate, exact FROM estall, exall
+"""
+
+
 def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: bilateral shipping volume between two nations by
     ship year — both nation-filtered dims broadcast, the OR of the two
@@ -5849,6 +5959,9 @@ WHERE n_name = 'NATION_5'
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_clean": q_text_clean,
+    "minhash_estimate": q_minhash_estimate,
+    "hll_by_group": q_hll_by_group,
     "volume_shipping": q_volume_shipping,
     "product_profit": q_product_profit,
     "order_count_distribution": q_order_count_distribution,
@@ -6002,6 +6115,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _ORACLES: dict[str, str] = {
+    "text_clean": ORACLE_TEXT_CLEAN,
+    "minhash_estimate": ORACLE_MINHASH_EST,
+    "hll_by_group": ORACLE_HLL_BY_GROUP,
     "volume_shipping": ORACLE_VOLUME_SHIPPING,
     "product_profit": ORACLE_PRODUCT_PROFIT,
     "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,

@@ -297,6 +297,51 @@ def cross_corpus_near_dups(
     )
 
 
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """LSH candidate pairs with the ESTIMATED Jaccard — the fraction of
+    matching minhash components — instead of the exact shingle-
+    intersection verify.  (doc_a, doc_b, jaccard_est).
+
+    This is the constant-per-pair similarity check: the exact verify
+    join fans out one row per shared shingle (O(|∩|) per pair), while
+    the estimate compares k integers.  At 100 TB the estimate screens
+    the candidate stream first and the exact verify runs only on the
+    survivors; standard error is ~sqrt(j(1-j)/k), so k is the precision
+    dial.  ONE signature pass feeds both the banding and the estimate
+    (cached skinny frame, same shape as cross_corpus_near_dups)."""
+    sig = shingle_sets(
+        df, text_col, ngram, k=k, include_shingles=False
+    ).cache()
+    cands = _pairs_from_banded(_banded_from_sig(sig, k, bands), max_bucket)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(k)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(k)],
+    )
+    n_match = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_match.cast("double") / F.lit(float(k))).alias("jaccard_est"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",

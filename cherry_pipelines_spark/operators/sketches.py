@@ -99,6 +99,73 @@ def hll_distinct(df: DataFrame, key: Column, label: str = "key", p: int = HLL_P)
     return est.crossJoin(F.broadcast(exact))
 
 
+def hll_registers_by_group(
+    df: DataFrame, key: Column, group_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per-group HyperLogLog register files: ``<=2^p`` rows of
+    ``(group, bucket, rho)`` per group value — the shardable form of a
+    per-source / per-day cardinality report."""
+    w = 32 - p
+    h = h32(key.cast("string"))
+    bucket = F.shiftright(h, w).cast("long").alias("bucket")
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    return (
+        df.select(F.col(group_col).alias("_grp"), bucket, _rho(rem, w).alias("rho"))
+        .groupBy("_grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge_registers(registers: DataFrame) -> DataFrame:
+    """Merge per-group register files into one: union → MAX per bucket.
+    THE property that makes HLL the right 100 TB shape — the merged
+    estimate equals the estimate of the union of the inputs without
+    rescanning a single row."""
+    return registers.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_distinct_by_group(
+    df: DataFrame, key: Column, group_col: str, p: int = HLL_P
+) -> DataFrame:
+    """Per-group cardinality estimates PLUS an ``__ALL__`` row whose
+    estimate comes from MERGING the per-group registers (max per bucket)
+    rather than re-scanning the input — the merge-correctness proof in
+    query form.  Exact distinct counts ride along for audit.
+
+    Output: (key, buckets_used, estimate, exact); one row per group +
+    one ``__ALL__`` row."""
+    if p != HLL_P:
+        raise ValueError("alpha constant is pinned for p=8")
+    m = 1 << p
+    regs = hll_registers_by_group(df, key, group_col, p)
+    # the grouped register frame feeds both the per-group estimates and
+    # the merge; it is <= n_groups * 2^p rows — cache-cheap by construction
+    regs = regs.localCheckpoint(eager=False)
+    est_expr = F.round(
+        F.lit(HLL_ALPHA_256 * m * m)
+        / (F.lit(float(m)) - F.count("*") + F.sum(F.pow(F.lit(2.0), -F.col("rho")))),
+        4,
+    ).alias("estimate")
+    per_group = regs.groupBy("_grp").agg(
+        F.count("*").cast("long").alias("buckets_used"), est_expr
+    )
+    exact_g = df.groupBy(F.col(group_col).alias("_grp")).agg(
+        F.count_distinct(key).cast("long").alias("exact")
+    )
+    grouped = per_group.join(exact_g, "_grp").select(
+        F.col("_grp").cast("string").alias("key"), "buckets_used", "estimate", "exact"
+    )
+    merged = hll_merge_registers(regs).agg(
+        F.count("*").cast("long").alias("buckets_used"), est_expr
+    )
+    exact_all = df.agg(F.count_distinct(key).cast("long").alias("exact"))
+    total = (
+        merged.crossJoin(F.broadcast(exact_all))
+        .select(F.lit("__ALL__").alias("key"), "buckets_used", "estimate", "exact")
+    )
+    return grouped.unionByName(total)
+
+
 def countmin_sketch(
     tokens_df: DataFrame, token_col: str = "token", d: int = 4, w: int = 512
 ) -> DataFrame:

@@ -186,6 +186,34 @@ def pii_scrub(
     )
 
 
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Corpus text normalization (the first stage of every training-data
+    pipeline): strip C0/DEL control characters, collapse whitespace runs
+    to single spaces, trim, lowercase.  Reports before/after char counts
+    so downstream audits can bound how destructive the pass was.
+
+    Pure JVM regexp/lower/trim — map-only, whole-stage codegen, composes
+    with scan pruning at any scale; order is pinned (controls→space
+    BEFORE whitespace collapse) so an independent engine replays the
+    exact output."""
+    c = F.col(text_col)
+    cleaned = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(c, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "
+            )
+        )
+    )
+    out = out_col or text_col + "_norm"
+    return (
+        df.withColumn("n_chars_raw", F.length(c).cast("long"))
+        .withColumn(out, cleaned)
+        .withColumn("n_chars_norm", F.length(F.col(out)).cast("long"))
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

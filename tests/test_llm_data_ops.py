@@ -354,3 +354,38 @@ def test_chunks_reassemble_validates_overlap(spark):
 
     with _pytest.raises(ValueError):
         chunks_reassemble(df, chunk=16, overlap=16)
+
+
+def test_normalize_text_order_and_counts(spark):
+    from cherry_pipelines_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "\tA\x01B  Big\n\nDeal "), (2, "ok"), (3, "  ")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    # control char becomes a space FIRST, so A/B split into two tokens
+    assert rows[1]["text_norm"] == "a b big deal"
+    assert rows[1]["n_chars_raw"] == len("\tA\x01B  Big\n\nDeal ")
+    assert rows[1]["n_chars_norm"] == len("a b big deal")
+    assert rows[2]["text_norm"] == "ok"
+    assert rows[3]["text_norm"] == ""
+
+
+def test_minhash_estimate_identical_docs_and_bounds(spark):
+    from cherry_pipelines_spark.operators.dedup import minhash_jaccard_estimates
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+        (3, "one two three four five six seven"),
+        (4, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard_est"] for r in
+            minhash_jaccard_estimates(df, k=8, bands=4).collect()}
+    assert rows[(1, 2)] == 1.0  # identical signature => estimate 1
+    for (a, b), est in rows.items():
+        assert 0.0 <= est <= 1.0
+        if (a, b) != (1, 2):
+            assert est < 1.0

@@ -155,3 +155,30 @@ def test_histogram_quantiles_error_bound(spark):
     sk2 = histogram_sketch(wild, F.col("v"), 0.0, 1000.0, 100)
     bins = sorted(r["bin"] for r in sk2.collect())
     assert bins == [0, 99]
+
+
+def test_hll_by_group_merge_equals_whole(spark):
+    """The __ALL__ row (merged per-group registers) must equal the
+    single-sketch estimate over the whole frame — mergeability as data."""
+    from cherry_pipelines_spark.operators.sketches import (
+        hll_distinct_by_group,
+        hll_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"val{i % 700}", "g" + str(i % 3)) for i in range(2000)],
+        "row_id long, v string, grp string",
+    )
+    rows = {r["key"]: r for r in hll_distinct_by_group(df, F.col("v"), "grp").collect()}
+    assert set(rows) == {"g0", "g1", "g2", "__ALL__"}
+    whole = hll_estimate(hll_registers(df, F.col("v"))).collect()[0]
+    assert rows["__ALL__"]["estimate"] == whole["estimate"]
+    assert rows["__ALL__"]["buckets_used"] == whole["buckets_used"]
+    assert rows["__ALL__"]["exact"] == 700
+    # per-group exacts: values i%700 within group i%3 — group g0 sees
+    # i ≡ 0 (mod 3): distinct v = |{i%700 : i<2000, i%3==0}|
+    for g in range(3):
+        expect = len({i % 700 for i in range(2000) if i % 3 == g})
+        assert rows[f"g{g}"]["exact"] == expect
+        # raw-HLL relative error at m=256 is ~6.5%; 3x sigma guard
+        assert abs(rows[f"g{g}"]["estimate"] - expect) / expect < 0.25
