@@ -5556,6 +5556,53 @@ FROM n e1
 """
 
 
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k admission log (applyInPandasWithState,
+    `streaming/stateful.py:streaming_topk`): per (event_type, 1h
+    tumbling window), a row is emitted the moment an event enters the
+    running top-3 by value — append-mode clean, O(k) state per window.
+    The oracle is the batch replay (an event is admitted iff fewer
+    than 3 prior arrivals in its window beat it), so the hash match
+    certifies the batch≡streaming equivalence."""
+    from cherry_pipelines_spark.streaming.stateful import streaming_topk
+
+    stream = _events_stream(spark, sf_dir).select(
+        "event_type", "secs", "value", "event_id"
+    )
+    out = streaming_topk(
+        stream, "event_type", "secs", "value", "event_id", k=3,
+        window_seconds=3600,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_topk_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("stream_topk_out").select("key", "wstart", "eid", "value")
+
+
+ORACLE_STREAM_TOPK = """
+WITH b AS (
+  SELECT event_type::VARCHAR AS key,
+         epoch_us(ts) // 1000000 AS secs, event_id, value
+  FROM events
+),
+w AS (SELECT key, secs - (secs % 3600) AS wstart, secs, event_id, value FROM b)
+SELECT a.key, a.wstart, a.event_id AS eid, a.value
+FROM w a LEFT JOIN w p
+  ON p.key = a.key AND p.wstart = a.wstart
+ AND (p.secs < a.secs OR (p.secs = a.secs AND p.event_id < a.event_id))
+ AND (p.value > a.value OR (p.value = a.value AND p.event_id < a.event_id))
+GROUP BY a.key, a.wstart, a.event_id, a.value
+HAVING count(p.event_id) < 3
+"""
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorized event values
     (`operators/sampling.py:winsorize`): tails clipped to the group's
@@ -5959,6 +6006,7 @@ WHERE n_name = 'NATION_5'
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_topk": q_stream_topk,
     "text_clean": q_text_clean,
     "minhash_estimate": q_minhash_estimate,
     "hll_by_group": q_hll_by_group,
@@ -6115,6 +6163,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _ORACLES: dict[str, str] = {
+    "stream_topk": ORACLE_STREAM_TOPK,
     "text_clean": ORACLE_TEXT_CLEAN,
     "minhash_estimate": ORACLE_MINHASH_EST,
     "hll_by_group": ORACLE_HLL_BY_GROUP,

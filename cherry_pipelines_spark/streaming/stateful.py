@@ -223,3 +223,92 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_topk(
+    df: DataFrame,
+    key_col: str,
+    secs_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 3,
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Streaming top-k as an ADMISSION LOG: per (key, tumbling window),
+    emit a row the moment an arriving element enters the running top-k
+    (value desc, id asc tie-break).  Emission-on-admit keeps the
+    operator append-mode clean — no retractions — and the admitted set
+    is exactly {rows whose rank among prior arrivals < k}, which a
+    batch engine can replay (the equivalence the oracle checks).
+
+    State per (key, window) is the current top-k — k (value, id) pairs,
+    O(k) — partitioned by the same hash shuffle as a groupBy.  Arrival
+    order is (secs, id) within a batch and monotone across batches (the
+    block-ordered ingestion contract, same as streaming_ewma); a
+    production deployment adds an event-time timeout so windows behind
+    the watermark evict.
+
+    Output: (key, wstart, eid, value) — one row per admission.
+    """
+    from pyspark.sql import functions as F
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("wstart", T.LongType()),
+            T.StructField("eid", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("vals", T.ArrayType(T.DoubleType())),
+            T.StructField("eids", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def admit(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        kk, ws = str(key[0]), int(key[1])
+        if state.exists:
+            vals, eids = list(state.get[0]), list(state.get[1])
+        else:
+            vals, eids = [], []
+        top = sorted(zip(vals, eids), key=lambda t: (-t[0], t[1]))
+        rows = []
+        parts = []
+        for pdf in pdfs:
+            if len(pdf):
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "s": pdf[secs_col].astype("int64"),
+                            "v": pdf[value_col].astype(float),
+                            "e": pdf[id_col].astype("int64"),
+                        }
+                    )
+                )
+        if parts:
+            allp = pd.concat(parts).sort_values(["s", "e"], kind="mergesort")
+            for v, e in zip(allp["v"].tolist(), allp["e"].tolist()):
+                wv, we = top[-1] if len(top) == k else (None, None)
+                if len(top) < k or v > wv or (v == wv and e < we):
+                    rows.append((kk, ws, int(e), float(v)))
+                    top.append((float(v), int(e)))
+                    top = sorted(top, key=lambda t: (-t[0], t[1]))[:k]
+        state.update(([t[0] for t in top], [t[1] for t in top]))
+        if rows:
+            yield pd.DataFrame(rows, columns=["key", "wstart", "eid", "value"])
+
+    w = window_seconds
+    keyed = df.withColumn(
+        "_wstart", (F.col(secs_col) - F.pmod(F.col(secs_col), F.lit(w))).cast("long")
+    )
+    return keyed.groupBy(key_col, "_wstart").applyInPandasWithState(
+        admit,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

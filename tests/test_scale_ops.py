@@ -372,3 +372,48 @@ def test_streaming_ewma_equals_batch_across_batches(spark, tmp_path):
     assert set(got) == set(want)
     for key in want:
         assert got[key] == pytest.approx(want[key], rel=1e-12), key
+
+
+def test_streaming_topk_admission_log_across_batches(spark, tmp_path):
+    """The streaming top-k admission log over 3 micro-batches must equal
+    the batch replay (admitted iff < k prior arrivals in the window beat
+    it) — state carries the running top-k across batch boundaries."""
+    from cherry_pipelines_spark.streaming.stateful import streaming_topk
+
+    src = str(tmp_path / "topk_src")
+    os.makedirs(src)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k string, secs long, v double, eid long"
+    ).coalesce(1)
+    # one window (secs < 3600): admissions with k=2 should be
+    # e1(5.0) admit, e2(3.0) admit, e3(4.0) admit (beats 3.0),
+    # e4(4.0) NOT (tie with worst 4.0 but larger eid), e5(9.0) admit,
+    # e6(1.0) NOT; second window: everything under k admits
+    batches = [
+        [("a", 100, 5.0, 1), ("a", 110, 3.0, 2)],
+        [("a", 120, 4.0, 3), ("a", 130, 4.0, 4)],
+        [("a", 140, 9.0, 5), ("a", 150, 1.0, 6), ("a", 4000, 2.0, 7)],
+    ]
+    mk(batches[0]).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_topk(stream, "k", "secs", "v", "eid", k=2, window_seconds=3600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("topk_out")
+        .option("checkpointLocation", str(tmp_path / "topk_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            mk(b).write.mode("append").parquet(src)
+            q.processAllAvailable()
+        got = {r["eid"]: (r["key"], r["wstart"], r["value"])
+               for r in spark.table("topk_out").collect()}
+    finally:
+        q.stop()
+    assert set(got) == {1, 2, 3, 5, 7}
+    assert got[5] == ("a", 0, 9.0)
+    assert got[7] == ("a", 3600, 2.0)
