@@ -1419,7 +1419,12 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.pmod(raw - pred, F.lit(256))
 
-    # filtered scanlines: [filter_type, f(x)...] per row, flattened
+    # filtered scanlines: [filter_type, f(x)...] per row, flattened.
+    # Staged projections: the filtered-byte array is the expensive
+    # subtree and three consumers need it (hex, Adler s1, Adler s2) —
+    # naming it in its own SELECT makes each downstream reference a
+    # bound column instead of a re-evaluation (HOF subtrees are not
+    # subexpression-eliminated).
     data = F.flatten(
         F.transform(
             F.sequence(F.lit(0), h - 1),
@@ -1433,34 +1438,56 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = (h * (stride + 1)).cast("int")  # stored-block payload length (< 64 KiB)
-    data_hex = F.concat_ws("", F.transform(data, lambda b: F.lpad(F.hex(b), 2, "0")))
+    stage1 = d.select(
+        i.alias("media_id"),
+        w.alias("_w"),
+        h.alias("_h"),
+        n.alias("_n"),
+        data.alias("_data"),
+    )
+    dcol, ncol = F.col("_data"), F.col("_n")
+    data_hex = F.concat_ws("", F.transform(dcol, lambda b: F.lpad(F.hex(b), 2, "0")))
     # zlib: header 0x78 0x01, one final STORED block, Adler-32 (s2<<16 | s1)
     s1 = F.pmod(
-        F.lit(1).cast("long") + F.aggregate(data, F.lit(0).cast("long"), lambda a, b: a + b),
+        F.lit(1).cast("long")
+        + F.aggregate(dcol, F.lit(0).cast("long"), lambda a, b: a + b),
         F.lit(65521),
     )
     wsum = F.aggregate(
-        F.zip_with(data, F.sequence(F.lit(0), n - 1), lambda dd, ix: (dd * (n - ix)).cast("long")),
+        F.zip_with(
+            dcol,
+            F.sequence(F.lit(0), ncol - 1),
+            lambda dd, ix: (dd * (ncol - ix)).cast("long"),
+        ),
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
-    s2 = F.pmod(n.cast("long") + wsum, F.lit(65521))
-    zlib_hex = F.concat(
-        F.lit("780101"), _le_hex(n, 2), _le_hex(F.lit(65535) - n, 2), data_hex,
-        be32(s2 * 65536 + s1),
+    s2 = F.pmod(ncol.cast("long") + wsum, F.lit(65521))
+    stage2 = stage1.select(
+        "media_id",
+        "_w",
+        "_h",
+        "_n",
+        F.concat(
+            F.lit("780101"),
+            _le_hex(ncol, 2),
+            _le_hex(F.lit(65535) - ncol, 2),
+            data_hex,
+            be32(s2 * 65536 + s1),
+        ).alias("_zlib_hex"),
     )
     chunk_hex = lambda type_hex, body_len, body_hex: F.concat(
         be32(body_len), F.lit(type_hex), body_hex,
         be32(F.crc32(F.unhex(F.concat(F.lit(type_hex), body_hex)))),
     )
-    ihdr_body = F.concat(be32(w), be32(h), F.lit("0802000000"))
+    ihdr_body = F.concat(be32(F.col("_w")), be32(F.col("_h")), F.lit("0802000000"))
     png_hex = F.concat(
         F.lit("89504E470D0A1A0A"),
         chunk_hex("49484452", F.lit(13), ihdr_body),
-        chunk_hex("49444154", n + 11, zlib_hex),
+        chunk_hex("49444154", ncol + 11, F.col("_zlib_hex")),
         F.lit("0000000049454E44AE426082"),
     )
-    blobs = d.select(i.alias("media_id"), F.unhex(png_hex).alias("blob"))
+    blobs = stage2.select("media_id", F.unhex(png_hex).alias("blob"))
     return decode_image_stats(blobs)
 
 
