@@ -751,3 +751,19 @@ def test_hll_by_group_no_cartesian_merge(spark, sf_dir, queries):
     assert "SortMergeJoin" not in s
     assert s.get("BroadcastNestedLoopJoin", 0) <= 1
     assert s.get("BroadcastHashJoin", 0) >= 1  # per-group exact attach
+
+
+def test_chain_lookup_is_broadcast_no_fact_shuffle(spark, sf_dir, queries):
+    from cherry_pipelines_spark.plans import plan_summary
+
+    s = plan_summary(queries["chain_lookup"](spark, sf_dir))
+    assert s.get("BroadcastHashJoin", 0) == 1
+    # the fact side never shuffles for a dictionary point lookup
+    assert s.get("Exchange", 0) == 0
+    assert "SortMergeJoin" not in s
+
+
+def test_vault_mint_attach_broadcasts_tx_and_blocks(spark, sf_dir, queries):
+    plan = plan_of(queries["vault_mint_attach"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
