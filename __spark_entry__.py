@@ -3010,10 +3010,13 @@ def q_swap_prices_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("block_slot") >= 100) & (F.col("block_slot") <= 319)
     )
     prices = compute_prices(spark, window_src, 120, 319, chunk=64)
+    # Hex-encode the binary mint for the driver comparator: pandas cannot
+    # factorize bytearray values, so every registry query emits binary
+    # columns as lowercase hex strings (driver output convention).
     return prices.select(
         F.col("price").cast("string").alias("price"),
         "block_slot",
-        "mint",
+        F.lower(F.hex(F.col("mint"))).alias("mint"),
         "timestamp",
         F.col("window_total_amount").cast("string").alias("window_total_amount"),
     )
@@ -3122,7 +3125,7 @@ SELECT
   (price9 // 1000000000)::VARCHAR || '.' ||
     lpad((price9 % 1000000000)::VARCHAR, 9, '0') AS price,
   slot::BIGINT AS block_slot,
-  unhex(mint_hex) AS mint,
+  mint_hex AS mint,
   ts::BIGINT AS timestamp,
   (wta9 // 1000000000)::VARCHAR || '.' ||
     lpad((wta9 % 1000000000)::VARCHAR, 9, '0') AS window_total_amount
@@ -5682,14 +5685,28 @@ def q_vault_mint_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("v"), kout).alias("output_vault"),
         F.round(F.col("l_quantity")).cast("long").alias("amount"),
     )
-    balances = (
+    # all three dims derive from ONE aggregated (slot, txi) frame — a
+    # single full-size shuffle (collect_set dedupes the vault keys in
+    # the same pass), localCheckpoint-ed so the dims share the
+    # materialized ~|slot|x|txi| rows instead of re-running the pass
+    # (column pruning specializes each branch's aggregate, so plain
+    # exchange reuse cannot dedupe them) — vs round 5's three separate
+    # .distinct() passes over full lineitem (slowest registry entry)
+    per_tx = (
         l.select(
             slot.alias("block_slot"),
             txi.alias("transaction_index"),
             F.explode(F.array(kin, kout)).alias("_k"),
         )
+        .groupBy("block_slot", "transaction_index")
+        .agg(F.collect_set("_k").alias("_ks"))
+        .localCheckpoint(eager=False)
+    )
+    balances = (
+        per_tx.select(
+            "block_slot", "transaction_index", F.explode("_ks").alias("_k")
+        )
         .filter(F.col("_k") < 50)
-        .distinct()
         .select(
             "block_slot",
             "transaction_index",
@@ -5697,19 +5714,16 @@ def q_vault_mint_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("m"), F.col("_k") % 7).alias("post_mint"),
         )
     )
-    transactions = (
-        l.select(slot.alias("block_slot"), txi.alias("transaction_index"))
-        .distinct()
-        .select(
-            "block_slot",
-            "transaction_index",
-            F.concat(
-                F.lit("s"), F.col("block_slot"), F.lit("_"), F.col("transaction_index")
-            ).alias("signature"),
-        )
+    transactions = per_tx.select(
+        "block_slot",
+        "transaction_index",
+        F.concat(
+            F.lit("s"), F.col("block_slot"), F.lit("_"), F.col("transaction_index")
+        ).alias("signature"),
     )
+    # <= |slots| rows once per_tx is aggregated — this distinct is tiny
     blocks = (
-        l.select(slot.alias("slot"))
+        per_tx.select(F.col("block_slot").alias("slot"))
         .distinct()
         .select(
             "slot",
@@ -6153,12 +6167,16 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q_ps"))
     )
+    # exact-integer form of q_ps > avg(q_ps) * 1.5: both engines round
+    # a decimal avg differently at the promotion to double, so a row
+    # exactly ON the 1.5x boundary could flip between them — comparing
+    # 2*n*q_ps > 3*sum(q_ps) keeps every operand exact decimal
     part_avg = ps.groupBy("l_partkey").agg(
-        F.avg("q_ps").alias("avg_ps"), F.count(F.lit(1)).alias("_n")
+        F.sum("q_ps").alias("sum_ps"), F.count(F.lit(1)).alias("n_ps")
     )
     excess = (
-        ps.join(part_avg.select("l_partkey", "avg_ps"), "l_partkey")
-        .filter(F.col("q_ps") > F.col("avg_ps") * 1.5)
+        ps.join(part_avg, "l_partkey")
+        .filter(F.col("q_ps") * F.col("n_ps") * 2 > F.col("sum_ps") * 3)
         .select("l_suppkey")
     )
     nat5 = n.filter(F.col("n_name") == "NATION_5")
@@ -6177,67 +6195,19 @@ WITH ps AS (
     AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
   GROUP BY 1, 2
 ),
-pa AS (SELECT l_partkey, avg(q_ps) AS avg_ps FROM ps GROUP BY 1)
+pa AS (SELECT l_partkey, sum(q_ps) AS sum_ps, count(*) AS n_ps FROM ps GROUP BY 1)
 SELECT s_suppkey, s_name
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_5'
   AND s_suppkey IN (
+    -- exact-integer spelling of q_ps > avg * 1.5 (see Spark side)
     SELECT ps.l_suppkey FROM ps JOIN pa ON ps.l_partkey = pa.l_partkey
-    WHERE ps.q_ps > pa.avg_ps * 1.5)
+    WHERE 2 * ps.q_ps * pa.n_ps > 3 * pa.sum_ps)
 """
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "vault_mint_attach": q_vault_mint_attach,
-    "chain_lookup": q_chain_lookup,
-    "stream_topk": q_stream_topk,
-    "text_clean": q_text_clean,
-    "minhash_estimate": q_minhash_estimate,
-    "hll_by_group": q_hll_by_group,
-    "volume_shipping": q_volume_shipping,
-    "product_profit": q_product_profit,
-    "order_count_distribution": q_order_count_distribution,
-    "top_supplier": q_top_supplier,
-    "part_supplier_counts": q_part_supplier_counts,
-    "excess_stock_suppliers": q_excess_stock_suppliers,
-    "multimodal_decode_png": q_multimodal_decode_png,
     "swap_prices_chain": q_swap_prices_chain,
-    "idf_keywords": q_idf_keywords,
-    "contamination_check": q_contamination_check,
-    "docs_curation": q_docs_curation,
-    "event_pivot": q_event_pivot,
-    "percentile_by_group": q_percentile_by_group,
-    "cube_revenue": q_cube_revenue,
-    "geomean_udaf": q_geomean_udaf,
-    "stream_stream_join": q_stream_stream_join,
-    "vocab_topk": q_vocab_topk,
-    "cluster_canonical": q_cluster_canonical,
-    "training_mix": q_training_mix,
-    "doc_chunks": q_doc_chunks,
-    "pack_sequences": q_pack_sequences,
-    "quality_quantile_filter": q_quality_quantile_filter,
-    "cross_dedup": q_cross_dedup,
-    "zorder_key": q_zorder_key,
-    "incremental_rollup": q_incremental_rollup,
-    "embedding_centroids": q_embedding_centroids,
-    "inverted_index": q_inverted_index,
-    "outlier_events": q_outlier_events,
-    "json_props_agg": q_json_props_agg,
-    "full_outer_join": q_full_outer_join,
-    "docs_curation_v2": q_docs_curation_v2,
-    "hopping_window": q_hopping_window,
-    "evm_decode_batch": q_evm_decode_batch,
-    "group_topk": q_group_topk,
-    "evm_decode_overflow": q_evm_decode_overflow,
-    "crypto_digests": q_crypto_digests,
-    "decimal_price_ladder": q_decimal_price_ladder,
-    "kmeans_embeddings": q_kmeans,
-    "profile_table": q_profile_table,
-    "bigram_lm_score": q_bigram_lm_score,
-    "quantized_topk": q_quantized_topk,
-    "weighted_sample": q_weighted_sample,
-    "pagerank": q_pagerank,
-    "docs_curation_v3": q_docs_curation_v3,
     "stream_static_join": q_stream_static_join,
     "upsert_merge": q_upsert_merge,
     "bpe_merges": q_bpe_merges,
@@ -6291,6 +6261,55 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue": q_promo_revenue,
     "stream_ewma": q_stream_ewma,
     "winsorize": q_winsorize,
+    "vault_mint_attach": q_vault_mint_attach,
+    "chain_lookup": q_chain_lookup,
+    "stream_topk": q_stream_topk,
+    "text_clean": q_text_clean,
+    "minhash_estimate": q_minhash_estimate,
+    "hll_by_group": q_hll_by_group,
+    "volume_shipping": q_volume_shipping,
+    "product_profit": q_product_profit,
+    "order_count_distribution": q_order_count_distribution,
+    "top_supplier": q_top_supplier,
+    "part_supplier_counts": q_part_supplier_counts,
+    "excess_stock_suppliers": q_excess_stock_suppliers,
+    "multimodal_decode_png": q_multimodal_decode_png,
+    "idf_keywords": q_idf_keywords,
+    "contamination_check": q_contamination_check,
+    "docs_curation": q_docs_curation,
+    "event_pivot": q_event_pivot,
+    "percentile_by_group": q_percentile_by_group,
+    "cube_revenue": q_cube_revenue,
+    "geomean_udaf": q_geomean_udaf,
+    "stream_stream_join": q_stream_stream_join,
+    "vocab_topk": q_vocab_topk,
+    "cluster_canonical": q_cluster_canonical,
+    "training_mix": q_training_mix,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
+    "quality_quantile_filter": q_quality_quantile_filter,
+    "cross_dedup": q_cross_dedup,
+    "zorder_key": q_zorder_key,
+    "incremental_rollup": q_incremental_rollup,
+    "embedding_centroids": q_embedding_centroids,
+    "inverted_index": q_inverted_index,
+    "outlier_events": q_outlier_events,
+    "json_props_agg": q_json_props_agg,
+    "full_outer_join": q_full_outer_join,
+    "docs_curation_v2": q_docs_curation_v2,
+    "hopping_window": q_hopping_window,
+    "evm_decode_batch": q_evm_decode_batch,
+    "group_topk": q_group_topk,
+    "evm_decode_overflow": q_evm_decode_overflow,
+    "crypto_digests": q_crypto_digests,
+    "decimal_price_ladder": q_decimal_price_ladder,
+    "kmeans_embeddings": q_kmeans,
+    "profile_table": q_profile_table,
+    "bigram_lm_score": q_bigram_lm_score,
+    "quantized_topk": q_quantized_topk,
+    "weighted_sample": q_weighted_sample,
+    "pagerank": q_pagerank,
+    "docs_curation_v3": q_docs_curation_v3,
     "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
     "pricing_summary": q_pricing_summary,
@@ -6347,56 +6366,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _ORACLES: dict[str, str] = {
-    "vault_mint_attach": ORACLE_VAULT_MINT_ATTACH,
-    "chain_lookup": ORACLE_CHAIN_LOOKUP,
-    "stream_topk": ORACLE_STREAM_TOPK,
-    "text_clean": ORACLE_TEXT_CLEAN,
-    "minhash_estimate": ORACLE_MINHASH_EST,
-    "hll_by_group": ORACLE_HLL_BY_GROUP,
-    "volume_shipping": ORACLE_VOLUME_SHIPPING,
-    "product_profit": ORACLE_PRODUCT_PROFIT,
-    "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
-    "top_supplier": ORACLE_TOP_SUPPLIER,
-    "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
-    "excess_stock_suppliers": ORACLE_EXCESS_STOCK_SUPPLIERS,
-    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
     "swap_prices_chain": ORACLE_SWAP_PRICES_CHAIN,
-    "idf_keywords": ORACLE_IDF,
-    "contamination_check": ORACLE_CONTAMINATION,
-    "docs_curation": ORACLE_DOCS_CURATION,
-    "event_pivot": ORACLE_EVENT_PIVOT,
-    "percentile_by_group": ORACLE_PCT_GROUP,
-    "cube_revenue": ORACLE_CUBE,
-    "geomean_udaf": ORACLE_GEOMEAN,
-    "stream_stream_join": ORACLE_STREAM_SS_JOIN,
-    "vocab_topk": ORACLE_VOCAB_TOPK,
-    "cluster_canonical": ORACLE_CLUSTER_CANONICAL,
-    "training_mix": ORACLE_TRAINING_MIX,
-    "doc_chunks": ORACLE_DOC_CHUNKS,
-    "pack_sequences": ORACLE_PACK_SEQUENCES,
-    "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,
-    "cross_dedup": ORACLE_CROSS_DEDUP,
-    "zorder_key": ORACLE_ZORDER,
-    "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
-    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
-    "inverted_index": ORACLE_INVERTED_INDEX,
-    "outlier_events": ORACLE_OUTLIER_EVENTS,
-    "json_props_agg": ORACLE_JSON_PROPS,
-    "full_outer_join": ORACLE_FULL_OUTER,
-    "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
-    "hopping_window": ORACLE_HOPPING,
-    "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
-    "group_topk": ORACLE_GROUP_TOPK,
-    "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
-    "crypto_digests": ORACLE_CRYPTO_DIGESTS,
-    "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
-    "kmeans_embeddings": ORACLE_KMEANS,
-    "profile_table": ORACLE_PROFILE_TABLE,
-    "bigram_lm_score": ORACLE_BIGRAM_LM,
-    "quantized_topk": ORACLE_QUANTIZED_TOPK,
-    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
-    "pagerank": ORACLE_PAGERANK,
-    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
     "stream_static_join": ORACLE_STREAM_STATIC,
     "upsert_merge": ORACLE_UPSERT_MERGE,
     "bpe_merges": ORACLE_BPE_MERGES,
@@ -6450,6 +6420,55 @@ _ORACLES: dict[str, str] = {
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "stream_ewma": ORACLE_STREAM_EWMA,
     "winsorize": ORACLE_WINSORIZE,
+    "vault_mint_attach": ORACLE_VAULT_MINT_ATTACH,
+    "chain_lookup": ORACLE_CHAIN_LOOKUP,
+    "stream_topk": ORACLE_STREAM_TOPK,
+    "text_clean": ORACLE_TEXT_CLEAN,
+    "minhash_estimate": ORACLE_MINHASH_EST,
+    "hll_by_group": ORACLE_HLL_BY_GROUP,
+    "volume_shipping": ORACLE_VOLUME_SHIPPING,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
+    "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
+    "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
+    "excess_stock_suppliers": ORACLE_EXCESS_STOCK_SUPPLIERS,
+    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
+    "idf_keywords": ORACLE_IDF,
+    "contamination_check": ORACLE_CONTAMINATION,
+    "docs_curation": ORACLE_DOCS_CURATION,
+    "event_pivot": ORACLE_EVENT_PIVOT,
+    "percentile_by_group": ORACLE_PCT_GROUP,
+    "cube_revenue": ORACLE_CUBE,
+    "geomean_udaf": ORACLE_GEOMEAN,
+    "stream_stream_join": ORACLE_STREAM_SS_JOIN,
+    "vocab_topk": ORACLE_VOCAB_TOPK,
+    "cluster_canonical": ORACLE_CLUSTER_CANONICAL,
+    "training_mix": ORACLE_TRAINING_MIX,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,
+    "cross_dedup": ORACLE_CROSS_DEDUP,
+    "zorder_key": ORACLE_ZORDER,
+    "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
+    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
+    "inverted_index": ORACLE_INVERTED_INDEX,
+    "outlier_events": ORACLE_OUTLIER_EVENTS,
+    "json_props_agg": ORACLE_JSON_PROPS,
+    "full_outer_join": ORACLE_FULL_OUTER,
+    "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
+    "hopping_window": ORACLE_HOPPING,
+    "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
+    "group_topk": ORACLE_GROUP_TOPK,
+    "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
+    "crypto_digests": ORACLE_CRYPTO_DIGESTS,
+    "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
+    "kmeans_embeddings": ORACLE_KMEANS,
+    "profile_table": ORACLE_PROFILE_TABLE,
+    "bigram_lm_score": ORACLE_BIGRAM_LM,
+    "quantized_topk": ORACLE_QUANTIZED_TOPK,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "pagerank": ORACLE_PAGERANK,
+    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
     "pii_scrub": ORACLE_PII,
     "repetition_stats": ORACLE_REPETITION,
     "pricing_summary": ORACLE_PRICING,

@@ -266,7 +266,10 @@ def cross_corpus_near_dups(
     the map-only signature producer (two separate passes each paid the
     Python-stage floor; merging them measured 1.45 → 0.9 s at sf0.1).
     The skinny signature frame (one row/doc, no shingle arrays) is
-    cached so the new/ref split does not re-run the producer, and the
+    localCheckpoint-ed (not .cache(): checkpoint blocks are reclaimed by
+    the ContextCleaner when the frame goes out of scope, where a cached
+    frame leaks storage until an explicit unpersist — round-5 advice)
+    so the new/ref split does not re-run the producer, and the
     only shuffle is the (band, key) equi-join between the two sides —
     the reference corpus is never self-joined, and at steady state its
     band rows can be precomputed once and stored as the dedup index of
@@ -281,7 +284,7 @@ def cross_corpus_near_dups(
     sig = shingle_sets(
         tagged, text_col, ngram, k=k, include_shingles=False,
         extra_cols=("_is_new",),
-    ).cache()
+    ).localCheckpoint(eager=False)
     banded = _banded_from_sig(sig, k, bands, extra_cols=("_is_new",))
     nb = banded.filter(F.col("_is_new")).select("doc_id", "band", "key")
     rb = banded.filter(~F.col("_is_new")).select(
@@ -315,10 +318,18 @@ def minhash_jaccard_estimates(
     the candidate stream first and the exact verify runs only on the
     survivors; standard error is ~sqrt(j(1-j)/k), so k is the precision
     dial.  ONE signature pass feeds both the banding and the estimate
-    (cached skinny frame, same shape as cross_corpus_near_dups)."""
+    (localCheckpoint-ed skinny frame, same lifetime contract as
+    cross_corpus_near_dups).
+
+    Candidate generation inherits ``_pairs_from_banded``'s
+    ``max_bucket`` saturation: a band bucket larger than ``max_bucket``
+    pairs its overflow members only with the bucket minimum (blast-
+    radius cap) instead of enumerating all O(n^2) pairs — an exact-
+    replay oracle that enumerates every pair diverges on such buckets,
+    so keep fixtures under the cap or raise it."""
     sig = shingle_sets(
         df, text_col, ngram, k=k, include_shingles=False
-    ).cache()
+    ).localCheckpoint(eager=False)
     cands = _pairs_from_banded(_banded_from_sig(sig, k, bands), max_bucket)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -541,7 +552,7 @@ def ngram_jaccard_pairs(
         # join itself stays ROW-driven: an array-carrying *join* was
         # measured 1.7× slower (arrays hauled through two shuffles);
         # arrays here live only in the cached map-side frame.
-        ss = shingle_sets(df, text_col, ngram, k=lsh_k).cache()
+        ss = shingle_sets(df, text_col, ngram, k=lsh_k).localCheckpoint(eager=False)
         sh = ss.select(
             "doc_id", "n_sh", F.explode("shingles").alias("shingle")
         )

@@ -58,6 +58,17 @@ def get_spark(
         # (Spark has no nanosecond timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Sketch/carry frames (<= bins|chunks rows BY CONSTRUCTION) use
+        # Window.partitionBy(F.lit(0)) to declare single-partition
+        # intent; Spark 4's EliminateWindowPartitions strips foldable
+        # partition keys, silently turning them back into unpartitioned
+        # windows (and re-triggering WindowExec's no-partition warning
+        # on every executor).  Keeping the rule off preserves the
+        # explicit keys — physically identical (one hash partition).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -43,7 +43,8 @@ def parse_dict(src: str, name: str):
         entries[k.group(1)] = pending + [line]
         order.append(k.group(1))
         pending = []
-    return entries, order, m.group(0)
+    # comment lines after the last entry must survive the rewrite
+    return entries, order, m.group(0), pending
 
 
 def main() -> int:
@@ -54,8 +55,13 @@ def main() -> int:
         for name, row in json.load(open(path)).items():
             if isinstance(row, dict) and row.get("hash_match"):
                 ever_checked.add(name)
-    qe, qorder, qfull = parse_dict(src, "_QUERIES")
-    oe, _, ofull = parse_dict(src, "_ORACLES")
+    qe, qorder, qfull, qtrail = parse_dict(src, "_QUERIES")
+    oe, oorder, ofull, otrail = parse_dict(src, "_ORACLES")
+    # guard (round-5 advice): an _ORACLES key absent from _QUERIES would
+    # be silently deleted by the keyed rebuild below — refuse instead.
+    stray = set(oorder) - set(qorder)
+    if stray:
+        raise SystemExit(f"_ORACLES keys missing from _QUERIES: {sorted(stray)}")
     unchecked = [k for k in qorder if k not in ever_checked]
     checked = [k for k in qorder if k in ever_checked]
     new_order = unchecked + checked
@@ -67,15 +73,18 @@ def main() -> int:
     if dry:
         return 0
 
-    def rebuild(entries, header):
+    def rebuild(entries, header, trailing):
         lines = [header.split("\n")[0]]
         for k in new_order:
             if k in entries:
                 lines.extend(entries[k])
+        lines.extend(trailing)
         lines.append("}")
         return "\n".join(lines)
 
-    out = src.replace(qfull, rebuild(qe, qfull)).replace(ofull, rebuild(oe, ofull))
+    out = src.replace(qfull, rebuild(qe, qfull, qtrail)).replace(
+        ofull, rebuild(oe, ofull, otrail)
+    )
     open(ENTRY, "w").write(out)
     print("rewritten; re-run scripts/check_entry.py before committing")
     return 0

@@ -45,3 +45,42 @@ def test_every_registered_query_is_mentioned_in_coverage():
         coverage = f.read()
     missing = [q for q in entry_mod.queries() if f"`{q}`" not in coverage]
     assert not missing, f"queries with no COVERAGE mention: {missing}"
+
+
+def test_doc_registry_counts_are_stamped_and_current():
+    """Every ``<!--NQ-->N<!--/NQ-->`` marker in the docs must equal the
+    live ``len(queries())`` — run ``scripts/sync_docs.py`` after any
+    registry change.  Mechanical replacement for hand-edited counts
+    (the round-5 drift class)."""
+    import sys
+
+    sys.path.insert(0, _ROOT)
+    import __spark_entry__ as entry_mod
+
+    n = len(entry_mod.queries())
+    stamped = []
+    for doc in ("README.md", "SCALE.md", "COVERAGE.md", "SURVEY.md"):
+        path = os.path.join(_ROOT, doc)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            text = f.read()
+        for m in re.findall(r"<!--NQ-->(\d+)<!--/NQ-->", text):
+            stamped.append((doc, int(m)))
+    assert stamped, "no <!--NQ--> markers found in any doc"
+    stale = [(d, v) for d, v in stamped if v != n]
+    assert not stale, (
+        f"stale doc counts {stale}; registry has {n} — run scripts/sync_docs.py"
+    )
+
+
+def test_oracle_keys_match_query_keys():
+    """ADVICE round-5: rotate_registry silently drops _ORACLES entries
+    whose key is missing from _QUERIES; pin the invariant here too."""
+    import sys
+
+    sys.path.insert(0, _ROOT)
+    import __spark_entry__ as entry_mod
+
+    q, o = set(entry_mod.queries()), set(entry_mod.oracle_sql())
+    assert o <= q, f"oracles with no query: {sorted(o - q)}"

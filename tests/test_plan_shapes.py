@@ -734,9 +734,12 @@ def test_text_clean_map_only_no_python(spark, sf_dir, queries):
 
 def test_minhash_estimate_no_resignature_of_cached_frame(spark, sf_dir, queries):
     plan = plan_of(queries["minhash_estimate"](spark, sf_dir))
-    # both consumers (banding, estimate join) read the cached signature
-    # frame: the Python producer appears via InMemoryTableScan reuse
-    assert "InMemoryTableScan" in plan
+    # all three consumers (banding, both sides of the estimate join)
+    # read the localCheckpoint-ed signature frame (Scan ExistingRDD);
+    # the Python shingle/signature producer must not appear in the
+    # query plan at all — it runs once at checkpoint materialization
+    assert "Scan ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -767,3 +770,44 @@ def test_vault_mint_attach_broadcasts_tx_and_blocks(spark, sf_dir, queries):
     plan = plan_of(queries["vault_mint_attach"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_constant_window_partition_keys_survive_optimization(spark):
+    """Spark 4's EliminateWindowPartitions strips foldable partition
+    keys, turning the sketch/carry frames' intentional
+    ``partitionBy(F.lit(0))`` back into unpartitioned windows (the
+    round-5 warning regression).  The session factory excludes that
+    rule; pin both the config and its observable effect."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    assert "EliminateWindowPartitions" in excluded
+
+    df = spark.range(10).select(
+        F.sum("id")
+        .over(
+            Window.partitionBy(F.lit(0))
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cum")
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the literal key is still in the Window's partition spec
+    assert "windowspecdefinition(0" in optimized
+
+
+def test_vault_mint_attach_single_dim_synthesis_pass(spark, sf_dir, queries):
+    """The three fixture dims derive from ONE aggregated, checkpointed
+    (slot, txi) frame instead of three .distinct() passes over full
+    lineitem (round-5's slowest registry entry was all fixture
+    synthesis).  Exactly one parquet scan of lineitem remains in the
+    query plan (the swaps fact side); the dims read the materialized
+    RDD."""
+    import re
+
+    plan = plan_of(queries["vault_mint_attach"](spark, sf_dir))
+    # node headers "(N) Scan parquet" count each physical node once
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Scan ExistingRDD" in plan
