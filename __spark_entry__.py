@@ -6206,6 +6206,129 @@ WHERE n_name = 'NATION_5'
 """
 
 
+def q_cpi_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 CPI event pairing (pipelines/svm/meteora_swaps.py:
+    pair_cpi_and_direct + common.py:indexed_instructions — reference
+    meteora_swaps.py:190-219, 257-299): the positional index is
+    assigned AFTER filtering to only this program's swap|CPI rows, the
+    CPI event is joined at index+1 WITHIN that filtered sequence, swaps
+    whose CPI is missing are silently dropped (the reference's two-way
+    boolean-split quirk), and a/b-keyed columns resolve to input/output
+    by ``b_to_a``.
+
+    The fixture synthesizes an instruction stream from lineitem with
+    four row kinds: swap (m=1), CPI (m=2), wrong-discriminator same-
+    program rows (m=3) and other-program noise (m=0) — the last two
+    MUST be excluded before indexing or every adjacency shifts, which
+    is exactly what the oracle's filtered row_number() replay checks.
+    A swap pairs iff the next kept row in its transaction is a CPI."""
+    from cherry_pipelines_spark.pipelines.svm import common as C
+    from cherry_pipelines_spark.pipelines.svm.meteora_swaps import (
+        pair_cpi_and_direct,
+    )
+
+    (l,) = _load(spark, sf_dir, "lineitem")
+    slot = (F.col("l_orderkey") % 300).cast("long")
+    txi = ((F.col("l_orderkey") / 300).cast("long") % 10).cast("long")
+    # (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+    # fold partkey/suppkey into the address so the within-tx ordering
+    # is engine-independent (any rows still tied are fully identical)
+    addr = (
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 1000000
+        + (F.col("l_partkey") % 1000) * 1000
+        + F.col("l_suppkey") % 1000
+    ).cast("long")
+    m = (F.col("l_orderkey") + F.col("l_linenumber")) % 4
+    ins = l.select(
+        slot.alias("block_slot"),
+        txi.alias("transaction_index"),
+        addr.alias("instruction_address"),
+        m.cast("int").alias("_m"),
+        (F.col("l_partkey") % 2 == 0).alias("_b2a"),
+        (F.col("l_partkey") % 7).cast("long").alias("_ka"),
+        (F.col("l_suppkey") % 7).cast("long").alias("_kb"),
+        (F.col("l_orderkey") * 13 % 100000).cast("long").alias("_amt"),
+    )
+    # mirror the pipeline's ctx.batch_cache: the indexed frame feeds
+    # BOTH the swap and CPI branches — without materialization each
+    # branch re-executes the positional-index window
+    idx = C.indexed_instructions(ins, F.col("_m").isin(1, 2)).localCheckpoint(
+        eager=False
+    )
+    swaps = idx.filter(F.col("_m") == 1).select(
+        "block_slot",
+        "transaction_index",
+        "instruction_index",
+        F.concat(F.lit("ma"), F.col("_ka")).alias("token_a_mint"),
+        F.concat(F.lit("mb"), F.col("_kb")).alias("token_b_mint"),
+        F.concat(F.lit("va"), F.col("_ka")).alias("token_a_vault"),
+        F.concat(F.lit("vb"), F.col("_kb")).alias("token_b_vault"),
+    )
+    cpi = idx.filter(F.col("_m") == 2).select(
+        "block_slot",
+        "transaction_index",
+        "instruction_index",
+        F.col("_b2a").alias("b_to_a"),
+        F.col("_amt").alias("actual_amount_in"),
+        (F.col("_amt") * 3).alias("output_amount"),
+    )
+    out = pair_cpi_and_direct(swaps, cpi)
+    return out.select(
+        "block_slot",
+        "transaction_index",
+        "instruction_index",
+        "b_to_a",
+        "input_mint",
+        "output_mint",
+        "input_vault",
+        "output_vault",
+        F.col("input_amount").alias("input_amount"),
+        "output_amount",
+        "found_cpi",
+    )
+
+
+ORACLE_CPI_PAIRING = """
+WITH raw AS (
+  SELECT l_orderkey % 300 AS slot,
+         (l_orderkey // 300) % 10 AS txi,
+         -- fold partkey/suppkey in: (orderkey, linenumber) is not
+         -- unique in the synthetic lineitem (see Spark side)
+         (l_orderkey * 8 + l_linenumber) * 1000000
+           + (l_partkey % 1000) * 1000 + l_suppkey % 1000 AS addr,
+         (l_orderkey + l_linenumber) % 4 AS m,
+         l_partkey % 2 = 0 AS b2a,
+         l_partkey % 7 AS ka, l_suppkey % 7 AS kb,
+         (l_orderkey * 13) % 100000 AS amt
+  FROM lineitem
+),
+-- filter FIRST, then index within the kept swap|CPI sequence
+kept AS (
+  SELECT *, row_number() OVER (PARTITION BY slot, txi ORDER BY addr) - 1 AS iidx
+  FROM raw WHERE m IN (1, 2)
+)
+SELECT s.slot::BIGINT AS block_slot,
+       s.txi::BIGINT AS transaction_index,
+       s.iidx::BIGINT AS instruction_index,
+       c.b2a AS b_to_a,
+       CASE WHEN NOT c.b2a THEN 'ma' || s.ka::VARCHAR
+            ELSE 'mb' || s.kb::VARCHAR END AS input_mint,
+       CASE WHEN NOT c.b2a THEN 'mb' || s.kb::VARCHAR
+            ELSE 'ma' || s.ka::VARCHAR END AS output_mint,
+       CASE WHEN NOT c.b2a THEN 'va' || s.ka::VARCHAR
+            ELSE 'vb' || s.kb::VARCHAR END AS input_vault,
+       CASE WHEN NOT c.b2a THEN 'vb' || s.kb::VARCHAR
+            ELSE 'va' || s.ka::VARCHAR END AS output_vault,
+       c.amt::BIGINT AS input_amount,
+       (c.amt * 3)::BIGINT AS output_amount,
+       true AS found_cpi
+-- inner join == the reference's left-join + NULL-b_to_a drop quirk
+FROM kept s JOIN kept c
+  ON c.slot = s.slot AND c.txi = s.txi AND c.iidx = s.iidx + 1
+WHERE s.m = 1 AND c.m = 2
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "swap_prices_chain": q_swap_prices_chain,
     "stream_static_join": q_stream_static_join,
@@ -6362,6 +6485,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "sessionize_native": q_sessionize_native,
     "stratified_sample": q_stratified_sample,
+    # round-6 addition, deliberately at the END of the registry: the
+    # driver snapshots the FIRST 50 keys, which this round must be the
+    # 50 never-checked queries (rotation completion); cpi_pairing joins
+    # round 7's window together with the 4 remaining stragglers.
+    "cpi_pairing": q_cpi_pairing,
 }
 
 
@@ -6524,6 +6652,7 @@ _ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "sessionize_native": ORACLE_SESSIONIZE_NATIVE,
     "stratified_sample": ORACLE_STRATIFIED,
+    "cpi_pairing": ORACLE_CPI_PAIRING,
 }
 
 

@@ -135,40 +135,65 @@ _OUT_COLS = (
 )
 
 
-def process_step(bundle: TableBundle, ctx) -> TableBundle:
-    """meteora_swaps.py:257-327: CPI pairing at index+1, then direction
-    swap (single-pass F.when replaces the filter+rename+vstack)."""
-    swaps = bundle["swaps"]
-    cpi = bundle["cpi"].withColumn("found_cpi", F.lit(True))
+# (a_col, b_col, input_name, output_name) — the reference's fixed
+# direction-swap column list (meteora_swaps.py:278-299)
+_DIRECTIONAL = (
+    ("token_a_mint", "token_b_mint", "input_mint", "output_mint"),
+    (
+        "token_a_program",
+        "token_b_program",
+        "input_token_program",
+        "output_token_program",
+    ),
+    ("token_a_vault", "token_b_vault", "input_vault", "output_vault"),
+)
+
+
+def pair_cpi_and_direct(
+    swaps: DataFrame,
+    cpi: DataFrame,
+    directional: tuple[tuple[str, str, str, str], ...] = _DIRECTIONAL,
+) -> DataFrame:
+    """J7 core (meteora_swaps.py:257-299), reusable: attach each swap's
+    self-emitted CPI event at ``instruction_index + 1`` WITHIN the
+    filtered swap|CPI sequence (one left join on the 3-key), rename the
+    CPI's ``actual_amount_in`` to ``input_amount``, silently drop swaps
+    whose CPI was not found (the reference's two-way eq(True)/eq(False)
+    split quirk: NULL ``b_to_a`` matches neither side), then resolve
+    each (token_a_X, token_b_X) pair present in ``swaps`` into
+    input/output columns by ``b_to_a`` — a single-pass F.when instead of
+    the reference's filter+rename+vstack.
+
+    Scale shape: one shuffle on (block_slot, transaction_index) keys
+    for the equi-join; the direction swap is map-only."""
+    cpi = cpi.withColumn("found_cpi", F.lit(True))
     # the CPI decode re-emits amount_in/minimum_amount_out and a `pool`
     # bytes param — swap's own columns win (reference join keeps left
     # columns unsuffixed); rename the CPI duplicates away
-    cpi = (
-        cpi.drop("pool", "amount_in", "minimum_amount_out")
-        .withColumnRenamed("instruction_index", "_cpi_idx")
+    dup = [c for c in ("pool", "amount_in", "minimum_amount_out") if c in cpi.columns]
+    cpi = cpi.drop(*dup).withColumnRenamed("instruction_index", "_cpi_idx")
+    out = swaps.withColumn("_cpi_idx", F.col("instruction_index") + 1).join(
+        cpi, on=["block_slot", "transaction_index", "_cpi_idx"], how="left"
     )
-    swaps = swaps.withColumn("_cpi_idx", F.col("instruction_index") + 1)
-    swaps = swaps.join(cpi, on=["block_slot", "transaction_index", "_cpi_idx"], how="left")
-    swaps = swaps.withColumnRenamed("actual_amount_in", "input_amount")
-
-    # reference quirk preserved: the two-way eq(True)/eq(False) split
-    # (meteora_swaps.py:276-277) silently drops rows whose CPI was not
-    # found (NULL b_to_a matches neither filter)
-    swaps = swaps.filter(F.col("b_to_a").isNotNull())
-
+    if "actual_amount_in" in out.columns:
+        out = out.withColumnRenamed("actual_amount_in", "input_amount")
+    out = out.filter(F.col("b_to_a").isNotNull())
     b2a = F.col("b_to_a")
+    for a_col, b_col, in_name, out_name in directional:
+        if a_col in swaps.columns and b_col in swaps.columns:
+            out = out.withColumn(
+                in_name, F.when(~b2a, F.col(a_col)).otherwise(F.col(b_col))
+            ).withColumn(
+                out_name, F.when(~b2a, F.col(b_col)).otherwise(F.col(a_col))
+            )
+    return out.drop("_cpi_idx")
 
-    def pick(a_col: str, b_col: str):
-        return F.when(~b2a, F.col(a_col)).otherwise(F.col(b_col))
 
-    swaps = (
-        swaps.withColumn("input_mint", pick("token_a_mint", "token_b_mint"))
-        .withColumn("output_mint", pick("token_b_mint", "token_a_mint"))
-        .withColumn("input_token_program", pick("token_a_program", "token_b_program"))
-        .withColumn("output_token_program", pick("token_b_program", "token_a_program"))
-        .withColumn("input_vault", pick("token_a_vault", "token_b_vault"))
-        .withColumn("output_vault", pick("token_b_vault", "token_a_vault"))
-        .select(*[c for c in _OUT_COLS if c not in ("block_height", "timestamp")])
+def process_step(bundle: TableBundle, ctx) -> TableBundle:
+    """meteora_swaps.py:257-327: CPI pairing at index+1, then direction
+    swap (single-pass F.when replaces the filter+rename+vstack)."""
+    swaps = pair_cpi_and_direct(bundle["swaps"], bundle["cpi"]).select(
+        *[c for c in _OUT_COLS if c not in ("block_height", "timestamp")]
     )
     swaps = C.join_tx_and_blocks(swaps, bundle["transactions"], bundle["blocks"])
     return {

@@ -811,3 +811,17 @@ def test_vault_mint_attach_single_dim_synthesis_pass(spark, sf_dir, queries):
     # node headers "(N) Scan parquet" count each physical node once
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Scan ExistingRDD" in plan
+
+
+def test_cpi_pairing_keyed_join_no_cartesian(spark, sf_dir, queries):
+    """J7: the index+1 CPI attach is a keyed equi-join on (slot, txi,
+    idx) — never a cartesian/BNLJ — and the positional index is one
+    keyed window, so the whole pairing costs two keyed shuffles."""
+    from cherry_pipelines_spark.plans import plan_summary
+
+    s = plan_summary(queries["cpi_pairing"](spark, sf_dir))
+    assert "CartesianProduct" not in s and "BroadcastNestedLoopJoin" not in s
+    # the positional-index window runs ONCE (batch_cache-style
+    # materialized frame feeds both branches), so the query plan itself
+    # contains no Window node at all
+    assert s.get("Window", 0) == 0
