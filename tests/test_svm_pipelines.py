@@ -343,3 +343,52 @@ def test_swap_prices_backfill_matches_batch_loop(spark, tmp_path_factory):
     s_loop = ParquetSink(base_path=loop_dir, anchor_table=sp.TABLE_NAME, block_column="block_slot")
     s_bf = ParquetSink(base_path=bf_dir, anchor_table=sp.TABLE_NAME, block_column="block_slot")
     assert s_loop.next_block(spark) == s_bf.next_block(spark)
+
+
+def test_pair_cpi_and_direct_unit(spark):
+    """J7 core semantics in isolation (reference meteora_swaps.py:
+    257-299): index+1 pairing, the missing-CPI silent drop, the
+    b_to_a direction swap, and CPI duplicate-column precedence."""
+    import pyspark.sql.functions as F
+
+    from cherry_pipelines_spark.pipelines.svm.meteora_swaps import (
+        pair_cpi_and_direct,
+    )
+
+    swaps = spark.createDataFrame(
+        [
+            # (slot, txi, idx, a_mint, b_mint, a_vault, b_vault, amount_in)
+            (1, 0, 0, "ma", "mb", "va", "vb", 5),   # paired, a->b
+            (1, 0, 2, "mc", "md", "vc", "vd", 6),   # paired, b->a
+            (2, 0, 0, "me", "mf", "ve", "vf", 7),   # CPI missing -> dropped
+        ],
+        "block_slot long, transaction_index long, instruction_index long,"
+        "token_a_mint string, token_b_mint string,"
+        "token_a_vault string, token_b_vault string, amount_in long",
+    )
+    cpi = spark.createDataFrame(
+        [
+            # (slot, txi, idx, b_to_a, actual_amount_in, output_amount, amount_in dup)
+            (1, 0, 1, False, 50, 500, 999),
+            (1, 0, 3, True, 60, 600, 999),
+            (2, 0, 5, True, 70, 700, 999),  # not at idx+1 of any swap
+        ],
+        "block_slot long, transaction_index long, instruction_index long,"
+        "b_to_a boolean, actual_amount_in long, output_amount long,"
+        "amount_in long",
+    )
+    out = {
+        r["instruction_index"]: r.asDict()
+        for r in pair_cpi_and_direct(swaps, cpi).collect()
+    }
+    assert sorted(out) == [0, 2]  # the slot-2 swap silently dropped
+    fwd = out[0]
+    assert (fwd["input_mint"], fwd["output_mint"]) == ("ma", "mb")
+    assert (fwd["input_vault"], fwd["output_vault"]) == ("va", "vb")
+    assert fwd["input_amount"] == 50 and fwd["output_amount"] == 500
+    assert fwd["amount_in"] == 5  # the swap's own column wins the dup
+    assert fwd["found_cpi"] is True
+    rev = out[2]
+    assert (rev["input_mint"], rev["output_mint"]) == ("md", "mc")
+    assert (rev["input_vault"], rev["output_vault"]) == ("vd", "vc")
+    assert rev["input_amount"] == 60 and rev["output_amount"] == 600
