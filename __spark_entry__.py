@@ -3235,11 +3235,14 @@ WITH g AS (
                  for i in generate_series(1, length(text) - 1)]) AS bigram
   FROM documents WHERE length(text) >= 2
 ),
-m AS (SELECT bigram, count(*)::BIGINT AS c FROM g GROUP BY bigram),
+-- per-(doc, bigram) counts first, then the weighted mean — the same
+-- arithmetic shape as the Spark side's combiner-compressed form
+p AS (SELECT doc_id, bigram, count(*)::BIGINT AS k FROM g GROUP BY 1, 2),
+m AS (SELECT bigram, sum(k)::BIGINT AS c FROM p GROUP BY bigram),
 tot AS (SELECT sum(c)::DOUBLE AS t FROM m)
-SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-       round(avg(ln(c::DOUBLE / t)), 6) AS lm_score
-FROM g JOIN m USING (bigram), tot
+SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+       round(sum(k * ln(c::DOUBLE / t)) / sum(k), 6) AS lm_score
+FROM p JOIN m USING (bigram), tot
 GROUP BY doc_id
 """
 
@@ -3403,10 +3406,11 @@ WITH g AS (
                  for i in generate_series(1, length(text) - 1)]) AS bigram
   FROM documents WHERE length(text) >= 2
 ),
-m AS (SELECT bigram, count(*)::BIGINT AS c FROM g GROUP BY bigram),
+p AS (SELECT doc_id, bigram, count(*)::BIGINT AS k FROM g GROUP BY 1, 2),
+m AS (SELECT bigram, sum(k)::BIGINT AS c FROM p GROUP BY bigram),
 tot AS (SELECT sum(c)::DOUBLE AS t FROM m),
-lm AS (SELECT doc_id, round(avg(ln(c::DOUBLE / t)), 6) AS lm_score
-       FROM g JOIN m USING (bigram), tot GROUP BY doc_id),
+lm AS (SELECT doc_id, round(sum(k * ln(c::DOUBLE / t)) / sum(k), 6) AS lm_score
+       FROM p JOIN m USING (bigram), tot GROUP BY doc_id),
 s AS (SELECT d.doc_id, d.lang, d.n_chars, lm.lm_score
       FROM documents d JOIN lm USING (doc_id)),
 thr AS (SELECT lang, quantile_cont(lm_score, 0.2) AS thr FROM s GROUP BY lang),

@@ -431,12 +431,16 @@ def bigram_lm_scores(
     avg(ln(count(bigram)/total))`` rounded to 6 dp.  Documents shorter
     than 2 characters have no bigrams and no row.
 
-    Scale shape: the model is the char-bigram count table — vocabulary
-    is alphabet², tiny by construction — so it BROADCASTS to the
-    exploded bigram stream (facts never shuffle for the join); corpus
-    total rides along as a broadcast 1-row aggregate; the only fact
-    shuffle is the per-doc score aggregation.  Everything is JVM-side
-    expression work (substring explode), no UDFs.
+    Scale shape: the exploded bigram stream collapses FIRST to
+    per-(doc, bigram) counts — one keyed shuffle whose map-side combine
+    compresses |occurrences| rows down to at most |doc| × alphabet² —
+    and everything else derives from that materialized frame: the model
+    (global bigram counts) is a tiny re-aggregation of it, the corpus
+    total a broadcast 1-row aggregate, and the per-doc score a WEIGHTED
+    average (Σ k·ln(c/t) / Σ k — identical to the per-occurrence mean)
+    over the same compressed rows.  The explode therefore runs exactly
+    once (round-5 shape ran it twice: once for the model, once for the
+    score stream).  Everything is JVM-side expression work, no UDFs.
     """
     # bigrams via zip_with over the split char array (split once, zip
     # shifted slices) — measured 2× faster at sf0.1 than the
@@ -454,16 +458,28 @@ def bigram_lm_scores(
     grams = df.filter(F.length(F.col(text_col)) >= 2).select(
         F.col(id_col), F.explode(bigrams).alias("bigram")
     )
-    model = grams.groupBy("bigram").agg(F.count("*").cast("long").alias("c"))
+    # localCheckpoint (not cache): model and score branches prune
+    # different columns, so plain exchange reuse cannot dedupe them;
+    # checkpoint blocks are reclaimed when the frame goes out of scope
+    pairs = (
+        grams.groupBy(id_col, "bigram")
+        .agg(F.count("*").cast("long").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    model = pairs.groupBy("bigram").agg(F.sum("k").cast("long").alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("t"))
     return (
-        grams.join(F.broadcast(model), "bigram")
+        pairs.join(F.broadcast(model), "bigram")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("k").cast("long").alias("n_bigrams"),
             F.round(
-                F.avg(F.log(F.col("c").cast("double") / F.col("t"))), 6
+                F.sum(
+                    F.col("k") * F.log(F.col("c").cast("double") / F.col("t"))
+                )
+                / F.sum("k"),
+                6,
             ).alias("lm_score"),
         )
     )
