@@ -200,14 +200,31 @@ def countmin_heavy_hitters(
     ``min_count``, with the exact count alongside for audit.
 
     The sketch (d*w rows) broadcasts to the candidate side, so the only
-    corpus-scale shuffle is the distinct-token aggregation — and that
-    one is exactly the aggregation whose result the sketch would let an
-    incremental pipeline skip (probe yesterday's sketch instead).
+    corpus-scale work is ONE pass to the per-token counts: the sketch
+    itself is derived from those counts (bucket sum of per-token counts
+    ≡ bucket count of the raw stream), so the token stream — typically
+    an explode over every word of the corpus — is produced exactly
+    once.  An incremental pipeline would instead probe yesterday's
+    sketch and skip even that aggregation.
     Output: (token, est, exact) for est >= min_count.
     """
-    sketch = countmin_sketch(tokens_df, token_col, d, w)
-    cand = tokens_df.groupBy(F.col(token_col).alias("token")).agg(
-        F.count("*").cast("long").alias("exact")
+    cand = (
+        tokens_df.groupBy(F.col(token_col).alias("token"))
+        .agg(F.count("*").cast("long").alias("exact"))
+        .localCheckpoint(eager=False)
+    )
+    sk_seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
+    sketch = (
+        cand.select("token", "exact", sk_seeds)
+        .select(
+            "seed",
+            F.pmod(h32(F.concat_ws("|", F.col("seed"), F.col("token"))), F.lit(w))
+            .cast("long")
+            .alias("bucket"),
+            "exact",
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.sum("exact").cast("long").alias("cnt"))
     )
     seeds = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("seed")
     probe = cand.select("token", "exact", seeds).withColumn(
