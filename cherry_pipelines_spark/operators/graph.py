@@ -49,7 +49,11 @@ def pagerank(
     # by every iteration — cache them once instead of re-running the
     # distinct/degree shuffles per round (measured: dominates the
     # 2-iteration runtime otherwise; storage is the edge list itself,
-    # MEMORY_AND_DISK so an over-RAM graph spills rather than fails)
+    # MEMORY_AND_DISK so an over-RAM graph spills rather than fails).
+    # Lifetime contract: the blocks are referenced only through this
+    # function's plan — once the caller's result frame is dropped the
+    # ContextCleaner reclaims them; long-lived sessions that hold many
+    # results should clearCache() between runs (bench.py does).
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
