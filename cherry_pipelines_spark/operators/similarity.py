@@ -306,52 +306,97 @@ def quantized_cosine_topk(
     vec_col: str = "embedding",
     scale: int = 6,
 ) -> DataFrame:
-    """Top-k neighbors over int8-QUANTIZED vectors: same join/window
-    shape as :func:`cosine_topk`, but the inner loop is an exact
-    integer dot product over the int8 codes (the SIMD-friendly form a
-    columnar engine vectorizes; at 100 TB the scan reads 4× fewer
-    bytes).  The approximate cosine ``dot_q / (‖qa‖·‖qb‖)`` is
-    computed from integer dot/norms in one deterministic double
-    expression, rounded for the oracle.  Self-pairs excluded."""
-    idot = lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    """Top-k neighbors over int8-QUANTIZED vectors — the exact
+    brute-force baseline in its block-matmul form: the query matrix
+    (driver-held, same memory class as the broadcast it replaces) rides
+    into ONE ``mapInPandas`` pass over the corpus; each Arrow batch
+    does an integer GEMM ``B @ Qᵀ`` and emits only its per-query top-k
+    CANDIDATE rows (scalars, never pair-expanded vectors), so the
+    shuffle into the final ranking window is |batches|·|Q|·k rows
+    instead of |corpus|·|Q|.  Integer dots make the kernel bit-exact by
+    construction: every int8 product and partial sum is ≪ 2^53, so
+    float64 GEMM accumulation is exact and order-free — no fold-order
+    caveat needed.  The approximate cosine ``dot_q / (‖qa‖·‖qb‖)`` is
+    rounded with Spark's exact HALF_UP-on-shortest-repr semantics (fast
+    vectorized path, ``Decimal`` fallback inside the boundary band).
+    Self-pairs excluded; zero-norm sides give NULL qcos, ranked last.
+
+    Per-batch top-k is sound because the global top-k under a total
+    order is a merge of per-block top-k; the kernel uses the SAME
+    (qcos DESC NULLS LAST, neighbor_id ASC) comparator as the final
+    window, over ROUNDED values (rounding re-ties pairs, so candidate
+    selection on unrounded scores would be wrong on near-duplicate
+    corpora)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    qrows = quantize_embeddings(queries, vec_col, id_col).collect()
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {id_type}, neighbor_id {id_type}, dot_q long, qcos double"
     )
-    # self-norms are per-VECTOR — compute them on each side BEFORE the
-    # pair join (measured ~2× on the |Q|·|corpus| scored frame; the
-    # same hoist cosine_topk does with _norm)
-    qz = quantize_embeddings(queries, vec_col, id_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col("qvec").alias("qa"),
-        idot(F.col("qvec"), F.col("qvec")).alias("_na"),
-    )
-    cz = quantize_embeddings(corpus, vec_col, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col("qvec").alias("qb"),
-        idot(F.col("qvec"), F.col("qvec")).alias("_nb"),
-    )
-    # pair-stage dot: the O(|Q|·|corpus|·dim) hot loop goes through the
-    # Arrow fold like cosine_topk's (interpreted HOF lambdas are the
-    # slow path).  float64 accumulation of int8 products is EXACT
-    # (|sum| ≤ dims·127² ≪ 2^53), so the long cast reproduces the
-    # integer fold bit-for-bit; the O(|rows|) self-norms stay JVM-side
-    scored = (
-        cz.join(F.broadcast(qz), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("_dot", _dot_fold(F.col("qa"), F.col("qb")).cast("long"))
-        .withColumn(
-            "qcos",
-            F.when(
-                (F.col("_na") > 0) & (F.col("_nb") > 0),
-                F.round(
-                    F.col("_dot").cast("double")
-                    / F.sqrt((F.col("_na") * F.col("_nb")).cast("double")),
-                    scale,
-                ),
-            ),
-        )
-        .drop("qa", "qb")
-    )
+    q_ids = [r[id_col] for r in qrows]
+    Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
+    q_norms = (Q * Q).sum(axis=1) if len(qrows) else np.zeros(0, dtype=np.int64)
+    pow10 = float(10**scale)
+    quant = Decimal(1).scaleb(-scale)
+
+    def _round_half_up(x: np.ndarray) -> np.ndarray:
+        """Spark's round(double, scale): BigDecimal of the shortest
+        decimal repr, HALF_UP.  Vectorized floor(|x|·10^s + 0.5) with a
+        Decimal(repr(x)) fallback for values inside the float-error
+        band around a rounding boundary (|x|·10^s ≤ 10^6 here, so the
+        band is ~1e-10 wide; 1e-6 is a safe guard)."""
+        ax = np.abs(x) * pow10
+        fast = np.sign(x) * np.floor(ax + 0.5) / pow10
+        frac = ax - np.floor(ax)
+        risky = np.abs(frac - 0.5) < 1e-6
+        if risky.any():
+            idx = np.nonzero(risky)[0]
+            for i in idx:
+                fast[i] = float(
+                    Decimal(repr(float(x[i]))).quantize(quant, ROUND_HALF_UP)
+                )
+        return fast
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or len(q_ids) == 0:
+                continue
+            B = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
+            nb = (B * B).sum(axis=1)
+            D = B @ Q.T  # exact: |elements| ≤ dims·127² ≪ 2^31
+            nids = pdf[id_col].to_numpy()
+            parts = []
+            for qi, qid in enumerate(q_ids):
+                keep = nids != qid  # self-pair exclusion
+                dots = D[keep, qi]
+                nbk = nb[keep]
+                na = int(q_norms[qi])
+                qcos = np.full(len(dots), np.nan)
+                ok = (nbk > 0) & (na > 0)
+                if ok.any():
+                    raw = dots[ok].astype(np.float64) / np.sqrt(
+                        float(na) * nbk[ok].astype(np.float64)
+                    )
+                    qcos[ok] = _round_half_up(raw)
+                part = pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "neighbor_id": nids[keep],
+                        "dot_q": dots,
+                        "qcos": qcos,
+                    }
+                ).sort_values(
+                    ["qcos", "neighbor_id"],
+                    ascending=[False, True],
+                    na_position="last",
+                    kind="mergesort",
+                )
+                parts.append(part.head(k))
+            yield pd.concat(parts, ignore_index=True)
+
+    cz = quantize_embeddings(corpus, vec_col, id_col).select(id_col, "qvec")
+    scored = cz.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc_nulls_last(), F.col("neighbor_id")
     )
@@ -359,8 +404,7 @@ def quantized_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
-            "query_id", "neighbor_id",
-            F.col("_dot").alias("dot_q"), "qcos",
+            "query_id", "neighbor_id", "dot_q", "qcos",
             F.col("rank").cast("long").alias("rank"),
         )
     )

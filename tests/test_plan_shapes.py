@@ -203,12 +203,16 @@ def test_zorder_key_stays_codegen(spark, sf_dir, queries):
         assert bad not in plan
 
 
-def test_quantized_topk_broadcasts_queries(spark, sf_dir, queries):
-    """Quantized ANN keeps the float baseline's shape: the query side
-    broadcasts; the corpus never shuffles for the scoring join."""
+def test_quantized_topk_is_one_matmul_pass_no_join(spark, sf_dir, queries):
+    """Quantized ANN is the block-matmul form: the driver-held query
+    matrix rides into ONE mapInPandas pass over the corpus (integer
+    GEMM + per-batch top-k) — no pair join at all, and the only shuffle
+    into the final ranking window carries |batches|*|Q|*k scalar rows."""
     plan = plan_of(queries["quantized_topk"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                "CartesianProduct", "ShuffledHashJoin"):
+        assert bad not in plan
 
 
 def test_weighted_sample_two_phase_windows(spark, sf_dir, queries):
