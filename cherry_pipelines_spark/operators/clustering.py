@@ -184,49 +184,67 @@ def semantic_dedup(
     mate itself survives).
 
     The cluster assignment is what makes the quadratic verify tractable
-    at 100 TB: the self-join shuffles once on ``cluster_id`` and each
-    task compares only within its cluster, so cost is Σ|cluster|² not
-    |corpus|² — ``k`` is the knob that bounds the largest cluster.
-    Norms are computed per ROW before the pair join (O(n), not
-    O(pairs)); the pair stage does only the dot product, rounded to
-    ``scale`` so an independent engine reproduces the verdicts exactly.
+    at 100 TB: members shuffle once on ``cluster_id`` and each cluster
+    is screened by a block-matmul kernel (blocks of rows × the member
+    matrix — memory stays block×n, compute is BLAS), so cost is
+    Σ|cluster|² not |corpus|², and no pair-expanded rows ever cross the
+    Arrow boundary — ``k`` is the knob that bounds the largest cluster.
+    Cosines are rounded to ``scale`` (exact HALF_UP replication of
+    Spark's ``round``) so an independent engine reproduces the verdicts.
 
     Output: (id, cluster_id, kept).
     """
-    from cherry_pipelines_spark.operators.similarity import _cos_pre, _norm
+    import numpy as np
+    import pandas as pd
+
+    from cherry_pipelines_spark.operators.similarity import round_half_up_np
 
     assigned = kmeans_assign(df, vec_col, id_col, k, iters)
-    # the assignment feeds BOTH pair-join sides and the final keep join;
+    # the assignment feeds BOTH the pair screen and the final keep join;
     # without a checkpoint the whole iterative Lloyd subtree would be
-    # recomputed three times (Spark does not CSE across self-joins) —
-    # one lazy materialization beats three corpus scans
-    sides = assigned.select(
-        F.col(id_col), "cluster_id", "_v", _norm(F.col("_v")).alias("_n")
-    ).localCheckpoint(eager=False)
-    l = sides.select(
-        F.col(id_col).alias("_ida"),
-        "cluster_id",
-        F.col("_v").alias("_va"),
-        F.col("_n").alias("_na"),
+    # recomputed twice (Spark does not CSE across self-joins) — one
+    # lazy materialization beats two corpus scans
+    sides = assigned.select(F.col(id_col), "cluster_id", "_v").localCheckpoint(
+        eager=False
     )
-    r = sides.select(
-        F.col(id_col).alias("_idb"),
-        "cluster_id",
-        F.col("_v").alias("_vb"),
-        F.col("_n").alias("_nb"),
-    )
-    dropped = (
-        l.join(r, ["cluster_id"])
-        .filter(F.col("_ida") < F.col("_idb"))
-        .filter(
-            F.round(
-                _cos_pre(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb")),
-                scale,
-            )
-            >= threshold
-        )
-        .select(F.col("_idb").alias(id_col))
-        .distinct()
+    id_type = sides.schema[id_col].dataType.simpleString()
+
+    # The within-cluster pair screen in block-matmul form: one
+    # applyInPandas group per cluster; each group streams BLOCKS of its
+    # rows against the full member matrix (memory stays block×n, never
+    # n²) and emits only the dropped higher-id members.  Same verdicts
+    # as the pair self-join it replaces: cosine rounded HALF_UP at
+    # ``scale`` compared >= threshold; a zero-norm side makes Spark's
+    # Divide return NULL (non-ANSI zero divisor), so the comparison is
+    # NULL and the pair never drops — reproduced by masking zero-denom
+    # cells out of the hit set.  Float64 GEMM differs from the JVM fold
+    # only in summation order — both sides of the driver oracle already
+    # differ that way, which is exactly what ``scale`` rounding absorbs.
+    BLOCK = 1024
+
+    def screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({id_col: pdf[id_col][:0]})
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((V * V).sum(axis=1))
+        dropped: set = set()
+        for lo in range(0, n, BLOCK):
+            hi = min(lo + BLOCK, n)
+            G = V[lo:hi] @ V.T
+            denom = np.outer(norms[lo:hi], norms)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = np.where(denom > 0, G / denom, np.nan)
+            R = round_half_up_np(C, scale)
+            with np.errstate(invalid="ignore"):
+                hit = R >= threshold  # NaN (NULL-divisor) compares False
+            hit &= ids[lo:hi, None] < ids[None, :]
+            dropped.update(ids[np.nonzero(hit)[1]].tolist())
+        return pd.DataFrame({id_col: sorted(dropped)})
+
+    dropped = sides.groupBy("cluster_id").applyInPandas(
+        screen, f"{id_col} {id_type}"
     )
     return (
         sides.select(id_col, "cluster_id")

@@ -75,6 +75,33 @@ def _dot_fold(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(acc)
 
 
+def round_half_up_np(x: "np.ndarray", scale: int) -> "np.ndarray":
+    """Spark's ``round(double, scale)`` replicated over a numpy array:
+    BigDecimal of the SHORTEST decimal repr, HALF_UP.  Vectorized
+    ``floor(|x|*10^s + 0.5)`` fast path with a ``Decimal(repr(x))``
+    fallback for the few values inside the float-error band around a
+    rounding boundary (the fast path's scaling error is ~1 ulp, so a
+    1e-6 guard band is conservatively safe at |x|*10^s <= ~1e6).
+    inf/NaN pass through unchanged."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    pow10 = float(10**scale)
+    quant = Decimal(1).scaleb(-scale)
+    ax = np.abs(x) * pow10
+    with np.errstate(invalid="ignore"):
+        fl = np.floor(ax)
+        fast = np.sign(x) * np.floor(ax + 0.5) / pow10
+        frac = ax - fl
+        risky = np.abs(frac - 0.5) < 1e-6
+    fast = np.where(np.isfinite(x), fast, x)
+    if risky.any():
+        xf = np.asarray(x, dtype=np.float64)
+        for i in np.nonzero(risky.ravel())[0]:
+            v = float(xf.flat[i])
+            fast.flat[i] = float(Decimal(repr(v)).quantize(quant, ROUND_HALF_UP))
+    return fast
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -327,8 +354,6 @@ def quantized_cosine_topk(
     window, over ROUNDED values (rounding re-ties pairs, so candidate
     selection on unrounded scores would be wrong on near-duplicate
     corpora)."""
-    from decimal import ROUND_HALF_UP, Decimal
-
     qrows = quantize_embeddings(queries, vec_col, id_col).collect()
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = (
@@ -337,26 +362,9 @@ def quantized_cosine_topk(
     q_ids = [r[id_col] for r in qrows]
     Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
     q_norms = (Q * Q).sum(axis=1) if len(qrows) else np.zeros(0, dtype=np.int64)
-    pow10 = float(10**scale)
-    quant = Decimal(1).scaleb(-scale)
 
     def _round_half_up(x: np.ndarray) -> np.ndarray:
-        """Spark's round(double, scale): BigDecimal of the shortest
-        decimal repr, HALF_UP.  Vectorized floor(|x|·10^s + 0.5) with a
-        Decimal(repr(x)) fallback for values inside the float-error
-        band around a rounding boundary (|x|·10^s ≤ 10^6 here, so the
-        band is ~1e-10 wide; 1e-6 is a safe guard)."""
-        ax = np.abs(x) * pow10
-        fast = np.sign(x) * np.floor(ax + 0.5) / pow10
-        frac = ax - np.floor(ax)
-        risky = np.abs(frac - 0.5) < 1e-6
-        if risky.any():
-            idx = np.nonzero(risky)[0]
-            for i in idx:
-                fast[i] = float(
-                    Decimal(repr(float(x[i]))).quantize(quant, ROUND_HALF_UP)
-                )
-        return fast
+        return round_half_up_np(x, scale)
 
     def score(batches):
         for pdf in batches:

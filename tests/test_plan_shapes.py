@@ -282,13 +282,16 @@ def test_semantic_dedup_pair_join_is_cluster_equi(spark, sf_dir, queries):
 
     df = queries["semantic_dedup"](spark, sf_dir)
     s = plan_summary(df)
-    # the quadratic screen is an equi-join on cluster_id (sort-merge or
-    # shuffled-hash), never a corpus x corpus nested loop; the only
-    # nested loops allowed are the 1-row centroid-model crossJoins of
-    # the Lloyd iterations (one per iteration once the assignment
-    # subtree is checkpoint-shared, not one per self-join side)
-    assert s.get("SortMergeJoin", 0) + s.get("ShuffledHashJoin", 0) >= 1
-    assert s.get("BroadcastNestedLoopJoin", 0) <= 2
+    plan = plan_of(df)
+    # the quadratic screen is a per-cluster block-matmul kernel: ONE
+    # applyInPandas group per cluster (shuffle on cluster_id), never a
+    # corpus x corpus nested loop and no pair-expanded self-join; the
+    # only join left is the dropped-ids keep attach
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert s.get("SortMergeJoin", 0) + s.get("ShuffledHashJoin", 0) \
+        + s.get("BroadcastHashJoin", 0) >= 1  # the keep join
 
 
 def test_ann_recall_queries_broadcast(spark, sf_dir, queries):
