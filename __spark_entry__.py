@@ -4446,6 +4446,10 @@ def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .otherwise(0)
             ).alias("late")
         )
+        # feeds per_order AND the blame filter with different column
+        # prunings — materialize once instead of running the fact join
+        # + aggregate twice
+        .localCheckpoint(eager=False)
     )
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
