@@ -591,3 +591,25 @@ def test_bpe_merge_word_greedy_overlap():
     assert _bpe_merge_word(list("aaa"), "a", "a", "aa") == ["aa", "a"]
     # merged token doesn't spuriously re-match
     assert _bpe_merge_word(["aa", "a", "a"], "a", "a", "aa") == ["aa", "aa"]
+
+
+def test_round_half_up_np_matches_spark_round(spark):
+    """round_half_up_np claims EXACT replication of Spark's
+    round(double, 6) (BigDecimal of shortest repr, HALF_UP) — the
+    faithfulness contract of the matmul kernels.  Differential over
+    random values plus adversarial rounding-boundary cases."""
+    import numpy as np
+
+    from cherry_pipelines_spark.operators.similarity import round_half_up_np
+
+    rng = np.random.default_rng(11)
+    vals = list(rng.uniform(-1, 1, 500))
+    # exact boundary representatives and sign/magnitude edges
+    vals += [0.1234565, -0.1234565, 0.9999995, -0.9999995, 0.0000005,
+             -0.0000005, 0.5e-6, 1.0, -1.0, 0.0, 0.3499995, -0.3499995,
+             0.35000049999, 123.4567895]
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    expect = [r["r"] for r in df.select(F.round("x", 6).alias("r")).collect()]
+    got = round_half_up_np(np.array(vals, dtype=np.float64), 6)
+    for v, e, g in zip(vals, expect, got):
+        assert g == e, (v, e, g)
