@@ -164,6 +164,10 @@ def compute_prices(
             "timestamp",
             (F.col("total_output") / 1000).cast(DEC).alias("window_total_amount"),
         )
+        # consumed by BOTH the token price join and the final output
+        # union — materialize (≤ |slots| rows) so the sol window chain
+        # runs once, not twice
+        .localCheckpoint(eager=False)
     )
 
     # --- constant USD prices for every slot in the batch (:221-250) ---
