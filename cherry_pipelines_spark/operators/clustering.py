@@ -223,6 +223,16 @@ def semantic_dedup(
     BLOCK = 1024
 
     def screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ragged faithfulness: the old zip_with fold gave NULL (no
+        # drop) for a pair of different-length or NULL vectors — so
+        # screen each same-length subgroup separately (cross-length
+        # pairs can never drop) and skip NULL vectors entirely
+        pdf = pdf[pdf["_v"].notna()]
+        lens = pdf["_v"].map(len)
+        if lens.nunique() > 1:
+            return pd.concat(
+                [screen(g) for _, g in pdf.groupby(lens)], ignore_index=True
+            )
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({id_col: pdf[id_col][:0]})

@@ -359,49 +359,108 @@ def quantized_cosine_topk(
     out_schema = (
         f"query_id {id_type}, neighbor_id {id_type}, dot_q long, qcos double"
     )
-    q_ids = [r[id_col] for r in qrows]
-    Q = np.array([r["qvec"] for r in qrows], dtype=np.int64)
-    q_norms = (Q * Q).sum(axis=1) if len(qrows) else np.zeros(0, dtype=np.int64)
+    # a NULL / off-dimension query vector cannot join the matrix; the
+    # old pair join scored its pairs NULL (fold propagates NULL) —
+    # carry those query ids separately and emit NULL-scored candidates
+    from collections import Counter
+
+    lens = Counter(len(r["qvec"]) for r in qrows if r["qvec"] is not None)
+    q_dim = lens.most_common(1)[0][0] if lens else 0
+    good_q = [
+        r for r in qrows if r["qvec"] is not None and len(r["qvec"]) == q_dim
+    ]
+    null_q_ids = [
+        r[id_col]
+        for r in qrows
+        if r["qvec"] is None or len(r["qvec"]) != q_dim
+    ]
+    q_ids = [r[id_col] for r in good_q]
+    Q = np.array([r["qvec"] for r in good_q], dtype=np.int64)
+    q_norms = (Q * Q).sum(axis=1) if len(good_q) else np.zeros(0, dtype=np.int64)
 
     def _round_half_up(x: np.ndarray) -> np.ndarray:
         return round_half_up_np(x, scale)
 
+    dim = Q.shape[1] if len(good_q) else q_dim
+
     def score(batches):
         for pdf in batches:
-            if len(pdf) == 0 or len(q_ids) == 0:
+            if len(pdf) == 0 or (not q_ids and not null_q_ids):
                 continue
-            B = np.stack(pdf["qvec"].to_numpy()).astype(np.int64)
-            nb = (B * B).sum(axis=1)
-            D = B @ Q.T  # exact: |elements| ≤ dims·127² ≪ 2^31
-            nids = pdf[id_col].to_numpy()
+            # ragged faithfulness: the old pair join emitted NULL
+            # dot/qcos for a NULL or wrong-length corpus vector (the
+            # zip_with fold propagates NULL) — such rows still surface
+            # in the top-k when fewer than k conforming neighbors
+            # exist, so carry them as NULL-scored candidates
+            conform = pdf["qvec"].map(
+                lambda v: v is not None and len(v) == dim
+            )
+            good, bad = pdf[conform], pdf[~conform]
+            nids = good[id_col].to_numpy()
+            if len(good):
+                B = np.stack(good["qvec"].to_numpy()).astype(np.int64)
+                nb = (B * B).sum(axis=1)
+                D = B @ Q.T  # exact: |elements| ≤ dims·127² ≪ 2^31
             parts = []
             for qi, qid in enumerate(q_ids):
-                keep = nids != qid  # self-pair exclusion
-                dots = D[keep, qi]
-                nbk = nb[keep]
                 na = int(q_norms[qi])
-                qcos = np.full(len(dots), np.nan)
-                ok = (nbk > 0) & (na > 0)
-                if ok.any():
-                    raw = dots[ok].astype(np.float64) / np.sqrt(
-                        float(na) * nbk[ok].astype(np.float64)
+                frames = []
+                if len(good):
+                    keep = nids != qid  # self-pair exclusion
+                    dots = D[keep, qi]
+                    nbk = nb[keep]
+                    qcos = np.full(len(dots), np.nan)
+                    ok = (nbk > 0) & (na > 0)
+                    if ok.any():
+                        raw = dots[ok].astype(np.float64) / np.sqrt(
+                            float(na) * nbk[ok].astype(np.float64)
+                        )
+                        qcos[ok] = _round_half_up(raw)
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": nids[keep],
+                                "dot_q": dots.astype(object),
+                                "qcos": qcos,
+                            }
+                        )
                     )
-                    qcos[ok] = _round_half_up(raw)
-                part = pd.DataFrame(
-                    {
-                        "query_id": qid,
-                        "neighbor_id": nids[keep],
-                        "dot_q": dots,
-                        "qcos": qcos,
-                    }
-                ).sort_values(
+                if len(bad):
+                    bids = bad[id_col][bad[id_col] != qid]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": bids.to_numpy(),
+                                "dot_q": None,
+                                "qcos": np.nan,
+                            }
+                        )
+                    )
+                if not frames:
+                    continue
+                part = pd.concat(frames, ignore_index=True).sort_values(
                     ["qcos", "neighbor_id"],
                     ascending=[False, True],
                     na_position="last",
                     kind="mergesort",
                 )
                 parts.append(part.head(k))
-            yield pd.concat(parts, ignore_index=True)
+            for qid in null_q_ids:
+                nid = pdf[id_col][pdf[id_col] != qid].sort_values()
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nid.to_numpy(),
+                            "dot_q": None,
+                            "qcos": np.nan,
+                        }
+                    ).head(k)
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     cz = quantize_embeddings(corpus, vec_col, id_col).select(id_col, "qvec")
     scored = cz.mapInPandas(score, out_schema)

@@ -272,3 +272,25 @@ def test_srp_sketch_angle_correlation(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs
     assert (1, 4) not in pairs
+
+
+def test_semantic_dedup_ragged_and_null_vectors_never_drop(spark):
+    """Faithfulness of the matmul kernel to the old fold semantics: a
+    NULL or different-length vector can never cause a drop (the
+    zip_with fold gave NULL, and NULL >= threshold is NULL)."""
+    from cherry_pipelines_spark.operators.clustering import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),        # exact dup of 0 -> dropped
+        (2, [1.0, 0.0, 0.0]),   # ragged: pairs with 0/1 are NULL
+        (3, None),              # NULL vector: never drops, never dropped
+        (4, [0.0, 0.0]),        # zero norm: NULL cosine both ways
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in
+           semantic_dedup(df, k=1, iters=1, threshold=0.9).collect()}
+    assert out[0] is True and out[1] is False
+    assert out[2] is True and out[4] is True
+    # NULL-vector rows pass through the assignment with kept=True
+    assert out.get(3, True) is True
