@@ -415,12 +415,17 @@ def decode_events_df(
     allow_decode_fail: bool = True,
     topic_cols: tuple[str, ...] = ("topic1", "topic2", "topic3"),
     data_col: str = "data",
+    _force_row_path: bool = False,
 ) -> DataFrame:
     """Decode a logs DataFrame into ``<passthrough cols> + <decoded cols>``.
 
     Pass-through columns are every input column except topics/data.
     Rows that fail to decode get NULL decoded columns when
     ``allow_decode_fail`` else are dropped.
+
+    ``_force_row_path`` pins the per-row reference decoder for dynamic
+    signatures — used only by the differential test that proves the
+    vectorized dynamic path byte-identical to it.
     """
     sig = parse_event_signature(event_signature)
     out_fields = output_schema(sig)
@@ -601,10 +606,182 @@ def decode_events_df(
                     base[name] = pd.Series(vals, dtype=object)
             yield base
 
+    # Vectorized dynamic path: when every dynamic param is a uintN[]
+    # array (the ERC-1155 TransferBatch shape — the only dynamic kind
+    # the benchmark corpus carries), the canonical layout makes the
+    # ragged tails computable with offset-table arithmetic: tails are
+    # tightly packed in head order, so the expected offset / length /
+    # element positions of EVERY row are derivable with cumulative
+    # int64 vectors and one fancy-indexed byte gather per word source —
+    # no per-row Python.  Failure semantics are byte-identical to
+    # ``row_mapper`` (pinned by tests/test_abi_dyn_vectorized.py's
+    # differential suite): any structural violation (short data,
+    # non-canonical offset, out-of-bounds length, dirty padding, extra
+    # topic, trailing bytes) NULLs the whole row, while a wide-uint
+    # element above 10^38-1 NULLs only that ELEMENT.
+    dyn_arrays = [
+        (p, k, int(re.match(r"^uint(\d+)\[\]$", p.type).group(1)))
+        for p, src_, k in plan
+        if src_ == "d" and re.match(r"^uint(\d+)\[\]$", p.type)
+    ]
+    dyn_vectorizable = len(dyn_arrays) == sum(
+        1 for p in sig.params if _is_dynamic(p.type)
+    )
+    head_bytes = 32 * n_words
+
+    def _gather32(buf: "np.ndarray", pos: "np.ndarray") -> "np.ndarray":
+        """(r,) byte positions -> (r, 32) uint8 word matrix."""
+        return buf[pos[:, None] + np.arange(32)]
+
+    def _be_u64(w: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+        """Split (r, 32) words into (high-24-bytes-nonzero, low u64)."""
+        hi = w[:, :24].any(axis=1)
+        lo = np.ascontiguousarray(w[:, 24:32]).view(">u8").ravel()
+        return hi, lo
+
+    def _obj_array(lists: list) -> "np.ndarray":
+        """list-of-lists -> 1-D object ndarray (plain ``np.array`` /
+        slice-assign would try to broadcast equal-length sublists into
+        a 2-D matrix)."""
+        a = np.empty(len(lists), dtype=object)
+        for i, v in enumerate(lists):
+            a[i] = v
+        return a
+
+    def mapper_dyn(batches):
+        for pdf in batches:
+            n = len(pdf)
+            topic_arrays = [pdf[c].to_numpy() for c in topic_cols]
+            data_arr = pdf[data_col].to_numpy()
+            ok = np.ones(n, dtype=bool)
+            if n_indexed > n_topics:
+                ok[:] = False
+            for k in range(min(n_indexed, n_topics)):
+                ok &= np.fromiter(
+                    (x is not None and len(x) == 32 for x in topic_arrays[k]),
+                    bool, count=n,
+                )
+            # row decoder checks only the FIRST unused topic slot
+            # (`topics[n_topics_used]`), not all trailing ones
+            if n_indexed < n_topics:
+                ok &= np.fromiter(
+                    (x is None for x in topic_arrays[n_indexed]), bool, count=n
+                )
+            dlens = np.fromiter(
+                (len(x) if x is not None else 0 for x in data_arr),
+                np.int64, count=n,
+            )
+            ok &= dlens >= head_bytes
+            idx = np.nonzero(ok)[0]
+            r = len(idx)
+            fail = np.zeros(r, dtype=bool)
+            cols: dict[str, np.ndarray] = {}
+            dyn_lists: dict[str, list] = {}
+            if r:
+                dl = dlens[idx]
+                # one concatenated candidate buffer + 32 pad bytes so
+                # clipped reads for already-failed rows stay in bounds
+                buf = np.frombuffer(
+                    b"".join(bytes(data_arr[i]) for i in idx) + b"\0" * 32,
+                    np.uint8,
+                )
+                starts = np.zeros(r, dtype=np.int64)
+                if r > 1:
+                    np.cumsum(dl[:-1], out=starts[1:])
+                pad_pos = int(dl.sum())
+                # static params (topic words + static head words) reuse
+                # the all-static matrix decoder
+                for p, src_, k in plan:
+                    if src_ == "t":
+                        m = np.frombuffer(
+                            b"".join(topic_arrays[k][i] for i in idx), np.uint8
+                        ).reshape(r, 32)
+                        cols.update(_decode_matrix(p, m, fail))
+                    elif not _is_dynamic(p.type):
+                        m = _gather32(buf, starts + 32 * k)
+                        cols.update(_decode_matrix(p, m, fail))
+                # ragged tails, in declaration (== head) order
+                tail = np.full(r, head_bytes, dtype=np.int64)
+                for p, k, bits in dyn_arrays:
+                    off_hi, off_lo = _be_u64(_gather32(buf, starts + 32 * k))
+                    fail |= off_hi | (off_lo != tail.astype(np.uint64))
+                    fail |= tail + 32 > dl
+                    alive = ~fail
+                    pos_ln = np.where(alive, starts + tail, pad_pos)
+                    ln_hi, ln_lo = _be_u64(_gather32(buf, pos_ln))
+                    max_ln = np.maximum((dl - tail - 32) // 32, 0)
+                    fail |= alive & (ln_hi | (ln_lo > max_ln.astype(np.uint64)))
+                    ln = np.where(~fail, ln_lo, 0).astype(np.int64)
+                    elem_start = starts + tail + 32
+                    tail = np.where(~fail, tail + 32 + 32 * ln, tail)
+                    e = int(ln.sum())
+                    bounds = np.cumsum(ln)
+                    if e:
+                        j = np.arange(e) - np.repeat(bounds - ln, ln)
+                        pos_e = np.repeat(elem_start, ln) + 32 * j
+                        w = _gather32(buf, pos_e)
+                        lead = 32 - bits // 8
+                        if lead:
+                            bad = w[:, :lead].any(axis=1)
+                            if bad.any():
+                                row_rep = np.repeat(np.arange(r), ln)
+                                fail |= np.bincount(
+                                    row_rep[bad], minlength=r
+                                ).astype(bool)
+                        if bits <= 32:
+                            elems = (
+                                np.ascontiguousarray(w[:, 28:32])
+                                .view(">u4").ravel().astype(np.int64).tolist()
+                            )
+                        else:
+                            wb = w.tobytes()
+                            elems = [None] * e
+                            for i in range(e):
+                                v = int.from_bytes(wb[32 * i : 32 * i + 32], "big")
+                                if v <= _DEC38_MAX:
+                                    elems[i] = Decimal(v)
+                    else:
+                        elems = []
+                    lo_b = np.concatenate(([0], bounds[:-1]))
+                    dyn_lists[p.name] = [
+                        elems[a:b] for a, b in zip(lo_b.tolist(), bounds.tolist())
+                    ]
+                fail |= tail != dl
+            good = idx[~fail] if r else idx
+            keep = ~fail if r else np.zeros(0, dtype=bool)
+            if allow_decode_fail:
+                base = pdf[list(passthrough)].reset_index(drop=True)
+                for name in decoded_names:
+                    full = np.full(n, None, dtype=object)
+                    if len(good):
+                        if name in dyn_lists:
+                            full[good] = _obj_array(dyn_lists[name])[keep]
+                        elif name in cols:
+                            full[good] = cols[name][keep]
+                    base[name] = pd.Series(full, dtype=object)
+            else:
+                base = pdf.iloc[good][list(passthrough)].reset_index(drop=True)
+                for name in decoded_names:
+                    if len(good):
+                        if name in dyn_lists:
+                            vals = _obj_array(dyn_lists[name])[keep]
+                        else:
+                            vals = cols[name][keep]
+                    else:
+                        vals = np.array([], dtype=object)
+                    base[name] = pd.Series(vals, dtype=object)
+            yield base
+
     from cherry_pipelines_spark.operators.text import fan_out
 
     # spread the Python decode boundary: a single-file scan arrives as
     # one partition, which would serialize all rows through one Python
     # worker (no-op when the input is already parallel)
     src = fan_out(logs.select(*passthrough, *topic_cols, data_col))
-    return src.mapInPandas(row_mapper if has_dynamic else mapper, schema)
+    if not has_dynamic:
+        fn = mapper
+    elif dyn_vectorizable and not _force_row_path:
+        fn = mapper_dyn
+    else:
+        fn = row_mapper
+    return src.mapInPandas(fn, schema)

@@ -80,9 +80,11 @@ def round_half_up_np(x: "np.ndarray", scale: int) -> "np.ndarray":
     BigDecimal of the SHORTEST decimal repr, HALF_UP.  Vectorized
     ``floor(|x|*10^s + 0.5)`` fast path with a ``Decimal(repr(x))``
     fallback for the few values inside the float-error band around a
-    rounding boundary (the fast path's scaling error is ~1 ulp, so a
-    1e-6 guard band is conservatively safe at |x|*10^s <= ~1e6).
-    inf/NaN pass through unchanged."""
+    rounding boundary.  The band is ``max(1e-6, 4*ulp(|x|*10^s))`` per
+    element: the fast path's scaling error is ~1 ulp of the SCALED
+    value, so a fixed 1e-6 band is only valid up to |x|*10^s ~ 1e6 —
+    scaling by ``np.spacing`` keeps the guard correct for arbitrary
+    magnitudes (round-6 advice).  inf/NaN pass through unchanged."""
     from decimal import ROUND_HALF_UP, Decimal
 
     pow10 = float(10**scale)
@@ -92,7 +94,8 @@ def round_half_up_np(x: "np.ndarray", scale: int) -> "np.ndarray":
         fl = np.floor(ax)
         fast = np.sign(x) * np.floor(ax + 0.5) / pow10
         frac = ax - fl
-        risky = np.abs(frac - 0.5) < 1e-6
+        band = np.maximum(1e-6, np.spacing(ax) * 4.0)
+        risky = np.abs(frac - 0.5) < band
     fast = np.where(np.isfinite(x), fast, x)
     if risky.any():
         xf = np.asarray(x, dtype=np.float64)
@@ -332,6 +335,7 @@ def quantized_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 6,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Top-k neighbors over int8-QUANTIZED vectors — the exact
     brute-force baseline in its block-matmul form: the query matrix
@@ -353,8 +357,25 @@ def quantized_cosine_topk(
     (qcos DESC NULLS LAST, neighbor_id ASC) comparator as the final
     window, over ROUNDED values (rounding re-ties pairs, so candidate
     selection on unrounded scores would be wrong on near-duplicate
-    corpora)."""
-    qrows = quantize_embeddings(queries, vec_col, id_col).collect()
+    corpora).
+
+    Size contract: the QUERY side is driver-held (it rides into the
+    corpus pass as a closure matrix), so it must be small — at most
+    ``max_query_rows`` rows, enforced with a bounded ``limit(n+1)``
+    collect so an oversized query frame fails with a clear error
+    instead of a driver OOM (round-6 advice).  The corpus side is
+    unbounded — it is never collected."""
+    qrows = (
+        quantize_embeddings(queries, vec_col, id_col)
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
+        raise ValueError(
+            f"quantized_cosine_topk: query side exceeds max_query_rows="
+            f"{max_query_rows}; the query matrix is driver-held — pass a "
+            "smaller query frame or raise max_query_rows explicitly"
+        )
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = (
         f"query_id {id_type}, neighbor_id {id_type}, dot_q long, qcos double"

@@ -518,7 +518,10 @@ def bpe_learn_merges(
     the k-means-centroid pattern, not a data collect).  Merge
     application is per-word Python inside Arrow ``mapInPandas`` (ragged
     greedy scan, the honest kernel); the corpus is re-tokenized
-    lazily per round off the cached previous round.
+    lazily per round off the previous round's ``localCheckpoint`` —
+    checkpoint blocks (unlike ``.cache()``) are reclaimed by the
+    ContextCleaner as each round's frame goes out of scope, so an
+    N-merge run holds at most two rounds of corpus state, not N.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -539,7 +542,8 @@ def bpe_learn_merges(
                         out.append(list(w))
             yield pd.DataFrame({"syms": out})
 
-    words = fan_out(df.select(text_col)).mapInPandas(to_words, words_schema).cache()
+    words = fan_out(df.select(text_col)).mapInPandas(to_words, words_schema)
+    words = words.localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(iters):
         pairs = (
@@ -569,7 +573,9 @@ def bpe_learn_merges(
                     {"syms": [_bpe_merge_word(s, _a, _b, _m) for s in pdf["syms"]]}
                 )
 
-        words = words.mapInPandas(apply_merge, words_schema).cache()
+        words = words.mapInPandas(apply_merge, words_schema).localCheckpoint(
+            eager=False
+        )
     return sess.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )

@@ -48,6 +48,14 @@ def parse_dict(src: str, name: str):
 
 
 def main() -> int:
+    # Unknown flags must be a hard error: a typo'd --dry must never fall
+    # through to a registry REWRITE (round-6 verdict item #2).
+    unknown = [a for a in sys.argv[1:] if a != "--dry-run"]
+    if unknown:
+        raise SystemExit(
+            f"unrecognized argument(s) {unknown}; "
+            "usage: python scripts/rotate_registry.py [--dry-run]"
+        )
     dry = "--dry-run" in sys.argv
     src = open(ENTRY).read()
     ever_checked: set[str] = set()

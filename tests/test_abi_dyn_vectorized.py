@@ -1,0 +1,219 @@
+"""Differential suite for the VECTORIZED dynamic-array ABI decode path
+(``decode_events_df``'s ``mapper_dyn``): for uintN[]-only dynamic
+signatures, the offset-table numpy decoder must be byte-identical to
+the per-row reference decoder (``row_mapper``, pinned via
+``_force_row_path=True``) on well-formed AND adversarial payloads —
+short data, non-canonical / gapped / out-of-bounds offsets, oversized
+lengths, dirty element padding, >10^38-1 elements (element-NULL, row
+kept), missing / extra topics, NULL and empty data, trailing bytes."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import types as T
+
+SIG = (
+    "TransferBatch(address indexed operator, address indexed from, "
+    "address indexed to, uint256[] ids, uint256[] values)"
+)
+SIG_MIXED = (
+    "Mixed(address indexed who, uint64 nonce, uint32[] small, "
+    "uint256 total, uint256[] big)"
+)
+SIG_NO_TOPIC = "Flat(uint8[] tags)"
+
+_DEC38_MAX = 10**38 - 1
+
+
+def _w(v: int) -> bytes:
+    return int(v).to_bytes(32, "big")
+
+
+def _enc_uint_arr(vals: list[int]) -> bytes:
+    return _w(len(vals)) + b"".join(_w(v) for v in vals)
+
+
+def _good_batch_row(seed: int):
+    rng = random.Random(seed)
+    k = rng.randrange(0, 4)
+    ids = [rng.randrange(0, 2**200) for _ in range(k)]
+    vals = [rng.choice([rng.randrange(0, 10**38), 10**38 - 1, 10**38,
+                        rng.randrange(0, 2**256)]) for _ in range(k)]
+    head = _w(64) + _w(64 + 32 * (k + 1))
+    data = head + _enc_uint_arr(ids) + _enc_uint_arr(vals)
+    t = lambda i: _w(seed * 7 + i)
+    return (seed, t(1), t(2), t(3), data)
+
+
+def _adversarial_rows():
+    t = lambda i: _w(1000 + i)
+    ok2 = _w(64) + _w(64 + 32 * 3) + _enc_uint_arr([5, 6]) + _enc_uint_arr([7, 8])
+    rows = [
+        # 0: well-formed, 2 elements each
+        (0, t(1), t(2), t(3), ok2),
+        # 1: NULL data
+        (1, t(1), t(2), t(3), None),
+        # 2: empty data
+        (2, t(1), t(2), t(3), b""),
+        # 3: data shorter than head
+        (3, t(1), t(2), t(3), _w(64)),
+        # 4: head only, no tails (offset out of bounds)
+        (4, t(1), t(2), t(3), _w(64) + _w(96)),
+        # 5: non-canonical first offset (gap of one word)
+        (5, t(1), t(2), t(3),
+         _w(96) + _w(96 + 32 * 3) + _w(0)
+         + _enc_uint_arr([5, 6]) + _enc_uint_arr([7, 8])),
+        # 6: second offset points BEFORE the first tail end (shared tail)
+        (6, t(1), t(2), t(3),
+         _w(64) + _w(64) + _enc_uint_arr([5, 6]) + _enc_uint_arr([7, 8])),
+        # 7: length word larger than remaining data
+        (7, t(1), t(2), t(3),
+         _w(64) + _w(64 + 32 * 3) + _w(2**40) + _w(5) + _w(6)
+         + _enc_uint_arr([7, 8])),
+        # 8: length word with high bytes set (>= 2^64)
+        (8, t(1), t(2), t(3),
+         _w(64) + _w(64 + 32 * 3) + (b"\x01" + bytes(31))
+         + _w(5) + _w(6) + _enc_uint_arr([7, 8])),
+        # 9: offset word with high bytes set
+        (9, t(1), t(2), t(3),
+         (b"\x01" + bytes(31)) + _w(64 + 32 * 3)
+         + _enc_uint_arr([5, 6]) + _enc_uint_arr([7, 8])),
+        # 10: trailing garbage after the last tail
+        (10, t(1), t(2), t(3), ok2 + b"\xff"),
+        # 11: trailing full word after the last tail
+        (11, t(1), t(2), t(3), ok2 + _w(0)),
+        # 12: missing topic3
+        (12, t(1), t(2), None, ok2),
+        # 13: short topic (31 bytes)
+        (13, t(1), t(2), _w(3)[1:], ok2),
+        # 14: empty arrays (k=0) — canonical, valid
+        (14, t(1), t(2), t(3),
+         _w(64) + _w(96) + _enc_uint_arr([]) + _enc_uint_arr([])),
+        # 15: overflow element (10^38) — element NULL, row kept
+        (15, t(1), t(2), t(3),
+         _w(64) + _w(64 + 32 * 2) + _enc_uint_arr([10**38])
+         + _enc_uint_arr([10**38 - 1])),
+        # 16: asymmetric lengths (1 id, 3 values)
+        (16, t(1), t(2), t(3),
+         _w(64) + _w(64 + 32 * 2) + _enc_uint_arr([9])
+         + _enc_uint_arr([1, 2, 3])),
+    ]
+    return rows
+
+
+_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("log_index", T.LongType()),
+        T.StructField("topic1", T.BinaryType()),
+        T.StructField("topic2", T.BinaryType()),
+        T.StructField("topic3", T.BinaryType()),
+        T.StructField("data", T.BinaryType()),
+    ]
+)
+
+
+def _norm(rows):
+    out = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        out.append(tuple(sorted((k, repr(v)) for k, v in d.items())))
+    return sorted(out)
+
+
+def _assert_paths_agree(spark, rows, sig):
+    from cherry_pipelines_spark.functions.abi import decode_events_df
+
+    df = spark.createDataFrame(rows, _LOG_SCHEMA)
+    kept = None
+    for allow in (True, False):
+        fast = decode_events_df(df, sig, allow_decode_fail=allow).collect()
+        slow = decode_events_df(
+            df, sig, allow_decode_fail=allow, _force_row_path=True
+        ).collect()
+        assert _norm(fast) == _norm(slow)
+        if allow:
+            kept = fast
+    return kept
+
+
+def test_vectorized_matches_row_path_random(spark):
+    rows = [_good_batch_row(s) for s in range(200)]
+    out = _assert_paths_agree(spark, rows, SIG)
+    # all well-formed rows decode (spot-check row 0 content)
+    by_idx = {r["log_index"]: r for r in out}
+    assert by_idx[0]["ids"] is not None
+
+
+def test_vectorized_matches_row_path_adversarial(spark):
+    out = _assert_paths_agree(spark, _adversarial_rows(), SIG)
+    by_idx = {r["log_index"]: r for r in out}
+    good = {0, 14, 15, 16}
+    for i, r in by_idx.items():
+        assert (r["ids"] is not None) == (i in good), f"row {i}"
+    # overflow element: ids[0] NULL, values[0] kept
+    assert by_idx[15]["ids"] == [None]
+    assert by_idx[15]["values"][0] is not None
+    assert by_idx[16]["ids"] == [9] or by_idx[16]["ids"] is not None
+    assert by_idx[14]["ids"] == []
+
+
+def test_vectorized_mixed_static_and_dynamic(spark):
+    # static heads interleaved with dynamic ones + dirty uint32 padding
+    t = lambda i: _w(50 + i)
+    head = lambda a, b: _w(a) + _w(b)
+    ok = (
+        _w(7)                      # nonce
+        + _w(32 * 4)               # offset small
+        + _w(10**20)               # total
+        + _w(32 * 4 + 32 * 3)      # offset big
+        + _enc_uint_arr([1, 2])
+        + _enc_uint_arr([10**39, 5])
+    )
+    dirty = (
+        _w(7)
+        + _w(32 * 4)
+        + _w(10**20)
+        + _w(32 * 4 + 32 * 2)
+        + _w(1) + (b"\x01" + bytes(27) + (4).to_bytes(4, "big"))  # dirty uint32
+        + _enc_uint_arr([5])
+    )
+    rows = [
+        (0, t(1), None, None, ok),
+        (1, t(1), None, None, dirty),
+        (2, t(1), t(2), None, ok),   # extra topic2 -> fail
+    ]
+    out = _assert_paths_agree(spark, rows, SIG_MIXED)
+    by_idx = {r["log_index"]: r for r in out}
+    assert by_idx[0]["small"] == [1, 2]
+    assert by_idx[0]["big"] == [None, 5]
+    assert by_idx[0]["nonce"] == 7
+    assert by_idx[1]["small"] is None
+    assert by_idx[2]["small"] is None
+
+
+def test_vectorized_no_topics_small_bits(spark):
+    rows = [
+        (0, None, None, None, _w(32) + _enc_uint_arr([1, 255, 0])),
+        (1, None, None, None, _w(32) + _enc_uint_arr([256])),  # dirty uint8
+    ]
+    out = _assert_paths_agree(spark, rows, SIG_NO_TOPIC)
+    by_idx = {r["log_index"]: r for r in out}
+    assert by_idx[0]["tags"] == [1, 255, 0]
+    assert by_idx[1]["tags"] is None
+
+
+def test_bytes_string_signatures_still_use_row_path(spark):
+    # bytes/string dynamic params are NOT uintN[] — must fall back
+    rows = [
+        (0, _w(9), None, None,
+         _w(32) + _w(3) + b"abc" + bytes(29)),
+    ]
+    from cherry_pipelines_spark.functions.abi import decode_events_df
+
+    df = spark.createDataFrame(rows, _LOG_SCHEMA)
+    out = decode_events_df(
+        df, "Note(uint64 indexed id, string text)"
+    ).collect()
+    assert out[0]["text"] == "abc"
