@@ -1271,7 +1271,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes arithmetically."""
     from cherry_pipelines_spark.operators.multimodal import decode_image_stats
 
+    from cherry_pipelines_spark.operators.text import fan_out
+
     (d,) = _load(spark, sf_dir, "documents")
+    d = fan_out(d)  # single-file fixture scan: parallelize the synthesis
     i = F.col("doc_id")
     w = (i % 6 + 3).cast("int")
     h = (i % 4 + 2).cast("int")
@@ -1390,7 +1393,10 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes arithmetically."""
     from cherry_pipelines_spark.operators.multimodal import decode_image_stats
 
+    from cherry_pipelines_spark.operators.text import fan_out
+
     (d,) = _load(spark, sf_dir, "documents")
+    d = fan_out(d)  # single-file fixture scan: parallelize the synthesis
     i = F.col("doc_id")
     w = (i % 5 + 2).cast("int")
     h = (i % 4 + 3).cast("int")
@@ -2695,10 +2701,17 @@ def q_evm_decode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of ``F.transform`` over a ``sequence`` — higher-order-
     function lambdas evaluate interpreted per element, outside
     whole-stage codegen, and were ~60% of this query's wall time; the
-    unrolled form stays in codegen.  Byte-identical output."""
+    unrolled form stays in codegen.  Byte-identical output.
+
+    The source is fanned out BEFORE the synthesis select: the sf0.1
+    orders table is one parquet partition, so without it the whole
+    string build serializes on one core and the decoder's own fan_out
+    only parallelizes the Python stage (measured 1.96 -> 1.32 s)."""
     from cherry_pipelines_spark.functions.abi import decode_events_df
+    from cherry_pipelines_spark.operators.text import fan_out
 
     (o,) = _load(spark, sf_dir, "orders")
+    o = fan_out(o)
     hex64 = lambda c: F.lpad(F.hex(c), 64, "0")
     k = (F.col("o_orderkey") % 3 + 1).cast("long")
 

@@ -203,6 +203,10 @@ def label_propagation(
         )
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
+        # loop INVARIANT read every round — same lifetime contract as
+        # pagerank's edge cache above: blocks are reclaimed by the
+        # ContextCleaner once the caller drops the result frame;
+        # long-lived sessions clearCache() between runs (bench.py does)
         .cache()
     )
     labels = und.select(F.col("u").alias("node")).distinct().select(

@@ -204,6 +204,49 @@ def test_vectorized_no_topics_small_bits(spark):
     assert by_idx[1]["tags"] is None
 
 
+def test_vectorized_fuzz_mutations(spark):
+    """Seeded fuzz: well-formed TransferBatch payloads with random
+    structural mutations — bit flips anywhere, truncation, extension,
+    offset/length word perturbation, topic corruption — must decode
+    identically on both paths (one Spark comparison over 400 rows)."""
+    rng = random.Random(0xABCD)
+    rows = []
+    for i in range(400):
+        _, t1, t2, t3, data = _good_batch_row(i)
+        data = bytearray(data)
+        mut = rng.randrange(8)
+        if mut == 0 and data:  # flip a random bit
+            p = rng.randrange(len(data))
+            data[p] ^= 1 << rng.randrange(8)
+        elif mut == 1 and data:  # truncate
+            data = data[: rng.randrange(len(data))]
+        elif mut == 2:  # extend with junk
+            data += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+        elif mut == 3:  # perturb the first offset word
+            data[31] ^= 0xFF
+        elif mut == 4:  # perturb a length word (first tail)
+            data[64 + 31] ^= rng.randrange(1, 256)
+        elif mut == 5:  # corrupt a topic
+            t2 = None if rng.random() < 0.5 else t2[: rng.randrange(32)]
+        elif mut == 6:  # set high bytes of an element (dirty for uintN<256)
+            if len(data) > 96:
+                data[96] = 0xFF
+        # mut == 7: leave well-formed
+        rows.append((i, t1, t2, t3, bytes(data)))
+    _assert_paths_agree(spark, rows, SIG)
+    # and against a narrower element type where padding rules bite
+    rows32 = []
+    for i in range(200):
+        rng2 = random.Random(i)
+        k = rng2.randrange(0, 4)
+        vals = [rng2.randrange(0, 2**32) for _ in range(k)]
+        data = bytearray(_w(32) + _enc_uint_arr(vals))
+        if rng2.random() < 0.5 and len(data) > 40:
+            data[rng2.randrange(len(data))] ^= 1 << rng2.randrange(8)
+        rows32.append((i, None, None, None, bytes(data)))
+    _assert_paths_agree(spark, rows32, SIG_NO_TOPIC.replace("uint8", "uint32"))
+
+
 def test_bytes_string_signatures_still_use_row_path(spark):
     # bytes/string dynamic params are NOT uintN[] — must fall back
     rows = [
