@@ -125,6 +125,18 @@ def triangle_count(
     joins are equi-joins on vertex keys, so the whole operator is two
     uniform-key shuffles; there is no nested loop anywhere.
 
+    Measured alternatives (bench co-supply graph, 120k edges / 1000
+    nodes, near-uniform degree ~240): degree-ordered orientation cuts
+    wedge volume only 11.1M -> 9.1M on this density (no skew to
+    exploit), and the adjacency-array ``array_intersect`` plan is
+    SLOWER (3.1 s vs 2.1 s) — per-edge rows carrying two ~240-element
+    arrays through the closing joins cost more than the lean 3-column
+    wedge shuffle, and the 3-credits-per-triangle explode (7.3M rows
+    here) is common to both plans.  On a skewed web-scale graph the
+    degree-ordered variants win; for this operator the wedge plan is
+    the measured optimum and its skew exposure is bounded by the
+    orientation.
+
     Returns ``(node, triangles)`` for every node of the edge list
     (0 for triangle-free nodes).
     """
