@@ -2743,8 +2743,12 @@ def q_evm_decode_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "TransferBatch(address indexed operator, address indexed from, "
         "address indexed to, uint256[] ids, uint256[] values)",
     )
+    # array-level casts, not a transform lambda: higher-order-function
+    # lambdas evaluate interpreted per element; the Cast-on-array form
+    # is one codegen expression (verified value-identical incl. NULL
+    # elements and decimal->long wrap)
     as_str = lambda c: F.array_join(
-        F.transform(F.col(c), lambda x: x.cast("long").cast("string")), ","
+        F.col(c).cast("array<long>").cast("array<string>"), ","
     )
     return dec.select(
         "log_index",
