@@ -5171,37 +5171,12 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ann_recall`): candidate RECALL of minhash-LSH against the exact
     n-gram Jaccard ≥ 0.5 pair set — one row (n_exact, n_candidates,
     n_hit, recall).  Run per corpus sample before committing band/row
-    settings for a 100 TB dedup pass."""
-    from cherry_pipelines_spark.operators.dedup import (
-        minhash_lsh_candidates,
-        ngram_jaccard_pairs,
-    )
+    settings for a 100 TB dedup pass.  One shingle+signature pass feeds
+    both sides (see `lsh_recall_stats` for the scale shape)."""
+    from cherry_pipelines_spark.operators.dedup import lsh_recall_stats
 
     (d,) = _load(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(d, threshold=0.5).select(
-        F.col("doc_a"), F.col("doc_b")
-    )
-    cand = minhash_lsh_candidates(d).select(
-        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")
-    )
-    hit = exact.join(
-        cand, (exact.doc_a == cand.ca) & (exact.doc_b == cand.cb), "semi"
-    )
-    return (
-        exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-        .crossJoin(
-            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-        )
-        .crossJoin(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
-        .select(
-            "n_exact",
-            "n_candidates",
-            "n_hit",
-            F.round(
-                F.col("n_hit").cast("double") / F.col("n_exact").cast("double"), 6
-            ).alias("recall"),
-        )
-    )
+    return lsh_recall_stats(d, threshold=0.5)
 
 
 ORACLE_LSH_RECALL = _SHINGLE_CTE + """,

