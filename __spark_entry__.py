@@ -1962,9 +1962,18 @@ def q_docs_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id"),
         "doc_id",
     )
-    hashed = quality.withColumn("_h", F.sha2(F.col("text"), 256))
+    # hashed is referenced by BOTH the canonical agg and the keep join,
+    # and deduped by BOTH the contamination probe and the clean join —
+    # without materialization each reference re-runs the Python
+    # repetition_stats pass upstream (no common exchange for Catalyst to
+    # reuse: the agg shuffles on _h, the join on (_h, doc_id))
+    hashed = quality.withColumn("_h", F.sha2(F.col("text"), 256)).localCheckpoint(
+        eager=False
+    )
     canonical = hashed.groupBy("_h").agg(F.min("doc_id").alias("doc_id"))
-    deduped = hashed.join(canonical, ["_h", "doc_id"]).drop("_h")
+    deduped = (
+        hashed.join(canonical, ["_h", "doc_id"]).drop("_h").localCheckpoint(eager=False)
+    )
     bench = d.filter(F.col("doc_id") % 97 == 0)
     contam = ngram_contamination(deduped, bench, ngram=5)
     clean = deduped.join(
