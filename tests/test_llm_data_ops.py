@@ -51,6 +51,40 @@ def test_minhash_lsh_candidates_pairs_identical_docs(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_lsh_recall_stats_counts_and_recall(spark):
+    # two identical docs (exact pair + LSH collision) plus an unrelated
+    # doc: n_exact = n_hit = 1, recall = 1.0, and the candidate count
+    # matches the standalone LSH operator on the same corpus
+    df = _docs(
+        spark,
+        [(1, "w x y z"), (2, "w x y z"), (3, "entirely different words here")],
+    )
+    row = dedup.lsh_recall_stats(df, threshold=0.5).collect()[0]
+    n_cand = dedup.minhash_lsh_candidates(df).count()
+    assert (row["n_exact"], row["n_hit"]) == (1, 1)
+    assert row["n_candidates"] == n_cand
+    assert row["recall"] == 1.0
+
+
+def test_lsh_recall_stats_matches_naive_composition(spark):
+    # the shared-pass evaluator must agree with composing the exact and
+    # LSH operators independently on a mixed corpus (near-dups, exact
+    # dups, and unique docs)
+    docs = [(i, f"tok{i} a b c d e f") for i in range(8)]
+    docs += [(100, "a b c d e f g h"), (101, "a b c d e f g h"),
+             (102, "a b c d e f g x")]
+    df = _docs(spark, docs)
+    row = dedup.lsh_recall_stats(df, threshold=0.5).collect()[0]
+    exact = dedup.ngram_jaccard_pairs(df, threshold=0.5).select("doc_a", "doc_b")
+    cand = dedup.minhash_lsh_candidates(df)
+    hits = {(r["doc_a"], r["doc_b"]) for r in cand.collect()} & {
+        (r["doc_a"], r["doc_b"]) for r in exact.collect()
+    }
+    assert row["n_exact"] == exact.count()
+    assert row["n_candidates"] == cand.count()
+    assert row["n_hit"] == len(hits)
+
+
 def test_simhash_identical_docs_equal(spark):
     df = _docs(spark, [(1, "p q r"), (2, "p q r"), (3, "zz yy xx")])
     out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
