@@ -750,6 +750,27 @@ def test_minhash_estimate_no_resignature_of_cached_frame(spark, sf_dir, queries)
     assert "CartesianProduct" not in plan
 
 
+def test_lsh_recall_no_reshingle_of_checkpointed_frames(spark, sf_dir, queries):
+    plan = plan_of(queries["lsh_recall"](spark, sf_dir))
+    # one shingle+signature pass feeds both the exact self-join and the
+    # banding, and both derived pair frames are themselves materialized:
+    # the final stats plan reads only checkpointed RDDs — the Python
+    # producer must not appear (it would mean a consumer re-runs a pass)
+    assert "Scan ExistingRDD" in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_docs_curation_single_repetition_pass(spark, sf_dir, queries):
+    plan = plan_of(queries["docs_curation"](spark, sf_dir))
+    # hashed/deduped are localCheckpoint-ed, so the canonical agg, the
+    # keep join, the contamination probe, and the clean join all read
+    # materialized frames; the only Python nodes left are the single
+    # contamination shingle passes (deduped side + bench side)
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") <= 2
+
+
 def test_hll_by_group_no_cartesian_merge(spark, sf_dir, queries):
     from cherry_pipelines_spark.plans import plan_summary
 
