@@ -437,6 +437,32 @@ def decode_events_df(
     n_topics = len(topic_cols)
     has_dynamic = any(_is_dynamic(p.type) for p in sig.params)
 
+    def _assemble(pdf, good, value_of):
+        """Shared output-assembly epilogue for all three mapper closures:
+        ``good`` holds the surviving input row indices, ``value_of(name)``
+        the decoded values for those rows (1-D object ndarray, or None
+        when the column produced nothing this batch).  allow_decode_fail
+        keeps every input row (non-survivors get NULL decoded columns);
+        otherwise non-survivors are dropped."""
+        if allow_decode_fail:
+            base = pdf[list(passthrough)].reset_index(drop=True)
+            for name in decoded_names:
+                full = np.full(len(pdf), None, dtype=object)
+                if len(good):
+                    vals = value_of(name)
+                    if vals is not None:
+                        full[good] = vals
+                base[name] = pd.Series(full, dtype=object)
+        else:
+            base = pdf.iloc[good][list(passthrough)].reset_index(drop=True)
+            for name in decoded_names:
+                vals = value_of(name) if len(good) else None
+                base[name] = pd.Series(
+                    vals if vals is not None else np.array([], dtype=object),
+                    dtype=object,
+                )
+        return base
+
     def row_mapper(batches):
         # dynamic params (T[], bytes, string) are ragged — no fixed word
         # matrix exists, so decode per row with the COMPILED decoder
@@ -454,21 +480,16 @@ def decode_events_df(
                 )
                 for i in range(n)
             ]
-            if allow_decode_fail:
-                base = pdf[list(passthrough)].reset_index(drop=True)
-                for name in decoded_names:
-                    base[name] = pd.Series(
-                        [d.get(name) if d is not None else None for d in decoded],
-                        dtype=object,
-                    )
-            else:
-                good = [i for i, d in enumerate(decoded) if d is not None]
-                base = pdf.iloc[good][list(passthrough)].reset_index(drop=True)
-                for name in decoded_names:
-                    base[name] = pd.Series(
-                        [decoded[i].get(name) for i in good], dtype=object
-                    )
-            yield base
+            good = np.array(
+                [i for i, d in enumerate(decoded) if d is not None], dtype=np.int64
+            )
+            # _obj_array, not np.array: dynamic-signature values are
+            # lists, and equal-length lists would broadcast to 2-D
+            yield _assemble(
+                pdf,
+                good,
+                lambda name: _obj_array([decoded[i].get(name) for i in good]),
+            )
 
     # every supported ABI type is static (one 32-byte word), so the
     # decode is fully vectorizable: per batch, one byte matrix per word
@@ -592,19 +613,11 @@ def decode_events_df(
                     )
                     cols.update(_decode_matrix(p, m, fail))
             good = idx[~fail] if len(idx) else idx
-            if allow_decode_fail:
-                base = pdf[list(passthrough)].reset_index(drop=True)
-                for name in decoded_names:
-                    full = np.full(n, None, dtype=object)
-                    if len(good) and name in cols:
-                        full[good] = cols[name][~fail]
-                    base[name] = pd.Series(full, dtype=object)
-            else:
-                base = pdf.iloc[good][list(passthrough)].reset_index(drop=True)
-                for name in decoded_names:
-                    vals = cols[name][~fail] if len(good) else np.array([], object)
-                    base[name] = pd.Series(vals, dtype=object)
-            yield base
+            yield _assemble(
+                pdf,
+                good,
+                lambda name: cols[name][~fail] if name in cols else None,
+            )
 
     # Vectorized dynamic path: when every dynamic param is a uintN[]
     # array (the ERC-1155 TransferBatch shape — the only dynamic kind
@@ -749,28 +762,13 @@ def decode_events_df(
                 fail |= tail != dl
             good = idx[~fail] if r else idx
             keep = ~fail if r else np.zeros(0, dtype=bool)
-            if allow_decode_fail:
-                base = pdf[list(passthrough)].reset_index(drop=True)
-                for name in decoded_names:
-                    full = np.full(n, None, dtype=object)
-                    if len(good):
-                        if name in dyn_lists:
-                            full[good] = _obj_array(dyn_lists[name])[keep]
-                        elif name in cols:
-                            full[good] = cols[name][keep]
-                    base[name] = pd.Series(full, dtype=object)
-            else:
-                base = pdf.iloc[good][list(passthrough)].reset_index(drop=True)
-                for name in decoded_names:
-                    if len(good):
-                        if name in dyn_lists:
-                            vals = _obj_array(dyn_lists[name])[keep]
-                        else:
-                            vals = cols[name][keep]
-                    else:
-                        vals = np.array([], dtype=object)
-                    base[name] = pd.Series(vals, dtype=object)
-            yield base
+
+            def _dyn_value(name):
+                if name in dyn_lists:
+                    return _obj_array(dyn_lists[name])[keep]
+                return cols[name][keep] if name in cols else None
+
+            yield _assemble(pdf, good, _dyn_value)
 
     from cherry_pipelines_spark.operators.text import fan_out
 

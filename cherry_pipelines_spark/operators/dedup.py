@@ -379,23 +379,8 @@ def lsh_recall_stats(
     :func:`minhash_lsh_candidates`)."""
     ss = shingle_sets(df, text_col, ngram, k=k).localCheckpoint(eager=False)
     sh = ss.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    l, r = sh.hint("shuffle_hash").alias("l"), sh.hint("shuffle_hash").alias("r")
-    inter = (
-        l.join(
-            r,
-            (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .groupBy(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.n_sh").alias("size_a"),
-            F.col("r.n_sh").alias("size_b"),
-        )
-        .agg(F.count("*").cast("long").alias("n_common"))
-    )
     exact = (
-        _jaccard_tail(inter, threshold)
+        _jaccard_tail(_intersection_counts(sh), threshold)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
@@ -650,12 +635,21 @@ def ngram_jaccard_pairs(
     sh = _shingle_rows(df, text_col, ngram)
     if max_df is not None:
         sh = sh.join(_rare_shingles(sh, max_df), "shingle")
-    # shuffle-hash, not broadcast: the exploded shingle table is |docs|×
-    # |shingles/doc| rows — far over any broadcast threshold at scale,
-    # and the identical l/r subplans share one exchange.  No sort needed
-    # (sort-merge would add two).
+    return _jaccard_tail(_intersection_counts(sh), threshold)
+
+
+def _intersection_counts(sh: DataFrame) -> DataFrame:
+    """Pairwise shingle-intersection counts from ``(doc_id, n_sh,
+    shingle)`` rows — the self-join core shared by exact jaccard,
+    containment, and the LSH recall evaluator; emits ``(doc_a < doc_b,
+    size_a, size_b, n_common)``.
+
+    shuffle-hash, not broadcast: the exploded shingle table is |docs| ×
+    |shingles/doc| rows — far over any broadcast threshold at scale —
+    and the identical l/r subplans share one exchange (ReusedExchange).
+    No sort needed (sort-merge would add two)."""
     l, r = sh.hint("shuffle_hash").alias("l"), sh.hint("shuffle_hash").alias("r")
-    inter = (
+    return (
         l.join(
             r,
             (F.col("l.shingle") == F.col("r.shingle"))
@@ -669,7 +663,6 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count("*").cast("long").alias("n_common"))
     )
-    return _jaccard_tail(inter, threshold)
 
 
 def _rare_shingles(sh: DataFrame, max_df: int) -> DataFrame:
@@ -846,21 +839,7 @@ def containment_pairs(
     sh = _shingle_rows(df, text_col, ngram)
     if max_df is not None:
         sh = sh.join(_rare_shingles(sh, max_df), "shingle")
-    l, r = sh.hint("shuffle_hash").alias("l"), sh.hint("shuffle_hash").alias("r")
-    inter = (
-        l.join(
-            r,
-            (F.col("l.shingle") == F.col("r.shingle"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .groupBy(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.col("l.n_sh").alias("size_a"),
-            F.col("r.n_sh").alias("size_b"),
-        )
-        .agg(F.count("*").cast("long").alias("n_common"))
-    )
+    inter = _intersection_counts(sh)
     c_ab = F.round(
         F.col("n_common").cast("double") / F.col("size_a").cast("double"), 6
     )

@@ -50,10 +50,13 @@ def pagerank(
     # distinct/degree shuffles per round (measured: dominates the
     # 2-iteration runtime otherwise; storage is the edge list itself,
     # MEMORY_AND_DISK so an over-RAM graph spills rather than fails).
-    # Lifetime contract: the blocks are referenced only through this
-    # function's plan — once the caller's result frame is dropped the
-    # ContextCleaner reclaims them; long-lived sessions that hold many
-    # results should clearCache() between runs (bench.py does).
+    # Lifetime contract: DataFrame caches are held by the session's
+    # CacheManager until an explicit unpersist()/clearCache() — dropping
+    # the result frame reclaims NOTHING (unlike localCheckpoint blocks,
+    # whose RDDs the ContextCleaner does collect).  Callers in long-lived
+    # sessions must clearCache() between runs (bench.py does); the blocks
+    # are MEMORY_AND_DISK and LRU-evictable, so a leak degrades to disk
+    # pressure, never an OOM.
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
@@ -216,9 +219,11 @@ def label_propagation(
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
         # loop INVARIANT read every round — same lifetime contract as
-        # pagerank's edge cache above: blocks are reclaimed by the
-        # ContextCleaner once the caller drops the result frame;
-        # long-lived sessions clearCache() between runs (bench.py does)
+        # pagerank's edge cache above: held by the CacheManager until an
+        # explicit unpersist()/clearCache() (dropping the result frame
+        # reclaims nothing); long-lived sessions clearCache() between
+        # runs (bench.py does), and the LRU-evictable blocks degrade to
+        # recomputation, never an OOM
         .cache()
     )
     labels = und.select(F.col("u").alias("node")).distinct().select(

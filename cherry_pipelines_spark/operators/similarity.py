@@ -84,8 +84,15 @@ def round_half_up_np(x: "np.ndarray", scale: int) -> "np.ndarray":
     element: the fast path's scaling error is ~1 ulp of the SCALED
     value, so a fixed 1e-6 band is only valid up to |x|*10^s ~ 1e6 —
     scaling by ``np.spacing`` keeps the guard correct for arbitrary
-    magnitudes (round-6 advice).  inf/NaN pass through unchanged."""
-    from decimal import ROUND_HALF_UP, Decimal
+    magnitudes (round-6 advice).  The band is CAPPED below 0.5: once
+    ``ulp(|x|*10^s) >= 1`` (|x|*10^s >= 2^52) the scaled float is an
+    integer, the fractional part is exactly 0, and the fast path is
+    exact by construction — an uncapped band would instead sweep every
+    large element into the fallback.  The fallback itself quantizes
+    under a 60-digit local context: the default 28-digit context raises
+    ``InvalidOperation`` when coefficient digits exceed it (e.g.
+    ``x=1e22, scale=6`` needs 29).  inf/NaN pass through unchanged."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     pow10 = float(10**scale)
     quant = Decimal(1).scaleb(-scale)
@@ -94,14 +101,18 @@ def round_half_up_np(x: "np.ndarray", scale: int) -> "np.ndarray":
         fl = np.floor(ax)
         fast = np.sign(x) * np.floor(ax + 0.5) / pow10
         frac = ax - fl
-        band = np.maximum(1e-6, np.spacing(ax) * 4.0)
+        band = np.maximum(1e-6, np.minimum(np.spacing(ax) * 4.0, 0.4999))
         risky = np.abs(frac - 0.5) < band
     fast = np.where(np.isfinite(x), fast, x)
     if risky.any():
         xf = np.asarray(x, dtype=np.float64)
-        for i in np.nonzero(risky.ravel())[0]:
-            v = float(xf.flat[i])
-            fast.flat[i] = float(Decimal(repr(v)).quantize(quant, ROUND_HALF_UP))
+        with localcontext() as ctx:
+            ctx.prec = 60
+            for i in np.nonzero(risky.ravel())[0]:
+                v = float(xf.flat[i])
+                fast.flat[i] = float(
+                    Decimal(repr(v)).quantize(quant, ROUND_HALF_UP)
+                )
     return fast
 
 

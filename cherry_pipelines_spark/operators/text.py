@@ -46,10 +46,19 @@ def fan_out(df: DataFrame) -> DataFrame:
     file count is metadata-only.  A many-file scan is already parallel;
     a one-file fixture (or an in-memory frame, ``inputFiles() == []``)
     gets spread.  Worst case for the heuristic is one huge splittable
-    file, where the extra repartition is a small bounded shuffle."""
+    file, where the extra repartition is a small bounded shuffle.
+
+    An EXPLICIT upstream ``repartition`` wins over the file-count
+    heuristic: a caller that fanned out before an expensive synthesis
+    select still reads as a one-file scan here, and a second exchange
+    would shuffle the (much larger) synthesized rows for zero added
+    parallelism.  Detected from the analyzed logical plan (string scan,
+    metadata-only — same reason ``.rdd`` is avoided)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if files and len(files) >= max(2, target // 2):
+        return df
+    if "Repartition" in df._jdf.queryExecution().analyzed().toString():
         return df
     return df.repartition(target)
 

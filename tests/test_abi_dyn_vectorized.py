@@ -155,7 +155,11 @@ def test_vectorized_matches_row_path_adversarial(spark):
     # overflow element: ids[0] NULL, values[0] kept
     assert by_idx[15]["ids"] == [None]
     assert by_idx[15]["values"][0] is not None
-    assert by_idx[16]["ids"] == [9] or by_idx[16]["ids"] is not None
+    # asymmetric lengths decode exactly (the sole content check the
+    # fast==slow differential can't cover: a bounds bug shared by both
+    # paths would slip a purely-differential assert)
+    assert by_idx[16]["ids"] == [9]
+    assert by_idx[16]["values"] == [1, 2, 3]
     assert by_idx[14]["ids"] == []
 
 

@@ -608,6 +608,12 @@ def test_round_half_up_np_matches_spark_round(spark):
     vals += [0.1234565, -0.1234565, 0.9999995, -0.9999995, 0.0000005,
              -0.0000005, 0.5e-6, 1.0, -1.0, 0.0, 0.3499995, -0.3499995,
              0.35000049999, 123.4567895]
+    # large magnitudes: |x|*10^6 beyond 2^49 (ulp-band saturation zone),
+    # beyond 2^52 (scaled float is integral — fast path must stay exact
+    # AND vectorized), and 1e22 (28-digit-context InvalidOperation
+    # regression: the Decimal fallback needs a wider local context)
+    vals += [1e22, -1e22, 5.6e8 + 0.1234565, 4.5e9, -4.5e9,
+             9.007199254740993e8, 1.23456789e15, -1.23456789e15]
     df = spark.createDataFrame([(float(v),) for v in vals], "x double")
     expect = [r["r"] for r in df.select(F.round("x", 6).alias("r")).collect()]
     got = round_half_up_np(np.array(vals, dtype=np.float64), 6)
