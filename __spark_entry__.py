@@ -5222,7 +5222,8 @@ stats AS (
                         WHERE ca = e.doc_a AND cb = e.doc_b))::BIGINT AS n_hit
 )
 SELECT n_exact, n_candidates, n_hit,
-       round(n_hit::DOUBLE / n_exact::DOUBLE, 6) AS recall
+       CASE WHEN n_exact = 0 THEN 1.0
+            ELSE round(n_hit::DOUBLE / n_exact::DOUBLE, 6) END AS recall
 FROM stats
 """
 

@@ -400,9 +400,19 @@ def lsh_recall_stats(
             "n_exact",
             "n_candidates",
             "n_hit",
-            F.round(
-                F.col("n_hit").cast("double") / F.col("n_exact").cast("double"), 6
-            ).alias("recall"),
+            # n_exact == 0 would divide to NULL (non-ANSI Spark), which
+            # downstream tooling misreads as missing data — make the
+            # vacuous case explicit: no exact pairs to recall = 1.0
+            # (round-7 advice).
+            F.when(F.col("n_exact") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.col("n_hit").cast("double")
+                    / F.col("n_exact").cast("double"),
+                    6,
+                )
+            )
+            .alias("recall"),
         )
     )
 

@@ -91,7 +91,13 @@ def round_half_up_np(x: "np.ndarray", scale: int) -> "np.ndarray":
     large element into the fallback.  The fallback itself quantizes
     under a 60-digit local context: the default 28-digit context raises
     ``InvalidOperation`` when coefficient digits exceed it (e.g.
-    ``x=1e22, scale=6`` needs 29).  inf/NaN pass through unchanged."""
+    ``x=1e22, scale=6`` needs 29).  Once ``ulp(|x|*10^s) >= 1``
+    (|x|*10^s >= 2^52) the scaled float is already an integer, and
+    ``floor(ax + 0.5)`` must NOT be applied: ``ax + 0.5`` is not
+    representable there, and IEEE ties-to-even bumps every ODD scaled
+    integer in [2^52, 2^53) up by one (e.g. x=5718610970.946973,
+    scale=6) — the scaled value itself is used verbatim instead.
+    inf/NaN pass through unchanged."""
     from decimal import ROUND_HALF_UP, Decimal, localcontext
 
     pow10 = float(10**scale)
@@ -99,7 +105,11 @@ def round_half_up_np(x: "np.ndarray", scale: int) -> "np.ndarray":
     ax = np.abs(x) * pow10
     with np.errstate(invalid="ignore"):
         fl = np.floor(ax)
-        fast = np.sign(x) * np.floor(ax + 0.5) / pow10
+        # ulp >= 1 ⇒ ax is integral: use it directly; floor(ax+0.5)
+        # would round ties-to-even and corrupt odd integers in
+        # [2^52, 2^53) (round-7 advice).
+        scaled = np.where(np.spacing(ax) >= 1.0, ax, np.floor(ax + 0.5))
+        fast = np.sign(x) * scaled / pow10
         frac = ax - fl
         band = np.maximum(1e-6, np.minimum(np.spacing(ax) * 4.0, 0.4999))
         risky = np.abs(frac - 0.5) < band

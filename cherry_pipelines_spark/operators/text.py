@@ -14,6 +14,8 @@ what makes minhash/simhash oracle-checkable.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -52,15 +54,50 @@ def fan_out(df: DataFrame) -> DataFrame:
     heuristic: a caller that fanned out before an expensive synthesis
     select still reads as a one-file scan here, and a second exchange
     would shuffle the (much larger) synthesized rows for zero added
-    parallelism.  Detected from the analyzed logical plan (string scan,
-    metadata-only — same reason ``.rdd`` is avoided)."""
+    parallelism.  Detected from the analyzed logical plan tree
+    (metadata-only — same reason ``.rdd`` is avoided): node names are
+    matched at LINE STARTS of the tree rendering and the scan stops at
+    the first partitioning-collapsing operator (Aggregate/Join/Window/
+    Sort/...), so a Repartition buried below a shuffle — or the word
+    appearing inside a string literal mid-line — no longer counts
+    (round-7 advice)."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
     if files and len(files) >= max(2, target // 2):
         return df
-    if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+    if _has_live_repartition(df):
         return df
     return df.repartition(target)
+
+
+def _has_live_repartition(df: DataFrame) -> bool:
+    """True iff the analyzed logical plan carries a Repartition node
+    ABOVE the first operator that collapses partitioning — i.e. the
+    repartition's layout actually survives to this frame.  Perf-only
+    heuristic; under Spark Connect (no ``_jdf``) it returns False and
+    the caller falls back to its own repartition (safe: at most one
+    redundant bounded shuffle)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # pragma: no cover - Spark Connect / API drift
+        return False
+    # Tree lines look like "+- Repartition 32, true" / ":  +- Join ...";
+    # strip the box-drawing prefix and read the leading node name only,
+    # so literals inside Project/Filter expression lists never match.
+    stop = {
+        "Aggregate", "Join", "Window", "Sort", "Deduplicate",
+        "GlobalLimit", "Intersect", "Except", "Distinct",
+    }
+    for line in plan.splitlines():
+        m = re.match(r"^[\s:+|-]*'?([A-Za-z]+)", line)
+        if not m:
+            continue
+        name = m.group(1)
+        if name.startswith("Repartition"):  # Repartition / ...ByExpression
+            return True
+        if name in stop:
+            return False
+    return False
 
 
 def h32(col: Column) -> Column:

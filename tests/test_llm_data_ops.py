@@ -66,6 +66,19 @@ def test_lsh_recall_stats_counts_and_recall(spark):
     assert row["recall"] == 1.0
 
 
+def test_lsh_recall_stats_no_exact_pairs_recall_one(spark):
+    # zero exact pairs used to divide to NULL (non-ANSI Spark), which
+    # reads as missing data; the vacuous case is now explicit recall=1.0
+    # (round-7 advice)
+    df = _docs(
+        spark,
+        [(1, "alpha beta gamma delta"), (2, "entirely different words here")],
+    )
+    row = dedup.lsh_recall_stats(df, threshold=0.5).collect()[0]
+    assert row["n_exact"] == 0
+    assert row["recall"] == 1.0
+
+
 def test_lsh_recall_stats_matches_naive_composition(spark):
     # the shared-pass evaluator must agree with composing the exact and
     # LSH operators independently on a mixed corpus (near-dups, exact
@@ -165,6 +178,29 @@ def test_token_stats_and_quality(spark):
     assert q["n_tokens"] == 3
     assert float(q["stop_ratio"]) == round(1 / 3, 6)
     assert float(q["punct_ratio"]) == round(2 / 13, 6)
+
+
+def test_has_live_repartition_tree_anchored(spark):
+    """fan_out's repartition detection must read NODE names at tree-line
+    starts and stop at the first partitioning-collapsing operator — a
+    repartition buried below a groupBy, or the word 'Repartition' inside
+    a string literal, must NOT suppress the fan-out (round-7 advice)."""
+    from cherry_pipelines_spark.operators.text import _has_live_repartition
+
+    base = _docs(spark, [(1, "a b"), (2, "c d")])
+    # live repartition above (possibly through) narrow ops -> True
+    assert _has_live_repartition(base.repartition(4))
+    assert _has_live_repartition(
+        base.repartition(4).withColumn("n", F.length("text"))
+    )
+    # repartition BELOW an aggregation: layout collapsed -> False
+    agg = base.repartition(4).groupBy("doc_id").count()
+    assert not _has_live_repartition(agg)
+    # 'Repartition' appearing only inside a string literal -> False
+    lit = base.withColumn("note", F.lit("Repartition is a fine word"))
+    assert not _has_live_repartition(lit)
+    # plain scan -> False
+    assert not _has_live_repartition(base)
 
 
 def test_language_id_markers(spark):

@@ -614,6 +614,13 @@ def test_round_half_up_np_matches_spark_round(spark):
     # regression: the Decimal fallback needs a wider local context)
     vals += [1e22, -1e22, 5.6e8 + 0.1234565, 4.5e9, -4.5e9,
              9.007199254740993e8, 1.23456789e15, -1.23456789e15]
+    # scaled float an ODD integer in [2^52, 2^53): floor(ax+0.5) would
+    # tie-to-even up by 1; the ulp>=1 passthrough must keep these exact
+    # (round-7 advice).  5718610970.946973*1e6 is odd and in-octave.
+    vals += [5718610970.946973, -5718610970.946973,
+             np.nextafter(2.0**52, np.inf) / 1e6,   # 2^52+1 scaled
+             (2.0**53 - 1.0) / 1e6,                 # largest odd in octave
+             6755399441055747.0 / 1e6]              # arbitrary odd mid-octave
     df = spark.createDataFrame([(float(v),) for v in vals], "x double")
     expect = [r["r"] for r in df.select(F.round("x", 6).alias("r")).collect()]
     got = round_half_up_np(np.array(vals, dtype=np.float64), 6)
