@@ -620,24 +620,33 @@ def decode_events_df(
             )
 
     # Vectorized dynamic path: when every dynamic param is a uintN[]
-    # array (the ERC-1155 TransferBatch shape — the only dynamic kind
-    # the benchmark corpus carries), the canonical layout makes the
-    # ragged tails computable with offset-table arithmetic: tails are
-    # tightly packed in head order, so the expected offset / length /
-    # element positions of EVERY row are derivable with cumulative
-    # int64 vectors and one fancy-indexed byte gather per word source —
-    # no per-row Python.  Failure semantics are byte-identical to
-    # ``row_mapper`` (pinned by tests/test_abi_dyn_vectorized.py's
-    # differential suite): any structural violation (short data,
-    # non-canonical offset, out-of-bounds length, dirty padding, extra
-    # topic, trailing bytes) NULLs the whole row, while a wide-uint
-    # element above 10^38-1 NULLs only that ELEMENT.
-    dyn_arrays = [
-        (p, k, int(re.match(r"^uint(\d+)\[\]$", p.type).group(1)))
-        for p, src_, k in plan
-        if src_ == "d" and re.match(r"^uint(\d+)\[\]$", p.type)
-    ]
-    dyn_vectorizable = len(dyn_arrays) == sum(
+    # array (the ERC-1155 TransferBatch shape), a ``bytes`` blob, or a
+    # ``string``, the canonical layout makes the ragged tails computable
+    # with offset-table arithmetic: tails are tightly packed in head
+    # order, so the expected offset / length / element positions of
+    # EVERY row are derivable with cumulative int64 vectors and one
+    # fancy-indexed byte gather per word source — no per-row Python
+    # word walk (blob payload slicing and utf-8 validation are O(1)
+    # buffer ops per row, inherently per-value).  Failure semantics are
+    # byte-identical to ``row_mapper`` (pinned by
+    # tests/test_abi_dyn_vectorized.py's differential suite): any
+    # structural violation (short data, non-canonical offset,
+    # out-of-bounds length, dirty padding, extra topic, trailing bytes,
+    # invalid utf-8 in a string param) NULLs the whole row, while a
+    # wide-uint element above 10^38-1 NULLs only that ELEMENT.
+    # (pad-byte CONTENT of blob tails is deliberately unchecked — the
+    # row path accepts dirty blob padding, so the vectorized path must
+    # too.)
+    dyn_tails: list[tuple[EventParam, int, tuple]] = []
+    for p, src_, k in plan:
+        if src_ != "d" or not _is_dynamic(p.type):
+            continue
+        am = re.match(r"^uint(\d+)\[\]$", p.type)
+        if am:
+            dyn_tails.append((p, k, ("arr", int(am.group(1)))))
+        elif p.type in ("bytes", "string"):
+            dyn_tails.append((p, k, ("blob", p.type == "string")))
+    dyn_vectorizable = len(dyn_tails) == sum(
         1 for p in sig.params if _is_dynamic(p.type)
     )
     head_bytes = 32 * n_words
@@ -694,10 +703,9 @@ def decode_events_df(
                 dl = dlens[idx]
                 # one concatenated candidate buffer + 32 pad bytes so
                 # clipped reads for already-failed rows stay in bounds
-                buf = np.frombuffer(
-                    b"".join(bytes(data_arr[i]) for i in idx) + b"\0" * 32,
-                    np.uint8,
-                )
+                # (raw kept as bytes for O(1) blob payload slices)
+                raw = b"".join(bytes(data_arr[i]) for i in idx)
+                buf = np.frombuffer(raw + b"\0" * 32, np.uint8)
                 starts = np.zeros(r, dtype=np.int64)
                 if r > 1:
                     np.cumsum(dl[:-1], out=starts[1:])
@@ -715,13 +723,46 @@ def decode_events_df(
                         cols.update(_decode_matrix(p, m, fail))
                 # ragged tails, in declaration (== head) order
                 tail = np.full(r, head_bytes, dtype=np.int64)
-                for p, k, bits in dyn_arrays:
+                for p, k, kind in dyn_tails:
                     off_hi, off_lo = _be_u64(_gather32(buf, starts + 32 * k))
                     fail |= off_hi | (off_lo != tail.astype(np.uint64))
                     fail |= tail + 32 > dl
                     alive = ~fail
                     pos_ln = np.where(alive, starts + tail, pad_pos)
                     ln_hi, ln_lo = _be_u64(_gather32(buf, pos_ln))
+                    if kind[0] == "blob":
+                        # bytes/string tail: length word, then the
+                        # payload right-padded to a word boundary.  The
+                        # u64 length precheck is overflow-armor only —
+                        # ln > available payload implies the row path's
+                        # padded-bound check fails too (padded >= ln).
+                        is_str = kind[1]
+                        max_pl = np.maximum(dl - tail - 32, 0)
+                        fail |= alive & (
+                            ln_hi | (ln_lo > max_pl.astype(np.uint64))
+                        )
+                        ln = np.where(~fail, ln_lo, 0).astype(np.int64)
+                        padded = ((ln + 31) // 32) * 32
+                        fail |= tail + 32 + padded > dl
+                        ln = np.where(~fail, ln, 0)
+                        pl_start = starts + tail + 32
+                        tail = np.where(~fail, tail + 32 + padded, tail)
+                        vals: list = [None] * r
+                        for i in np.nonzero(~fail)[0]:
+                            a0 = int(pl_start[i])
+                            payload = raw[a0 : a0 + int(ln[i])]
+                            if is_str:
+                                try:
+                                    vals[i] = payload.decode("utf-8")
+                                except UnicodeDecodeError:
+                                    # row decoder NULLs the whole row on
+                                    # invalid utf-8 (decode()'s except)
+                                    fail[i] = True
+                            else:
+                                vals[i] = payload
+                        dyn_lists[p.name] = vals
+                        continue
+                    bits = kind[1]
                     max_ln = np.maximum((dl - tail - 32) // 32, 0)
                     fail |= alive & (ln_hi | (ln_lo > max_ln.astype(np.uint64)))
                     ln = np.where(~fail, ln_lo, 0).astype(np.int64)

@@ -1,11 +1,13 @@
-"""Differential suite for the VECTORIZED dynamic-array ABI decode path
-(``decode_events_df``'s ``mapper_dyn``): for uintN[]-only dynamic
-signatures, the offset-table numpy decoder must be byte-identical to
-the per-row reference decoder (``row_mapper``, pinned via
-``_force_row_path=True``) on well-formed AND adversarial payloads —
-short data, non-canonical / gapped / out-of-bounds offsets, oversized
-lengths, dirty element padding, >10^38-1 elements (element-NULL, row
-kept), missing / extra topics, NULL and empty data, trailing bytes."""
+"""Differential suite for the VECTORIZED dynamic ABI decode path
+(``decode_events_df``'s ``mapper_dyn``): for signatures whose dynamic
+params are uintN[] arrays, ``bytes`` blobs, or ``string``s, the
+offset-table numpy decoder must be byte-identical to the per-row
+reference decoder (``row_mapper``, pinned via ``_force_row_path=True``)
+on well-formed AND adversarial payloads — short data, non-canonical /
+gapped / out-of-bounds offsets, oversized lengths, dirty element
+padding, >10^38-1 elements (element-NULL, row kept), missing / extra
+topics, NULL and empty data, trailing bytes, invalid utf-8 in string
+params (row-NULL), dirty-but-accepted blob pad bytes."""
 
 from __future__ import annotations
 
@@ -251,16 +253,146 @@ def test_vectorized_fuzz_mutations(spark):
     _assert_paths_agree(spark, rows32, SIG_NO_TOPIC.replace("uint8", "uint32"))
 
 
-def test_bytes_string_signatures_still_use_row_path(spark):
-    # bytes/string dynamic params are NOT uintN[] — must fall back
-    rows = [
-        (0, _w(9), None, None,
-         _w(32) + _w(3) + b"abc" + bytes(29)),
-    ]
-    from cherry_pipelines_spark.functions.abi import decode_events_df
+SIG_URI = "URI(string value, uint256 indexed id)"
+SIG_MULTI = "Multi(bytes a, uint64 n, string b, uint32[] c)"
 
-    df = spark.createDataFrame(rows, _LOG_SCHEMA)
-    out = decode_events_df(
-        df, "Note(uint64 indexed id, string text)"
-    ).collect()
-    assert out[0]["text"] == "abc"
+
+def _enc_blob(payload: bytes, pad: bytes | None = None) -> bytes:
+    """Length word + payload right-padded to a word boundary.  ``pad``
+    overrides the zero padding (the ABI spec pads with zeros but
+    neither decode path checks pad CONTENT — dirty pads are accepted)."""
+    npad = (-len(payload)) % 32
+    return _w(len(payload)) + payload + (pad or bytes(npad))[:npad]
+
+
+def test_blob_vectorized_simple_string(spark):
+    blob = lambda *a, **kw: _w(32) + _enc_blob(*a, **kw)  # head offset + tail
+    rows = [
+        (0, _w(9), None, None, blob(b"abc")),
+        (1, _w(9), None, None, blob("héllo — ünïcode €🎈".encode())),
+        (2, _w(9), None, None, blob(b"")),
+        (3, _w(9), None, None, blob(b"\xff\xfe invalid utf8")),
+        (4, _w(9), None, None, blob(b"x" * 32)),  # exact word, no pad
+        (5, _w(9), None, None, blob(b"pad", pad=b"\xde\xad\xbe\xef" * 8)),
+    ]
+    out = _assert_paths_agree(spark, rows, SIG_URI)
+    by_idx = {r["log_index"]: r for r in out}
+    assert by_idx[0]["value"] == "abc"
+    assert by_idx[1]["value"] == "héllo — ünïcode €🎈"
+    assert by_idx[2]["value"] == ""
+    assert by_idx[3]["value"] is None  # invalid utf-8 -> row NULL
+    assert by_idx[4]["value"] == "x" * 32
+    # dirty pad bytes are accepted (neither path checks pad content)
+    assert by_idx[5]["value"] == "pad"
+    assert by_idx[0]["id"] == 9
+
+
+def test_blob_vectorized_adversarial(spark):
+    t = lambda i: _w(1000 + i)
+    ok = (
+        _w(32 * 4)                        # offset a
+        + _w(7)                           # n
+        + _w(32 * 4 + 32 * 2)             # offset b
+        + _w(32 * 4 + 32 * 2 + 32 * 2)    # offset c
+        + _enc_blob(b"\x00\x01\x02")      # a: 3 bytes
+        + _enc_blob("str".encode())       # b
+        + _enc_uint_arr([1, 2])           # c
+    )
+    rows = [
+        (0, None, None, None, ok),
+        # 1: blob length word larger than remaining data
+        (1, None, None, None,
+         _w(32 * 4) + _w(7) + _w(32 * 5 + 32) + _w(32 * 7 + 32)
+         + _w(2**40) + bytes(32) + _enc_blob(b"s") + _enc_uint_arr([])),
+        # 2: blob length high bytes set (>= 2^64)
+        (2, None, None, None,
+         _w(32 * 4) + _w(7) + _w(32 * 6) + _w(32 * 8)
+         + (b"\x01" + bytes(31)) + bytes(32)
+         + _enc_blob(b"s") + _enc_uint_arr([])),
+        # 3: payload needs pad the data doesn't have (truncated pad)
+        (3, None, None, None,
+         _w(32 * 4) + _w(7) + _w(32 * 5 + 1) + _w(32 * 7)
+         + _w(33) + b"y" * 33),
+        # 4: non-canonical blob offset (gap)
+        (4, None, None, None,
+         _w(32 * 5) + _w(7) + _w(32 * 5 + 32 * 2) + _w(32 * 5 + 32 * 4)
+         + _w(0) + _enc_blob(b"abc") + _enc_blob(b"s") + _enc_uint_arr([1])),
+        # 5: trailing garbage after last tail
+        (5, None, None, None, ok + b"\x01"),
+        # 6: invalid utf-8 ONLY in the string param — row NULL, and the
+        #    already-decoded bytes param must not leak through
+        (6, None, None, None,
+         _w(32 * 4) + _w(7) + _w(32 * 6) + _w(32 * 8)
+         + _enc_blob(b"fine") + _enc_blob(b"\xed\xa0\x80")
+         + _enc_uint_arr([3])),
+        # 7: empty everything (canonical)
+        (7, None, None, None,
+         _w(32 * 4) + _w(7) + _w(32 * 5) + _w(32 * 6)
+         + _enc_blob(b"") + _enc_blob(b"") + _enc_uint_arr([])),
+    ]
+    out = _assert_paths_agree(spark, rows, SIG_MULTI)
+    by_idx = {r["log_index"]: r for r in out}
+    assert by_idx[0]["a"] == bytearray(b"\x00\x01\x02")
+    assert by_idx[0]["b"] == "str"
+    assert by_idx[0]["c"] == [1, 2]
+    assert by_idx[0]["n"] == 7
+    for i in (1, 2, 3, 4, 5, 6):
+        assert by_idx[i]["a"] is None, f"row {i}"
+        assert by_idx[i]["b"] is None, f"row {i}"
+    assert by_idx[7]["a"] == bytearray(b"")
+    assert by_idx[7]["b"] == ""
+    assert by_idx[7]["c"] == []
+
+
+def test_blob_vectorized_fuzz_mutations(spark):
+    """Seeded fuzz over the mixed blob+array signature: random payload
+    sizes (incl. word-boundary straddlers and multi-word blobs) with
+    structural mutations — both decode paths must agree row-for-row."""
+    rng = random.Random(0x517)
+    rows = []
+    for i in range(400):
+        na = rng.randrange(0, 70)
+        nb = rng.randrange(0, 70)
+        k = rng.randrange(0, 4)
+        a = bytes(rng.randrange(256) for _ in range(na))
+        # bias toward VALID utf-8 (ascii) with occasional raw bytes
+        b = (
+            bytes(rng.randrange(32, 127) for _ in range(nb))
+            if rng.random() < 0.7
+            else bytes(rng.randrange(256) for _ in range(nb))
+        )
+        c = [rng.randrange(0, 2**32) for _ in range(k)]
+        ta = _enc_blob(a)
+        tb = _enc_blob(b)
+        tc = _enc_uint_arr(c)
+        off_a = 32 * 4
+        data = bytearray(
+            _w(off_a) + _w(i) + _w(off_a + len(ta)) + _w(off_a + len(ta) + len(tb))
+            + ta + tb + tc
+        )
+        mut = rng.randrange(8)
+        if mut == 0 and data:
+            p = rng.randrange(len(data))
+            data[p] ^= 1 << rng.randrange(8)
+        elif mut == 1 and data:
+            data = data[: rng.randrange(len(data))]
+        elif mut == 2:
+            data += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+        elif mut == 3:  # perturb blob-a offset
+            data[31] ^= 0xFF
+        elif mut == 4:  # perturb blob-a length word
+            data[off_a + 31] ^= rng.randrange(1, 256)
+        elif mut == 5:  # high byte in blob-b length word
+            data[off_a + len(ta)] = 0x01
+        # mut in (6, 7): leave well-formed
+        rows.append((i, None, None, None, bytes(data)))
+    _assert_paths_agree(spark, rows, SIG_MULTI)
+
+
+def test_string_first_dynamic_with_indexed(spark):
+    # URI(string value, uint256 indexed id): indexed param decodes from
+    # topic1 even though it is declared AFTER the dynamic param
+    rows = [(0, _w(77), None, None, _w(32) + _enc_blob(b"ipfs://x"))]
+    out = _assert_paths_agree(spark, rows, SIG_URI)
+    assert out[0]["value"] == "ipfs://x"
+    assert out[0]["id"] == 77
