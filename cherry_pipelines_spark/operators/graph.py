@@ -29,12 +29,35 @@ from pyspark.sql import functions as F
 _CHECKPOINT_EVERY = 5
 
 
+def _pin(df: DataFrame, materialize: str) -> DataFrame:
+    """Materialize a loop-invariant frame under the caller-chosen
+    lifetime policy:
+
+    * ``"cache"`` (default) — fastest re-reads, but the blocks are held
+      by the session's CacheManager until an explicit ``unpersist()`` /
+      ``clearCache()``; dropping the result frame reclaims nothing.
+      Right for benchmark-style sessions that clear between runs.
+    * ``"checkpoint"`` — ``localCheckpoint``: blocks are owned by the
+      RDD, so the ContextCleaner reclaims them once the result frame is
+      garbage-collected.  Right for long-lived library sessions where a
+      forgotten ``clearCache()`` would leak storage until LRU eviction
+      (round-7 advice)."""
+    if materialize == "cache":
+        return df.cache()
+    if materialize == "checkpoint":
+        return df.localCheckpoint(eager=False)
+    raise ValueError(
+        f"materialize must be 'cache' or 'checkpoint', got {materialize!r}"
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 2,
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    materialize: str = "cache",
 ) -> DataFrame:
     """PageRank over a directed edge list (duplicate edges count once).
 
@@ -42,6 +65,9 @@ def pagerank(
     destination, after ``iters`` rounds of
     ``rank = round((1-d)/N + d * Σ_in round(rank_src/deg_src, 9), 9)``
     starting from the uniform ``round(1/N, 9)``.
+
+    ``materialize`` picks the loop-invariant storage policy — see
+    :func:`_pin`.
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
@@ -54,25 +80,25 @@ def pagerank(
     # CacheManager until an explicit unpersist()/clearCache() — dropping
     # the result frame reclaims NOTHING (unlike localCheckpoint blocks,
     # whose RDDs the ContextCleaner does collect).  Callers in long-lived
-    # sessions must clearCache() between runs (bench.py does); the blocks
-    # are MEMORY_AND_DISK and LRU-evictable, so a leak degrades to disk
-    # pressure, never an OOM.
-    e = (
+    # sessions must clearCache() between runs (bench.py does) or pass
+    # materialize="checkpoint"; the blocks are MEMORY_AND_DISK and
+    # LRU-evictable, so a leak degrades to disk pressure, never an OOM.
+    e = _pin(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .cache()
+        .distinct(),
+        materialize,
     )
-    nodes = (
+    nodes = _pin(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .cache()
+        .distinct(),
+        materialize,
     )
     deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
     # the degree join is loop-INVARIANT too: attach it to the edge list
-    # once and cache the combined (src, dst, deg) relation, instead of
+    # once and pin the combined (src, dst, deg) relation, instead of
     # re-joining deg inside every iteration
-    e_deg = e.join(deg, "src").cache()
+    e_deg = _pin(e.join(deg, "src"), materialize)
     n_row = nodes.agg(F.count("*").cast("long").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node",
@@ -184,6 +210,7 @@ def label_propagation(
     iters: int = 2,
     src_col: str = "src",
     dst_col: str = "dst",
+    materialize: str = "cache",
 ) -> DataFrame:
     """Community detection by synchronous label propagation over an
     UNDIRECTED edge list: every node starts as its own label; each
@@ -218,14 +245,12 @@ def label_propagation(
         )
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
-        # loop INVARIANT read every round — same lifetime contract as
-        # pagerank's edge cache above: held by the CacheManager until an
-        # explicit unpersist()/clearCache() (dropping the result frame
-        # reclaims nothing); long-lived sessions clearCache() between
-        # runs (bench.py does), and the LRU-evictable blocks degrade to
-        # recomputation, never an OOM
-        .cache()
     )
+    # loop INVARIANT read every round — same lifetime contract as
+    # pagerank's edge pin above (see _pin): default cache is held by
+    # the CacheManager until clearCache(); materialize="checkpoint"
+    # hands the blocks to the ContextCleaner instead
+    und = _pin(und, materialize)
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -504,7 +504,15 @@ def quantized_cosine_topk(
             if parts:
                 yield pd.concat(parts, ignore_index=True)
 
-    cz = quantize_embeddings(corpus, vec_col, id_col).select(id_col, "qvec")
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    # a single-file corpus arrives as ONE partition, which would
+    # serialize the whole GEMM pass through one Python worker — spread
+    # it first (no-op on already-parallel inputs; measured 1.15→0.85 s
+    # at sf0.1 on local[32])
+    cz = quantize_embeddings(fan_out(corpus), vec_col, id_col).select(
+        id_col, "qvec"
+    )
     scored = cz.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("qcos").desc_nulls_last(), F.col("neighbor_id")

@@ -184,6 +184,53 @@ def test_pagerank_dedupes_edges_and_validates(spark):
         pagerank(uniq, iters=0)
 
 
+def test_graph_materialize_checkpoint_lifetime(spark):
+    """materialize="checkpoint" must (a) produce identical results to
+    the default cache policy and (b) register NOTHING in the session's
+    CacheManager — the round-7 footgun was a library caller inheriting
+    session-lifetime cache blocks without knowing the clearCache()
+    contract."""
+    import pytest
+
+    from cherry_pipelines_spark.operators.graph import (
+        label_propagation,
+        pagerank,
+    )
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()
+
+    pr_ck = {
+        (r["node"], r["rank"])
+        for r in pagerank(df, iters=2, materialize="checkpoint").collect()
+    }
+    lp_ck = {
+        (r["node"], r["label"])
+        for r in label_propagation(
+            df, iters=2, materialize="checkpoint"
+        ).collect()
+    }
+    assert cm.isEmpty()  # nothing leaked into the CacheManager
+
+    pr_c = {
+        (r["node"], r["rank"]) for r in pagerank(df, iters=2).collect()
+    }
+    lp_c = {
+        (r["node"], r["label"])
+        for r in label_propagation(df, iters=2).collect()
+    }
+    assert not cm.isEmpty()  # default policy does cache (and is cleared)
+    spark.catalog.clearCache()
+
+    assert pr_ck == pr_c
+    assert lp_ck == lp_c
+
+    with pytest.raises(ValueError):
+        pagerank(df, iters=1, materialize="spill")
+
+
 def test_semantic_dedup_drops_higher_id_of_near_pair(spark):
     from cherry_pipelines_spark.operators.clustering import semantic_dedup
 
