@@ -8,7 +8,12 @@ scan→decode→reshape→write path the reference runs in production, i.e.
 the number to hold against the reference's single-node ingestion
 throughput.
 
-Usage:  python scripts/pipeline_bench.py [n_slots]   (default 20000)
+Usage:  python scripts/pipeline_bench.py [n_slots] [out.json]
+        (default 20000 slots; the JSON line is also written to
+        PIPEBENCH.json at the repo root — pass an explicit second arg
+        for the round-stamped PIPEBENCH_rN.json artifact so composed
+        scan→decode→reshape→write regressions stay machine-visible
+        round-over-round, not just prose in SCALE.md)
 """
 
 from __future__ import annotations
@@ -127,16 +132,22 @@ def main() -> None:
             "slots_per_sec": round(n_price_slots / el),
         }
 
-        print(
-            json.dumps(
-                {
-                    "n_slots": n_slots,
-                    "gen_sec": round(gen_s, 1),
-                    "instructions": n_instructions,
-                    "pipelines": results,
-                }
-            )
+        payload = {
+            "n_slots": n_slots,
+            "gen_sec": round(gen_s, 1),
+            "instructions": n_instructions,
+            "pipelines": results,
+        }
+        print(json.dumps(payload))
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out_path = (
+            sys.argv[2]
+            if len(sys.argv) > 2
+            else os.path.join(repo_root, "PIPEBENCH.json")
         )
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
