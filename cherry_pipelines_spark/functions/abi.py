@@ -22,9 +22,11 @@ refused (on-chain they are keccak digests, unrecoverable).
 The hot path is :func:`decode_events_df`, which builds an Arrow-batched
 ``mapInPandas`` over the logs table — Python runs only on the byte
 blobs, everything before/after stays JVM-side.  All-static signatures
-decode as vectorized numpy word matrices; a dynamic param switches that
-signature to a per-row tail walk (ragged layouts have no fixed matrix),
-still inside the same Arrow batches.
+decode as vectorized numpy word matrices; dynamic signatures decode
+vectorized too (cumulative-offset tail arithmetic + fancy-indexed byte
+gathers — the canonical tightly-packed layout makes every position
+derivable without a per-row walk), with the per-row tail walk kept as
+the differential-pinned reference path.
 """
 
 from __future__ import annotations
@@ -150,6 +152,11 @@ def _decode_word(abi_type: str, word: bytes):
             # wide uint → Decimal(38,0), overflow→NULL, raw preserved
             return (Decimal(v) if v <= _DEC38_MAX else None), word
         v = int.from_bytes(word, "big", signed=True)
+        # the spec sign-extends intN to 32 bytes; a word outside the
+        # declared range is an invalid encoding (and would otherwise
+        # crash the Arrow long conversion instead of NULLing the row)
+        if bits < 256 and not (-(1 << (bits - 1)) <= v < (1 << (bits - 1))):
+            raise ValueError("dirty int padding")
         if bits <= 64:
             return v, None
         return (Decimal(v) if abs(v) <= _DEC38_MAX else None), word
@@ -262,8 +269,12 @@ def _word_decoder(abi_type: str):
 
             return dec_uint
 
+        lo_b, hi_b = -(1 << (bits - 1)), 1 << (bits - 1)
+
         def dec_int(word: bytes):
             v = int.from_bytes(word, "big", signed=True)
+            if bits < 256 and not (lo_b <= v < hi_b):
+                raise ValueError("dirty int padding")
             if bits <= 64:
                 return v, None
             return (Decimal(v) if abs(v) <= _DEC38_MAX else None), word
@@ -394,6 +405,88 @@ def _compile_row_decoder(sig: EventSignature):
 
 
 _DECODER_CACHE: dict[EventSignature, "object"] = {}
+
+
+def _vec_elem_decoder(base: str):
+    """Vectorized element decoder for a ``T[]`` tail: maps an (e, 32)
+    uint8 word matrix to ``(elements list, per-element row-fail mask or
+    None)``.  Value semantics are exactly :func:`_word_decoder`'s for
+    ``base``; ``bad`` marks elements whose decode would RAISE there
+    (dirty padding — a ROW-level failure).  Returns None for an
+    unsupported base (caller falls back to the per-row path)."""
+    if base == "address":
+
+        def dec_addr(w):
+            return [bytes(row[12:]) for row in w], w[:, :12].any(axis=1)
+
+        return dec_addr
+    if base == "bool":
+        return lambda w: ((w[:, 31] != 0).tolist(), None)
+    m = re.match(r"^(u?)int(\d+)$", base)
+    if m and m.group(1) == "u":
+        bits = int(m.group(2))
+        lead = 32 - bits // 8
+
+        def dec_uint(w):
+            bad = w[:, :lead].any(axis=1) if lead else None
+            if bits <= 32:
+                elems = (
+                    np.ascontiguousarray(w[:, 28:32]).view(">u4").ravel()
+                    .astype(np.int64).tolist()
+                )
+            else:
+                wb = w.tobytes()
+                elems = [None] * w.shape[0]
+                for i in range(w.shape[0]):
+                    v = int.from_bytes(wb[32 * i : 32 * i + 32], "big")
+                    if v <= _DEC38_MAX:
+                        elems[i] = Decimal(v)
+            return elems, bad
+
+        return dec_uint
+    if m:
+        bits = int(m.group(2))
+        if bits <= 64:
+            lo_b, hi_b = -(1 << (bits - 1)), 1 << (bits - 1)
+
+            def dec_int(w):
+                # intN must arrive sign-extended to 32 bytes (see
+                # _decode_word): the top 24 bytes must replicate the
+                # sign of the low i8 word AND the value must fit the
+                # declared width — anything else is dirty int padding
+                # (row fail)
+                lo = np.ascontiguousarray(w[:, 24:32]).view(">i8").ravel()
+                hi = w[:, :24]
+                conform = (~hi.any(axis=1) & (lo >= 0)) | (
+                    (hi == 0xFF).all(axis=1) & (lo < 0)
+                )
+                if bits < 64:
+                    conform &= (lo >= lo_b) & (lo < hi_b)
+                return lo.tolist(), ~conform
+
+            return dec_int
+
+        lo_b, hi_b = -(1 << (bits - 1)), 1 << (bits - 1)
+
+        def dec_int_wide(w):
+            wb = w.tobytes()
+            e = w.shape[0]
+            elems = [None] * e
+            bad = np.zeros(e, dtype=bool)
+            for i in range(e):
+                v = int.from_bytes(wb[32 * i : 32 * i + 32], "big", signed=True)
+                if bits < 256 and not (lo_b <= v < hi_b):
+                    bad[i] = True  # dirty int padding
+                elif abs(v) <= _DEC38_MAX:
+                    elems[i] = Decimal(v)
+            return elems, bad
+
+        return dec_int_wide
+    bm = re.match(r"^bytes(\d+)$", base)
+    if bm:
+        nb = int(bm.group(1))
+        return lambda w: ([bytes(row[:nb]) for row in w], None)
+    return None
 
 
 def decode_event_row(
@@ -544,9 +637,12 @@ def decode_events_df(
                         [bytes(row) for row in m], dtype=object
                     )
             else:
+                lo_b, hi_b = -(1 << (bits - 1)), 1 << (bits - 1)
                 vals = np.empty(r, dtype=object)
                 for i in range(r):
                     v = int.from_bytes(bytes(m[i]), "big", signed=True)
+                    if bits < 256 and not (lo_b <= v < hi_b):
+                        fail[i] = True  # dirty int padding
                     vals[i] = v if bits <= 64 else (
                         Decimal(v) if abs(v) <= _DEC38_MAX else None
                     )
@@ -619,33 +715,34 @@ def decode_events_df(
                 lambda name: cols[name][~fail] if name in cols else None,
             )
 
-    # Vectorized dynamic path: when every dynamic param is a uintN[]
-    # array (the ERC-1155 TransferBatch shape), a ``bytes`` blob, or a
-    # ``string``, the canonical layout makes the ragged tails computable
-    # with offset-table arithmetic: tails are tightly packed in head
-    # order, so the expected offset / length / element positions of
-    # EVERY row are derivable with cumulative int64 vectors and one
-    # fancy-indexed byte gather per word source — no per-row Python
-    # word walk (blob payload slicing and utf-8 validation are O(1)
-    # buffer ops per row, inherently per-value).  Failure semantics are
-    # byte-identical to ``row_mapper`` (pinned by
+    # Vectorized dynamic path: for every supported dynamic kind —
+    # ``T[]`` of any static base, ``bytes``, ``string`` — the canonical
+    # layout makes the ragged tails computable with offset-table
+    # arithmetic: tails are tightly packed in head order, so the
+    # expected offset / length / element positions of EVERY row are
+    # derivable with cumulative int64 vectors and one fancy-indexed
+    # byte gather per word source — no per-row Python word walk (blob
+    # payload slicing, utf-8 validation, and wide-element Decimal
+    # construction are inherently per-value and stay so).  Failure
+    # semantics are byte-identical to ``row_mapper`` (pinned by
     # tests/test_abi_dyn_vectorized.py's differential suite): any
     # structural violation (short data, non-canonical offset,
     # out-of-bounds length, dirty padding, extra topic, trailing bytes,
     # invalid utf-8 in a string param) NULLs the whole row, while a
-    # wide-uint element above 10^38-1 NULLs only that ELEMENT.
+    # wide-int element beyond ±(10^38-1) NULLs only that ELEMENT.
     # (pad-byte CONTENT of blob tails is deliberately unchecked — the
     # row path accepts dirty blob padding, so the vectorized path must
-    # too.)
+    # too.)  ``row_mapper`` remains as the pinned reference path.
     dyn_tails: list[tuple[EventParam, int, tuple]] = []
     for p, src_, k in plan:
         if src_ != "d" or not _is_dynamic(p.type):
             continue
-        am = re.match(r"^uint(\d+)\[\]$", p.type)
-        if am:
-            dyn_tails.append((p, k, ("arr", int(am.group(1)))))
-        elif p.type in ("bytes", "string"):
+        if p.type in ("bytes", "string"):
             dyn_tails.append((p, k, ("blob", p.type == "string")))
+            continue
+        elem_dec = _vec_elem_decoder(p.type[:-2])
+        if elem_dec is not None:
+            dyn_tails.append((p, k, ("arr", elem_dec)))
     dyn_vectorizable = len(dyn_tails) == sum(
         1 for p in sig.params if _is_dynamic(p.type)
     )
@@ -762,7 +859,7 @@ def decode_events_df(
                                 vals[i] = payload
                         dyn_lists[p.name] = vals
                         continue
-                    bits = kind[1]
+                    elem_dec = kind[1]
                     max_ln = np.maximum((dl - tail - 32) // 32, 0)
                     fail |= alive & (ln_hi | (ln_lo > max_ln.astype(np.uint64)))
                     ln = np.where(~fail, ln_lo, 0).astype(np.int64)
@@ -774,26 +871,12 @@ def decode_events_df(
                         j = np.arange(e) - np.repeat(bounds - ln, ln)
                         pos_e = np.repeat(elem_start, ln) + 32 * j
                         w = _gather32(buf, pos_e)
-                        lead = 32 - bits // 8
-                        if lead:
-                            bad = w[:, :lead].any(axis=1)
-                            if bad.any():
-                                row_rep = np.repeat(np.arange(r), ln)
-                                fail |= np.bincount(
-                                    row_rep[bad], minlength=r
-                                ).astype(bool)
-                        if bits <= 32:
-                            elems = (
-                                np.ascontiguousarray(w[:, 28:32])
-                                .view(">u4").ravel().astype(np.int64).tolist()
-                            )
-                        else:
-                            wb = w.tobytes()
-                            elems = [None] * e
-                            for i in range(e):
-                                v = int.from_bytes(wb[32 * i : 32 * i + 32], "big")
-                                if v <= _DEC38_MAX:
-                                    elems[i] = Decimal(v)
+                        elems, bad = elem_dec(w)
+                        if bad is not None and bad.any():
+                            row_rep = np.repeat(np.arange(r), ln)
+                            fail |= np.bincount(
+                                row_rep[bad], minlength=r
+                            ).astype(bool)
                     else:
                         elems = []
                     lo_b = np.concatenate(([0], bounds[:-1]))

@@ -389,6 +389,108 @@ def test_blob_vectorized_fuzz_mutations(spark):
     _assert_paths_agree(spark, rows, SIG_MULTI)
 
 
+SIG_TYPED_ARRS = (
+    "Typed(address[] owners, bool[] flags, int64 base, int32[] deltas, "
+    "int256[] wide, bytes4[] sels)"
+)
+
+
+def _w_signed(v: int) -> bytes:
+    return int(v).to_bytes(32, "big", signed=True)
+
+
+def test_typed_array_elements_vectorized(spark):
+    """address[] / bool[] / intN[] / bytesN[] tails: the generic
+    element decoder must match the per-row path — including dirty
+    address padding (row fail), dirty int padding (a non-sign-extended
+    intN word is an invalid encoding → row fail, NOT an Arrow crash),
+    and ±(10^38-1) wide-int element NULLs."""
+    addr = lambda i: bytes(12) + bytes([i]) * 20
+    own = [addr(1), addr(2)]
+    t_own = _w(2) + b"".join(own)
+    t_flg = _w(3) + _w(1) + _w(0) + _w(1)
+    t_dlt = _w(2) + _w_signed(-5) + _w_signed(9)
+    t_wid = _w(3) + _w_signed(-(10**38)) + _w_signed(10**38 - 1) + _w_signed(-1)
+    t_sel = _w(1) + b"\xde\xad\xbe\xef".ljust(32, b"\0")
+    h = 32 * 6  # 5 dynamic offsets + 1 static head word
+    o = [h]
+    for t in (t_own, t_flg, t_dlt, t_wid):
+        o.append(o[-1] + len(t))
+    ok = (
+        _w(o[0]) + _w(o[1]) + _w_signed(-7) + _w(o[2]) + _w(o[3]) + _w(o[4])
+        + t_own + t_flg + t_dlt + t_wid + t_sel
+    )
+    # dirty address padding in owners[1] -> row fails
+    own_dirty = _w(2) + own[0] + (b"\x01" + bytes(11) + bytes(20))
+    dirty = (
+        _w(o[0]) + _w(o[1]) + _w_signed(-7) + _w(o[2]) + _w(o[3]) + _w(o[4])
+        + own_dirty + t_flg + t_dlt + t_wid + t_sel
+    )
+    # non-sign-extended int32 element (full-word value 2^40): dirty int
+    # padding -> row fails on BOTH paths
+    t_dlt_big = _w(2) + _w(2**40) + _w_signed(-1)
+    ok2 = (
+        _w(o[0]) + _w(o[1]) + _w_signed(-7) + _w(o[2]) + _w(o[3]) + _w(o[4])
+        + t_own + t_flg + t_dlt_big + t_wid + t_sel
+    )
+    rows = [
+        (0, None, None, None, ok),
+        (1, None, None, None, dirty),
+        (2, None, None, None, ok2),
+    ]
+    out = _assert_paths_agree(spark, rows, SIG_TYPED_ARRS)
+    by_idx = {r["log_index"]: r for r in out}
+    assert [bytes(a) for a in by_idx[0]["owners"]] == [a[12:] for a in own]
+    assert by_idx[0]["flags"] == [True, False, True]
+    assert by_idx[0]["base"] == -7
+    assert by_idx[0]["deltas"] == [-5, 9]
+    import decimal
+
+    assert by_idx[0]["wide"] == [
+        None,  # -(10**38) overflows Decimal(38,0) -> element NULL
+        decimal.Decimal(10**38 - 1),
+        decimal.Decimal(-1),
+    ]
+    assert [bytes(s) for s in by_idx[0]["sels"]] == [b"\xde\xad\xbe\xef"]
+    assert by_idx[1]["owners"] is None  # dirty address padding
+    assert by_idx[2]["deltas"] is None  # dirty int padding
+    assert by_idx[2]["owners"] is None
+
+
+def test_typed_array_fuzz_mutations(spark):
+    rng = random.Random(0xBEEF)
+    rows = []
+    for i in range(300):
+        n1, n2, n3 = (rng.randrange(0, 4) for _ in range(3))
+        t1 = _w(n1) + b"".join(
+            (bytes(12) if rng.random() < 0.8 else b"\x01" + bytes(11))
+            + bytes(rng.randrange(256) for _ in range(20))
+            for _ in range(n1)
+        )
+        t2 = _w(n2) + b"".join(
+            _w_signed(rng.randrange(-(2**63), 2**63)) for _ in range(n2)
+        )
+        t3 = _w(n3) + b"".join(
+            _w_signed(rng.randrange(-(10**39), 10**39)) for _ in range(n3)
+        )
+        h = 32 * 3
+        data = bytearray(
+            _w(h) + _w(h + len(t1)) + _w(h + len(t1) + len(t2)) + t1 + t2 + t3
+        )
+        mut = rng.randrange(6)
+        if mut == 0 and data:
+            data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+        elif mut == 1 and data:
+            data = data[: rng.randrange(len(data))]
+        elif mut == 2:
+            data += bytes(rng.randrange(256) for _ in range(rng.randrange(1, 40)))
+        # mut >= 3: well-formed
+        rows.append((i, None, None, None, bytes(data)))
+    _assert_paths_agree(
+        spark, rows, "T3(address[] a, int64[] b, int256[] c)"
+    )
+
+
 def test_string_first_dynamic_with_indexed(spark):
     # URI(string value, uint256 indexed id): indexed param decodes from
     # topic1 even though it is declared AFTER the dynamic param

@@ -252,3 +252,38 @@ def test_uint256_boundary_straddle():
     over = decode_event_row(sig, [None], _u256(10**38))
     assert over["amount"] is None
     assert over["amount_raw"] == _u256(10**38)
+
+
+def test_dirty_int_padding_rejected(spark):
+    """A non-sign-extended intN word is an invalid encoding: the row
+    must decode to NULL on the per-row path AND on the static matrix
+    path — without this check the out-of-range python int crashed the
+    whole job at the Arrow long conversion (allow_decode_fail broken
+    for hostile payloads)."""
+    sig = parse_event_signature("S(int32 a, int64 b)")
+    ok = (-5).to_bytes(32, "big", signed=True) + (9).to_bytes(32, "big", signed=True)
+    # a = 2^40: fits int64 but not int32 -> dirty
+    dirty_a = (2**40).to_bytes(32, "big") + (9).to_bytes(32, "big", signed=True)
+    # b = 2^64: top bytes not a sign extension of the low word -> dirty
+    dirty_b = (-5).to_bytes(32, "big", signed=True) + (2**64).to_bytes(32, "big")
+    assert decode_event_row(sig, [None], ok) == {"a": -5, "b": 9}
+    assert decode_event_row(sig, [None], dirty_a) is None
+    assert decode_event_row(sig, [None], dirty_b) is None
+    # static matrix path agrees
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("topic1", T.BinaryType()),
+            T.StructField("topic2", T.BinaryType()),
+            T.StructField("topic3", T.BinaryType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, None, None, None, ok), (1, None, None, None, dirty_a),
+         (2, None, None, None, dirty_b)],
+        schema,
+    )
+    out = {r["i"]: (r["a"], r["b"]) for r in
+           decode_events_df(df, "S(int32 a, int64 b)").collect()}
+    assert out == {0: (-5, 9), 1: (None, None), 2: (None, None)}
