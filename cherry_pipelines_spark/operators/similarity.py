@@ -158,7 +158,14 @@ def cosine_topk(
     scale: int = 6,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self): broadcast-join
-    queries × corpus, windowed top-k ordered by (cos desc, neighbor id)."""
+    queries × corpus, windowed top-k ordered by (cos desc, neighbor id).
+
+    The corpus side carries the pair expansion, so its partitioning IS
+    the parallelism: a one-file corpus scan is spread first (no-op on
+    already-parallel inputs; 0.57 → 0.49 s at sf0.1 on local[32])."""
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    corpus = fan_out(corpus)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
