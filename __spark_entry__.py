@@ -6381,6 +6381,21 @@ WHERE s.m = 1 AND c.m = 2
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lsh_recall": q_lsh_recall,
+    "docs_curation": q_docs_curation,
+    "docs_curation_v3": q_docs_curation_v3,
+    "evm_decode": q_evm_decode,
+    "evm_decode_overflow": q_evm_decode_overflow,
+    "evm_decode_batch": q_evm_decode_batch,
+    "quantized_topk": q_quantized_topk,
+    "semantic_dedup": q_semantic_dedup,
+    "vault_mint_attach": q_vault_mint_attach,
+    "rp_project": q_rp_project,
+    "multimodal_resize_real": q_multimodal_resize_real,
+    "similarity_cosine_topk": q_similarity_cosine_topk,
+    "ann_recall": q_ann_recall,
+    "pagerank": q_pagerank,
+    "label_propagation": q_label_propagation,
     "forecast_revenue": q_forecast_revenue,
     "promo_revenue": q_promo_revenue,
     "stream_ewma": q_stream_ewma,
@@ -6395,8 +6410,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotate a just-rewritten query out of the checked window.
     "cpi_pairing": q_cpi_pairing,
     "excess_stock_suppliers": q_excess_stock_suppliers,
-    "quantized_topk": q_quantized_topk,
-    "evm_decode_batch": q_evm_decode_batch,
     "swap_prices_chain": q_swap_prices_chain,
     "stream_static_join": q_stream_static_join,
     "upsert_merge": q_upsert_merge,
@@ -6404,8 +6417,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "heavy_hitters": q_heavy_hitters,
     "span_dedup": q_span_dedup,
-    "semantic_dedup": q_semantic_dedup,
-    "ann_recall": q_ann_recall,
     "audio_decode": q_audio_decode,
     "table_diff": q_table_diff,
     "triangle_count": q_triangle_count,
@@ -6430,24 +6441,20 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "last_touch": q_last_touch,
     "dataset_split": q_dataset_split,
     "contract_check": q_contract_check,
-    "rp_project": q_rp_project,
     "fuzzy_match": q_fuzzy_match,
     "corr_matrix": q_corr_matrix,
     "trend_lines": q_trend_lines,
     "debounce": q_debounce,
     "quantile_normalize": q_quantile_normalize,
-    "label_propagation": q_label_propagation,
     "resample_daily": q_resample_daily,
     "running_total": q_running_total,
     "pattern_absence": q_pattern_absence,
-    "lsh_recall": q_lsh_recall,
     "containment": q_containment,
     "chunks_roundtrip": q_chunks_roundtrip,
     "split_leakage": q_split_leakage,
     "oov_rate": q_oov_rate,
     "dup_source_matrix": q_dup_source_matrix,
     "shipping_priority": q_shipping_priority,
-    "vault_mint_attach": q_vault_mint_attach,
     "chain_lookup": q_chain_lookup,
     "stream_topk": q_stream_topk,
     "text_clean": q_text_clean,
@@ -6461,7 +6468,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_png": q_multimodal_decode_png,
     "idf_keywords": q_idf_keywords,
     "contamination_check": q_contamination_check,
-    "docs_curation": q_docs_curation,
     "event_pivot": q_event_pivot,
     "percentile_by_group": q_percentile_by_group,
     "cube_revenue": q_cube_revenue,
@@ -6484,15 +6490,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curation_v2": q_docs_curation_v2,
     "hopping_window": q_hopping_window,
     "group_topk": q_group_topk,
-    "evm_decode_overflow": q_evm_decode_overflow,
     "crypto_digests": q_crypto_digests,
     "decimal_price_ladder": q_decimal_price_ladder,
     "kmeans_embeddings": q_kmeans,
     "profile_table": q_profile_table,
     "bigram_lm_score": q_bigram_lm_score,
     "weighted_sample": q_weighted_sample,
-    "pagerank": q_pagerank,
-    "docs_curation_v3": q_docs_curation_v3,
     "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
     "pricing_summary": q_pricing_summary,
@@ -6515,7 +6518,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rownum_topk": q_window_rownum_topk,
     "boolean_split_swap": q_boolean_split_swap,
     "minmax_checkpoint": q_minmax_checkpoint,
-    "evm_decode": q_evm_decode,
     "borsh_decode": q_borsh_decode,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -6523,7 +6525,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
-    "similarity_cosine_topk": q_similarity_cosine_topk,
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
     "embedding_near_dup": q_embedding_near_dup,
@@ -6536,7 +6537,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_decode": q_multimodal_decode,
-    "multimodal_resize_real": q_multimodal_resize_real,
     "skew_salted_join": q_skew_salted_join,
     "stream_windowed": q_stream_windowed,
     "stream_tumbling": q_stream_tumbling,
@@ -6549,14 +6549,27 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _ORACLES: dict[str, str] = {
+    "lsh_recall": ORACLE_LSH_RECALL,
+    "docs_curation": ORACLE_DOCS_CURATION,
+    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
+    "evm_decode": ORACLE_EVM_DECODE,
+    "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
+    "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
+    "quantized_topk": ORACLE_QUANTIZED_TOPK,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "vault_mint_attach": ORACLE_VAULT_MINT_ATTACH,
+    "rp_project": ORACLE_RP_PROJECT,
+    "multimodal_resize_real": ORACLE_MULTIMODAL_RESIZE_REAL,
+    "similarity_cosine_topk": ORACLE_COSINE_TOPK,
+    "ann_recall": ORACLE_ANN_RECALL,
+    "pagerank": ORACLE_PAGERANK,
+    "label_propagation": ORACLE_LABEL_PROPAGATION,
     "forecast_revenue": ORACLE_FORECAST_REVENUE,
     "promo_revenue": ORACLE_PROMO_REVENUE,
     "stream_ewma": ORACLE_STREAM_EWMA,
     "winsorize": ORACLE_WINSORIZE,
     "cpi_pairing": ORACLE_CPI_PAIRING,
     "excess_stock_suppliers": ORACLE_EXCESS_STOCK_SUPPLIERS,
-    "quantized_topk": ORACLE_QUANTIZED_TOPK,
-    "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
     "swap_prices_chain": ORACLE_SWAP_PRICES_CHAIN,
     "stream_static_join": ORACLE_STREAM_STATIC,
     "upsert_merge": ORACLE_UPSERT_MERGE,
@@ -6564,8 +6577,6 @@ _ORACLES: dict[str, str] = {
     "hll_distinct": ORACLE_HLL_DISTINCT,
     "heavy_hitters": ORACLE_HEAVY_HITTERS,
     "span_dedup": ORACLE_SPAN_DEDUP,
-    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
-    "ann_recall": ORACLE_ANN_RECALL,
     "audio_decode": ORACLE_AUDIO_DECODE,
     "table_diff": ORACLE_TABLE_DIFF,
     "triangle_count": ORACLE_TRIANGLES,
@@ -6590,24 +6601,20 @@ _ORACLES: dict[str, str] = {
     "last_touch": ORACLE_LAST_TOUCH,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "contract_check": ORACLE_CONTRACT_CHECK,
-    "rp_project": ORACLE_RP_PROJECT,
     "fuzzy_match": ORACLE_FUZZY_MATCH,
     "corr_matrix": ORACLE_CORR_MATRIX,
     "trend_lines": ORACLE_TREND_LINES,
     "debounce": ORACLE_DEBOUNCE,
     "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
-    "label_propagation": ORACLE_LABEL_PROPAGATION,
     "resample_daily": ORACLE_RESAMPLE_DAILY,
     "running_total": ORACLE_RUNNING_TOTAL,
     "pattern_absence": ORACLE_PATTERN_ABSENCE,
-    "lsh_recall": ORACLE_LSH_RECALL,
     "containment": ORACLE_CONTAINMENT,
     "chunks_roundtrip": ORACLE_CHUNKS_ROUNDTRIP,
     "split_leakage": ORACLE_SPLIT_LEAKAGE,
     "oov_rate": ORACLE_OOV_RATE,
     "dup_source_matrix": ORACLE_DUP_SOURCE_MATRIX,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
-    "vault_mint_attach": ORACLE_VAULT_MINT_ATTACH,
     "chain_lookup": ORACLE_CHAIN_LOOKUP,
     "stream_topk": ORACLE_STREAM_TOPK,
     "text_clean": ORACLE_TEXT_CLEAN,
@@ -6621,7 +6628,6 @@ _ORACLES: dict[str, str] = {
     "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
     "idf_keywords": ORACLE_IDF,
     "contamination_check": ORACLE_CONTAMINATION,
-    "docs_curation": ORACLE_DOCS_CURATION,
     "event_pivot": ORACLE_EVENT_PIVOT,
     "percentile_by_group": ORACLE_PCT_GROUP,
     "cube_revenue": ORACLE_CUBE,
@@ -6644,15 +6650,12 @@ _ORACLES: dict[str, str] = {
     "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
     "hopping_window": ORACLE_HOPPING,
     "group_topk": ORACLE_GROUP_TOPK,
-    "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
     "crypto_digests": ORACLE_CRYPTO_DIGESTS,
     "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
     "kmeans_embeddings": ORACLE_KMEANS,
     "profile_table": ORACLE_PROFILE_TABLE,
     "bigram_lm_score": ORACLE_BIGRAM_LM,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
-    "pagerank": ORACLE_PAGERANK,
-    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
     "pii_scrub": ORACLE_PII,
     "repetition_stats": ORACLE_REPETITION,
     "pricing_summary": ORACLE_PRICING,
@@ -6675,7 +6678,6 @@ _ORACLES: dict[str, str] = {
     "window_rownum_topk": ORACLE_ROWNUM,
     "boolean_split_swap": ORACLE_BOOL_SPLIT,
     "minmax_checkpoint": ORACLE_MINMAX,
-    "evm_decode": ORACLE_EVM_DECODE,
     "borsh_decode": ORACLE_BORSH_DECODE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
@@ -6686,7 +6688,6 @@ _ORACLES: dict[str, str] = {
     # with bands=k it reproduces the exact result on the fixture, so the
     # exact SQL is its oracle too (verified hash-matching at sf0.01)
     "ngram_jaccard_lsh": ORACLE_NGRAM_JACCARD,
-    "similarity_cosine_topk": ORACLE_COSINE_TOPK,
     "similarity_ivf_topk": ORACLE_IVF_TOPK,
     "similarity_ivf_multiprobe": ORACLE_IVF_MULTIPROBE,
     "embedding_near_dup": ORACLE_NEAR_DUP,
@@ -6699,7 +6700,6 @@ _ORACLES: dict[str, str] = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
-    "multimodal_resize_real": ORACLE_MULTIMODAL_RESIZE_REAL,
     "skew_salted_join": ORACLE_SKEW_SALTED,
     "stream_windowed": ORACLE_STREAM,
     "stream_tumbling": ORACLE_STREAM_TUMBLING,

@@ -9,7 +9,12 @@ attached to the entry below them).  Run AFTER a round's snapshot lands
 and BEFORE adding new queries; new queries should be inserted at the
 front so they are checked in their first round.
 
-Usage: python scripts/rotate_registry.py [--dry-run]
+Usage: python scripts/rotate_registry.py [--dry-run] [--front a,b,c]
+
+``--front`` lists REWRITTEN queries that must lead the next snapshot
+window even though they already have a green row from an earlier round
+— the round-6 advisor's discipline: never ship a rewrite the driver
+can't see.  Never-checked queries still sort before the --front set.
 """
 
 from __future__ import annotations
@@ -50,11 +55,27 @@ def parse_dict(src: str, name: str):
 def main() -> int:
     # Unknown flags must be a hard error: a typo'd --dry must never fall
     # through to a registry REWRITE (round-6 verdict item #2).
-    unknown = [a for a in sys.argv[1:] if a != "--dry-run"]
+    front: list[str] = []
+    args = list(sys.argv[1:])
+    unknown = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--dry-run":
+            i += 1
+        elif a == "--front" and i + 1 < len(args):
+            front = [s for s in args[i + 1].split(",") if s]
+            i += 2
+        elif a.startswith("--front="):
+            front = [s for s in a.split("=", 1)[1].split(",") if s]
+            i += 1
+        else:
+            unknown.append(a)
+            i += 1
     if unknown:
         raise SystemExit(
             f"unrecognized argument(s) {unknown}; "
-            "usage: python scripts/rotate_registry.py [--dry-run]"
+            "usage: python scripts/rotate_registry.py [--dry-run] [--front a,b,c]"
         )
     dry = "--dry-run" in sys.argv
     src = open(ENTRY).read()
@@ -70,10 +91,17 @@ def main() -> int:
     stray = set(oorder) - set(qorder)
     if stray:
         raise SystemExit(f"_ORACLES keys missing from _QUERIES: {sorted(stray)}")
+    bad_front = [k for k in front if k not in qorder]
+    if bad_front:
+        raise SystemExit(f"--front names not in _QUERIES: {bad_front}")
     unchecked = [k for k in qorder if k not in ever_checked]
-    checked = [k for k in qorder if k in ever_checked]
-    new_order = unchecked + checked
-    print(f"{len(ever_checked)} ever driver-checked; {len(unchecked)} pending")
+    fronted = [k for k in front if k in ever_checked and k not in unchecked]
+    rest = [k for k in qorder if k in ever_checked and k not in fronted]
+    new_order = unchecked + fronted + rest
+    print(
+        f"{len(ever_checked)} ever driver-checked; {len(unchecked)} pending; "
+        f"{len(fronted)} fronted rewrites"
+    )
     print(f"next snapshot window ({SNAPSHOT_WINDOW}): {new_order[:SNAPSHOT_WINDOW]}")
     if new_order == qorder:
         print("already in rotated order; nothing to do")
