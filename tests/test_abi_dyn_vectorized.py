@@ -498,3 +498,81 @@ def test_string_first_dynamic_with_indexed(spark):
     out = _assert_paths_agree(spark, rows, SIG_URI)
     assert out[0]["value"] == "ipfs://x"
     assert out[0]["id"] == 77
+
+
+def test_random_signature_differential(spark):
+    """Seeded sweep over RANDOM signatures (mixed static/indexed params
+    with T[] arrays of every base, bytes, string): well-formed payloads
+    built by the property suite's independent encoder, plus mutated
+    variants — the vectorized and per-row paths must agree on every
+    signature, not just the hand-picked ones above."""
+    from tests.test_abi_property import (
+        _DYN_BASES,
+        _TYPES,
+        _build_dyn,
+        encode_word,
+        values_for,
+    )
+
+    rng = random.Random(0xD1FF)
+
+    def rand_value(t):
+        if t == "bytes":
+            return bytes(rng.randrange(256) for _ in range(rng.randrange(0, 70)))
+        if t == "string":
+            return "".join(
+                chr(rng.randrange(32, 0x2FF)) for _ in range(rng.randrange(0, 30))
+            )
+        if t.endswith("[]"):
+            return [rand_value(t[:-2]) for _ in range(rng.randrange(0, 5))]
+        if t == "address":
+            return bytes(rng.randrange(256) for _ in range(20))
+        if t == "bool":
+            return rng.random() < 0.5
+        if t.startswith("uint"):
+            bits = int(t[4:])
+            return rng.randrange(0, 2**bits)
+        if t.startswith("int"):
+            bits = int(t[3:])
+            return rng.randrange(-(2 ** (bits - 1)), 2 ** (bits - 1))
+        if t.startswith("bytes"):
+            n = int(t[5:])
+            return bytes(rng.randrange(256) for _ in range(n))
+        raise AssertionError(t)
+
+    for trial in range(10):
+        n = rng.randrange(1, 5)
+        typs = []
+        for _ in range(n):
+            kind = rng.randrange(3)
+            if kind == 0:
+                typs.append(rng.choice(_TYPES))
+            elif kind == 1:
+                typs.append(rng.choice(_DYN_BASES) + "[]")
+            else:
+                typs.append(rng.choice(("bytes", "string")))
+        if not any(t.endswith("[]") or t in ("bytes", "string") for t in typs):
+            typs[0] = rng.choice(_DYN_BASES) + "[]"
+        static_pos = [i for i, t in enumerate(typs)
+                      if not (t.endswith("[]") or t in ("bytes", "string"))]
+        ix_set = set(static_pos[: rng.randrange(0, min(3, len(static_pos)) + 1)])
+        indexed = [i in ix_set for i in range(n)]
+        sig_str = "Ev(" + ", ".join(
+            f"{t}{' indexed' if ix else ''} p{i}"
+            for i, (t, ix) in enumerate(zip(typs, indexed))
+        ) + ")"
+        rows = []
+        for r in range(60):
+            vals = [rand_value(t) for t in typs]
+            _, topics, data = _build_dyn(typs, indexed, vals)
+            data = bytearray(data)
+            mut = rng.randrange(6)
+            if mut == 0 and data:
+                data[rng.randrange(len(data))] ^= 1 << rng.randrange(8)
+            elif mut == 1 and data:
+                data = data[: rng.randrange(len(data))]
+            elif mut == 2:
+                data += bytes(rng.randrange(256)
+                              for _ in range(rng.randrange(1, 40)))
+            rows.append((r, topics[1], topics[2], topics[3], bytes(data)))
+        _assert_paths_agree(spark, rows, sig_str)

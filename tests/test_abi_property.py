@@ -184,3 +184,130 @@ def test_differential_vs_eth_abi(ev):
     assert out is not None
     for i, (t, ix, v) in enumerate(zip(typs, indexed, vals)):
         assert out[f"p{i}"] == expected(t, v), (t, v)
+
+
+# --------------------------------------------------------------------
+# Dynamic-type roundtrips: random signatures mixing static params with
+# T[] arrays (every supported base), bytes, and string; values encoded
+# canonically (tight in-order tails) by an independent test-side
+# writer; decoded by decode_event_row.  The row path is the pinned
+# reference the vectorized mapper is differentially tested against
+# (tests/test_abi_dyn_vectorized.py), so value-correctness proven here
+# transfers to both paths.
+# --------------------------------------------------------------------
+
+_DYN_BASES = ("uint8", "uint32", "uint64", "uint256", "int32", "int64",
+              "int256", "address", "bool", "bytes4", "bytes32")
+
+
+def _dyn_values_for(typ: str) -> st.SearchStrategy:
+    if typ == "bytes":
+        return st.binary(max_size=80)
+    if typ == "string":
+        return st.text(max_size=40)
+    base = typ[:-2]
+    return st.lists(values_for(base), max_size=5)
+
+
+def _expected_dyn(typ: str, v):
+    if typ == "bytes":
+        return v
+    if typ == "string":
+        return v
+    return [expected(typ[:-2], x) for x in v]
+
+
+def _encode_tail(typ: str, v) -> bytes:
+    if typ in ("bytes", "string"):
+        payload = v.encode("utf-8") if typ == "string" else v
+        pad = (-len(payload)) % 32
+        return len(payload).to_bytes(32, "big") + payload + bytes(pad)
+    base = typ[:-2]
+    return len(v).to_bytes(32, "big") + b"".join(encode_word(base, x) for x in v)
+
+
+@st.composite
+def dyn_events(draw):
+    n_params = draw(st.integers(1, 5))
+    typs = []
+    for _ in range(n_params):
+        kind = draw(st.sampled_from(("static", "arr", "blob")))
+        if kind == "static":
+            typs.append(draw(st.sampled_from(_TYPES)))
+        elif kind == "arr":
+            typs.append(draw(st.sampled_from(_DYN_BASES)) + "[]")
+        else:
+            typs.append(draw(st.sampled_from(("bytes", "string"))))
+    if not any(t.endswith("[]") or t in ("bytes", "string") for t in typs):
+        typs[0] = draw(st.sampled_from(_DYN_BASES)) + "[]"
+    # indexed flags only on STATIC params (indexed dynamic is refused)
+    static_pos = [i for i, t in enumerate(typs)
+                  if not (t.endswith("[]") or t in ("bytes", "string"))]
+    n_ix = draw(st.integers(0, min(3, len(static_pos))))
+    ix_set = set(static_pos[:n_ix])
+    indexed = [i in ix_set for i in range(n_params)]
+    vals = [
+        draw(_dyn_values_for(t))
+        if (t.endswith("[]") or t in ("bytes", "string"))
+        else draw(values_for(t))
+        for t in typs
+    ]
+    return typs, indexed, vals
+
+
+def _build_dyn(typs, indexed, vals):
+    sig_str = "Ev(" + ", ".join(
+        f"{t}{' indexed' if ix else ''} p{i}"
+        for i, (t, ix) in enumerate(zip(typs, indexed))
+    ) + ")"
+    sig = abi.parse_event_signature(sig_str)
+    topics: list = [None]
+    heads: list = []
+    tails: list[bytes] = []
+    n_heads = sum(1 for ix in indexed if not ix)
+    head_bytes = 32 * n_heads
+    for t, ix, v in zip(typs, indexed, vals):
+        dyn = t.endswith("[]") or t in ("bytes", "string")
+        if ix:
+            topics.append(encode_word(t, v))
+            continue
+        if dyn:
+            heads.append(("off", len(tails)))
+            tails.append(_encode_tail(t, v))
+        else:
+            heads.append(("word", encode_word(t, v)))
+    # canonical offsets: tails tightly packed in head order
+    offs, acc = [], head_bytes
+    for tl in tails:
+        offs.append(acc)
+        acc += len(tl)
+    data = b"".join(
+        offs[h[1]].to_bytes(32, "big") if h[0] == "off" else h[1]
+        for h in heads
+    ) + b"".join(tails)
+    while len(topics) < 4:
+        topics.append(None)
+    return sig, topics, data
+
+
+@settings(max_examples=300, deadline=None)
+@given(dyn_events())
+def test_dynamic_roundtrip(ev):
+    typs, indexed, vals = ev
+    sig, topics, data = _build_dyn(typs, indexed, vals)
+    out = abi.decode_event_row(sig, topics, data)
+    assert out is not None, (typs, indexed, vals)
+    for i, (t, v) in enumerate(zip(typs, vals)):
+        if t.endswith("[]") or t in ("bytes", "string"):
+            assert out[f"p{i}"] == _expected_dyn(t, v), (t, v)
+        else:
+            assert out[f"p{i}"] == expected(t, v), (t, v)
+
+
+@settings(max_examples=150, deadline=None)
+@given(dyn_events())
+def test_dynamic_trailing_byte_rejected(ev):
+    typs, indexed, vals = ev
+    sig, topics, data = _build_dyn(typs, indexed, vals)
+    assert abi.decode_event_row(sig, topics, data + bytes(1)) is None
+    assert abi.decode_event_row(sig, topics, data + bytes(32)) is None
