@@ -1,15 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-PPM (P6), uncompressed 24bpp BMP, and 8-bit truecolor PNG (stdlib zlib
-inflate + all five scanline filters) are decoded FOR REAL here — numpy
-header parse, stride math, channel/row order, unfilter — via
-``decode_image_stats`` / ``resize_image``.  JPEG needs an external
-codec the container lacks, so that path uses a deterministic stand-in
-with identical Spark-side plumbing: schema,
-Arrow batch shape, ``mapInPandas`` signature, partition behavior — the
-parts that matter for running this on a cluster where the workers *do*
-have codecs (extend ``_decode_blob`` with PIL/libvips there).
+PPM (P6), uncompressed 24bpp BMP, 8-bit truecolor PNG (stdlib zlib
+inflate + all five scanline filters), and baseline JPEG
+(``operators/jpeg.py``: marker/DQT/DHT parse, Huffman entropy decode,
+dequantize, IDCT, chroma upsample, YCbCr→RGB — plus a spec-valid
+encoder) are decoded FOR REAL here via ``decode_image_stats`` /
+``resize_image``.  Non-baseline JPEG variants (progressive,
+arithmetic, 12-bit) raise and surface as NULL rows; on a cluster whose
+workers carry PIL/libvips, extend ``_decode_blob`` for those.  The
+lightweight ``extract_media_meta`` probe keeps its deterministic
+stand-in (it is a metadata-only fixture surface, not a decoder).
 
 Design for 100 TB of media: blobs travel as ``binary`` columns inside
 Parquet row groups; metadata extraction is one Arrow-batched pass
@@ -336,13 +337,12 @@ def resize_media(
 
 
 # ---------------------------------------------------------------------
-# Real image codecs (codec-free formats): PPM (P6) and BMP (24bpp).
-# These are full decoders/encoders — header parse, stride math, channel
-# order, bottom-up row order — implemented in numpy inside the same
-# Arrow ``mapInPandas`` batch shape as the stand-ins above.  Compressed
-# formats (JPEG/PNG) still need an external codec; on a real cluster
-# extend ``_decode_blob`` with PIL/libvips — the Spark-side plumbing is
-# identical.
+# Real image codecs: PPM (P6) and BMP (24bpp) here; PNG below (zlib
+# inflate + unfilter); baseline JPEG in operators/jpeg.py.  All are
+# full decoders/encoders — header parse, stride math, channel order,
+# entropy/filter reversal — implemented in numpy/stdlib inside the
+# same Arrow ``mapInPandas`` batch shape as the metadata stand-in
+# above.
 # ---------------------------------------------------------------------
 
 
@@ -562,16 +562,20 @@ def _encode_png(pix, filters=None) -> bytes:
 
 
 def _decode_blob(blob: bytes):
-    """Dispatch on magic bytes → ("ppm"|"bmp"|"png", pixel array).
-    Raises for formats needing an external codec (JPEG) or malformed
-    data."""
+    """Dispatch on magic bytes → ("ppm"|"bmp"|"png"|"jpeg", pixel
+    array).  Raises on malformed data or unsupported stream variants
+    (progressive/arithmetic JPEG — see operators/jpeg.py's scope)."""
     if blob[:2] == b"P6":
         return "ppm", _decode_ppm(blob)
     if blob[:2] == b"BM":
         return "bmp", _decode_bmp(blob)
     if blob[:8] == _PNG_SIG:
         return "png", _decode_png(blob)
-    raise ValueError("unsupported image format (codec required)")
+    if blob[:2] == b"\xff\xd8":
+        from cherry_pipelines_spark.operators.jpeg import _decode_jpeg
+
+        return "jpeg", _decode_jpeg(blob)
+    raise ValueError("unsupported image format")
 
 
 DECODE_STATS_SCHEMA = T.StructType(
@@ -642,7 +646,9 @@ def resize_image(
             T.StructField("blob_out", T.BinaryType()),
         ]
     )
-    enc = {"ppm": _encode_ppm, "bmp": _encode_bmp}
+    from cherry_pipelines_spark.operators.jpeg import _encode_jpeg
+
+    enc = {"ppm": _encode_ppm, "bmp": _encode_bmp, "jpeg": _encode_jpeg}
 
     def mapper(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

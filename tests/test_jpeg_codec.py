@@ -1,0 +1,211 @@
+"""Baseline JPEG codec (operators/jpeg.py) — the library's last image
+stand-in replaced with a real decoder/encoder pair.
+
+Exactness strategy mirrors the PPM/PNG suites: with the all-ones quant
+table an 8×8-block-constant plane is DC-only and round-trips the DCT
+bit-exactly, and gray pixels (R=G=B) survive the YCbCr color transform
+losslessly — so block-constant gray images decode back EXACTLY,
+including through Spark's ``decode_image_stats`` / ``resize_image``.
+Lossy-but-bounded behavior on arbitrary images, non-baseline stream
+rejection, and restart-marker handling are pinned separately.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cherry_pipelines_spark.operators.jpeg import (
+    _decode_jpeg,
+    _encode_jpeg,
+)
+
+
+def _block_gray(rng, bh, bw):
+    vals = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+    return np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+
+
+def test_block_constant_gray_rgb_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    g = _block_gray(rng, 3, 5)
+    rgb = np.stack([g, g, g], axis=2)
+    out = _decode_jpeg(_encode_jpeg(rgb))
+    assert np.array_equal(out, rgb)
+
+
+def test_block_constant_grayscale_roundtrip_exact():
+    rng = np.random.default_rng(2)
+    g = _block_gray(rng, 4, 2)
+    out = _decode_jpeg(_encode_jpeg(g))
+    for c in range(3):  # grayscale replicates to all three channels
+        assert np.array_equal(out[:, :, c], g)
+
+
+def test_non_multiple_of_8_dims_cropped():
+    # encoder pads by edge replication; decoder crops back to (h, w) —
+    # with block-constant content the padding IS the edge value, so the
+    # visible region still round-trips exactly
+    rng = np.random.default_rng(3)
+    g = _block_gray(rng, 3, 3)[:19, :21]
+    out = _decode_jpeg(_encode_jpeg(g))
+    assert out.shape == (19, 21, 3)
+    assert np.array_equal(out[:, :, 0], g)
+
+
+def test_arbitrary_image_error_bounded():
+    # all-ones quant table: the only loss is DCT/color-transform
+    # rounding — a few counts per pixel, never structural
+    rng = np.random.default_rng(4)
+    pix = rng.integers(0, 256, (21, 37, 3), dtype=np.uint8)
+    out = _decode_jpeg(_encode_jpeg(pix))
+    assert out.shape == pix.shape
+    assert np.abs(out.astype(int) - pix.astype(int)).max() <= 4
+    gray = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    outg = _decode_jpeg(_encode_jpeg(gray))
+    assert np.abs(outg[:, :, 0].astype(int) - gray.astype(int)).max() <= 2
+
+
+def test_single_pixel_and_tiny_dims():
+    for h, w in ((1, 1), (1, 9), (8, 1), (7, 7)):
+        pix = np.full((h, w), 200, dtype=np.uint8)
+        out = _decode_jpeg(_encode_jpeg(pix))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out[:, :, 0], pix)
+
+
+def test_malformed_streams_rejected():
+    rng = np.random.default_rng(5)
+    good = _encode_jpeg(_block_gray(rng, 2, 2))
+    bad = [
+        b"",
+        b"\xff\xd8",                        # SOI only
+        b"notajpeg",
+        good[:40],                           # truncated mid-segment
+        good[:-10],                          # truncated entropy data
+        b"\xff\xd8" + good[20:],             # missing leading tables
+    ]
+    for blob in bad:
+        with pytest.raises(ValueError):
+            _decode_jpeg(blob)
+    # corrupting SOF into progressive (SOF2) must be rejected, not
+    # mis-decoded
+    idx = good.find(b"\xff\xc0")
+    prog = good[:idx] + b"\xff\xc2" + good[idx + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        _decode_jpeg(prog)
+
+
+def test_mutation_fuzz_never_hangs_or_misparses():
+    # seeded byte-level mutations: every mutated stream either decodes
+    # to a valid (h, w, 3) uint8 array or raises ValueError — no other
+    # exception type, no crash
+    rng = np.random.default_rng(6)
+    base = _encode_jpeg(rng.integers(0, 256, (24, 16, 3), dtype=np.uint8))
+    for i in range(200):
+        data = bytearray(base)
+        mut = rng.integers(0, 3)
+        if mut == 0:
+            data[rng.integers(len(data))] ^= 1 << rng.integers(8)
+        elif mut == 1:
+            data = data[: rng.integers(2, len(data))]
+        else:
+            data += bytes(rng.integers(0, 256, rng.integers(1, 20)).tolist())
+        try:
+            out = _decode_jpeg(bytes(data))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except ValueError:
+            pass
+
+
+def test_spark_decode_image_stats_jpeg(spark):
+    """decode_image_stats over JPEG blobs: closed-form stats for
+    block-constant gray fixtures; malformed rows NULL."""
+    from cherry_pipelines_spark.operators.multimodal import decode_image_stats
+
+    rng = np.random.default_rng(7)
+    rows, expect = [], {}
+    for mid in range(6):
+        g = _block_gray(rng, 1 + mid % 3, 2 + mid % 2)
+        blob = _encode_jpeg(np.stack([g, g, g], axis=2))
+        rows.append((mid, bytearray(blob)))
+        flat = np.stack([g, g, g], axis=2).reshape(-1).astype(np.int64)
+        expect[mid] = (
+            "jpeg", g.shape[1], g.shape[0],
+            int(flat.sum()), int(flat.min()), int(flat.max()),
+        )
+    rows.append((99, bytearray(b"\xff\xd8broken")))
+    df = spark.createDataFrame(rows, "media_id long, blob binary")
+    got = {
+        r["media_id"]: (
+            r["format"], r["width"], r["height"],
+            r["px_sum"], r["px_min"], r["px_max"],
+        )
+        for r in decode_image_stats(df).collect()
+    }
+    for mid, exp in expect.items():
+        assert got[mid] == exp, mid
+    assert got[99] == (None, None, None, None, None, None)
+
+
+def test_spark_resize_jpeg_roundtrip(spark):
+    """resize_image on JPEG: decode → subsample → re-encode as JPEG;
+    16×16-block-constant input stays 8×8-block-constant after factor-2
+    subsampling, so the re-encoded blob decodes exactly."""
+    from cherry_pipelines_spark.operators.multimodal import (
+        decode_image_stats,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(8)
+    vals = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    g = np.repeat(np.repeat(vals, 16, axis=0), 16, axis=1)  # 32x48
+    blob = _encode_jpeg(np.stack([g, g, g], axis=2))
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, blob binary")
+    rz = resize_image(df, factor=2)
+    row = rz.collect()[0]
+    assert (row["width_in"], row["height_in"]) == (48, 32)
+    assert (row["width_out"], row["height_out"]) == (24, 16)
+    stats = decode_image_stats(
+        rz.select("media_id", rz["blob_out"].alias("blob"))
+    ).collect()[0]
+    small = g[::2, ::2]
+    flat = np.stack([small] * 3, axis=2).reshape(-1).astype(np.int64)
+    assert (stats["format"], stats["px_sum"]) == ("jpeg", int(flat.sum()))
+    assert (stats["px_min"], stats["px_max"]) == (
+        int(flat.min()), int(flat.max()),
+    )
+
+
+def test_restart_markers_decoded():
+    """A stream WITH a DRI interval and RSTn markers between MCUs must
+    decode identically — predictors reset per interval.  Built by
+    re-encoding each MCU row as its own entropy interval."""
+    # encode normally, then re-assemble with DRI=3 (MCUs per row = 3)
+    # by re-encoding with restart support via the public encoder is not
+    # exposed; instead verify the decoder path with a hand-built stream:
+    # two intervals each holding 3 MCU of a 24x16 gray image
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    g = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)  # 16x24, 6 MCUs
+    base = _encode_jpeg(g)
+    # split the entropy stream at the natural MCU-row boundary by
+    # re-encoding the two halves independently (fresh DC predictors =
+    # exactly the RST contract), then splicing with DRI + RST0
+    top = _encode_jpeg(g[:8, :])
+    bot = _encode_jpeg(g[8:, :])
+
+    def entropy(blob: bytes) -> bytes:
+        i = blob.find(b"\xff\xda")
+        ln = int.from_bytes(blob[i + 2 : i + 4], "big")
+        return blob[i + 2 + ln : -2]
+
+    i = base.find(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x03"  # restart every 3 MCUs
+    ln = int.from_bytes(base[i + 2 : i + 4], "big")
+    spliced = (
+        base[:i] + dri + base[i : i + 2 + ln]
+        + entropy(top) + b"\xff\xd0" + entropy(bot) + b"\xff\xd9"
+    )
+    out = _decode_jpeg(spliced)
+    assert np.array_equal(out[:, :, 0], g)
