@@ -209,3 +209,78 @@ def test_restart_markers_decoded():
     )
     out = _decode_jpeg(spliced)
     assert np.array_equal(out[:, :, 0], g)
+
+
+def test_subsampled_420_decode():
+    """4:2:0 stream (Y 2x2, Cb/Cr 1x1): hand-built from the encoder's
+    primitives — one MCU = 4 Y blocks + 1 Cb + 1 Cr — exercising the
+    decoder's sampling-factor MCU walk and nearest-neighbor upsample,
+    which the 4:4:4 encoder never emits.  Constant gray input: every
+    block DC-only, chroma exactly 128 → bit-exact output."""
+    import struct
+
+    from cherry_pipelines_spark.operators.jpeg import (
+        _ENC_AC_BITS,
+        _ENC_AC_VALS,
+        _ENC_DC_BITS,
+        _ENC_DC_VALS,
+        _BitWriter,
+        _canonical_codes,
+        _category,
+    )
+
+    v = 77  # constant gray level
+    h = w = 16  # one 4:2:0 MCU
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    bw_ = _BitWriter()
+
+    def put_block(dc_diff):
+        size = _category(dc_diff)
+        code, ln = dc_codes[size]
+        bw_.put(code, ln)
+        if size:
+            bw_.put(dc_diff if dc_diff >= 0 else dc_diff + (1 << size) - 1, size)
+        code, ln = ac_codes[0x00]  # EOB
+        bw_.put(code, ln)
+
+    # Y: 4 blocks, DC = 8*(v-128) then diffs of 0; Cb/Cr: DC = 0 (=128)
+    put_block(8 * (v - 128))
+    for _ in range(3):
+        put_block(0)
+    put_block(0)  # Cb
+    put_block(0)  # Cr
+    entropy = bw_.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + struct.pack(">BBB", 1, 0x22, 0)   # Y 2x2
+            + struct.pack(">BBB", 2, 0x11, 0)   # Cb 1x1
+            + struct.pack(">BBB", 3, 0x11, 0),  # Cr 1x1
+        )
+        + seg(
+            0xFFC4,
+            bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+            + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+        )
+        + seg(
+            0xFFDA,
+            bytes([3])
+            + struct.pack(">BB", 1, 0x00)
+            + struct.pack(">BB", 2, 0x00)
+            + struct.pack(">BB", 3, 0x00)
+            + bytes([0, 63, 0]),
+        )
+        + entropy
+        + b"\xff\xd9"
+    )
+    out = _decode_jpeg(blob)
+    assert out.shape == (16, 16, 3)
+    assert np.array_equal(out, np.full((16, 16, 3), v, dtype=np.uint8))
