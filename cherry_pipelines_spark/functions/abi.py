@@ -636,6 +636,19 @@ def decode_events_df(
                     out[f"{p.name}_raw"] = np.array(
                         [bytes(row) for row in m], dtype=object
                     )
+            elif bits <= 64:
+                # sign-extension check + low-word read, fully
+                # vectorized (mirrors _vec_elem_decoder's dec_int)
+                lo = np.ascontiguousarray(m[:, 24:32]).view(">i8").ravel()
+                hi = m[:, :24]
+                conform = (~hi.any(axis=1) & (lo >= 0)) | (
+                    (hi == 0xFF).all(axis=1) & (lo < 0)
+                )
+                if bits < 64:
+                    lo_b, hi_b = -(1 << (bits - 1)), 1 << (bits - 1)
+                    conform &= (lo >= lo_b) & (lo < hi_b)
+                fail |= ~conform  # dirty int padding
+                out[p.name] = lo.astype(object)
             else:
                 lo_b, hi_b = -(1 << (bits - 1)), 1 << (bits - 1)
                 vals = np.empty(r, dtype=object)
@@ -643,9 +656,7 @@ def decode_events_df(
                     v = int.from_bytes(bytes(m[i]), "big", signed=True)
                     if bits < 256 and not (lo_b <= v < hi_b):
                         fail[i] = True  # dirty int padding
-                    vals[i] = v if bits <= 64 else (
-                        Decimal(v) if abs(v) <= _DEC38_MAX else None
-                    )
+                    vals[i] = Decimal(v) if abs(v) <= _DEC38_MAX else None
                 out[p.name] = vals
                 if bits > 64:
                     out[f"{p.name}_raw"] = np.array(
