@@ -18,6 +18,13 @@ operators surface as NULL stats rows (allow_decode_fail posture).
 Upsampling of subsampled chroma (4:2:0 / 4:2:2) is nearest-neighbor
 (T.81 leaves the filter unspecified).
 
+Throughput: the entropy loop is per-symbol Python behind a one-probe
+8-bit Huffman lookup — ~1 s for a WORST-CASE 256×256×3 max-entropy
+image (every AC populated at quant=1); typical quantized photos carry
+far fewer symbols.  The codec is the correctness reference; a cluster
+whose workers have PIL/libvips should prefer those in ``_decode_blob``
+for bulk media — the Spark-side plumbing is identical either way.
+
 Exactness contract used by the tests: with the all-ones quant table an
 8×8-block-constant plane is DC-only, and DCT/IDCT round-trip it
 bit-exactly (DC = 8·s is exact in float64, and the reconstruction
@@ -85,11 +92,23 @@ def _canonical_codes(bits: list[int], vals: list[int]):
 
 
 def _decode_table(bits: list[int], vals: list[int]):
-    """BITS/HUFFVAL -> {(length, code): symbol} for the bit-reader."""
-    return {
+    """BITS/HUFFVAL -> (fast8, slow): ``fast8`` maps the next 8 bits to
+    ``(symbol, code_length)`` for codes ≤ 8 bits (one table probe per
+    symbol — covers every code the library's own encoder emits and the
+    bulk of standard Annex-K codes); ``slow`` is the exact
+    {(length, code): symbol} map the bit-by-bit fallback walks for
+    longer codes."""
+    slow = {
         (ln, code): sym
         for sym, (code, ln) in _canonical_codes(bits, vals).items()
     }
+    fast8: list = [None] * 256
+    for (ln, code), sym in slow.items():
+        if ln <= 8:
+            base = code << (8 - ln)
+            for suffix in range(1 << (8 - ln)):
+                fast8[base | suffix] = (sym, ln)
+    return fast8, slow
 
 
 class _BitWriter:
@@ -115,6 +134,9 @@ class _BitWriter:
         return bytes(self.out)
 
 
+_POW8 = 1 << np.arange(7, -1, -1)
+
+
 class _BitReader:
     """Reads the unstuffed entropy stream MSB-first."""
 
@@ -134,18 +156,32 @@ class _BitReader:
             return 0
         if self.pos + n > len(self.bits):
             raise ValueError("jpeg: entropy stream exhausted")
-        v = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
+        v = int(
+            self.bits[self.pos : self.pos + n]
+            .dot(1 << np.arange(n - 1, -1, -1))
+        )
         self.pos += n
         return v
 
-    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+    def read_symbol(self, table) -> int:
+        fast8, slow = table
+        # single-probe fast path: peek 8 bits (zero-padded near the
+        # end — padding bits only matter if the true code is longer
+        # than what remains, which the slow path rejects anyway)
+        avail = len(self.bits) - self.pos
+        if avail >= 8:
+            peek = int(
+                self.bits[self.pos : self.pos + 8].dot(_POW8)
+            )
+            hit = fast8[peek]
+            if hit is not None:
+                self.pos += hit[1]
+                return hit[0]
         code, length = 0, 0
         while length < 16:
             code = (code << 1) | self.read_bit()
             length += 1
-            sym = table.get((length, code))
+            sym = slow.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("jpeg: invalid huffman code")
