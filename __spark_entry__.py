@@ -6392,6 +6392,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vault_mint_attach": q_vault_mint_attach,
     "rp_project": q_rp_project,
     "multimodal_resize_real": q_multimodal_resize_real,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_features": q_multimodal_features,
     "similarity_cosine_topk": q_similarity_cosine_topk,
     "ann_recall": q_ann_recall,
     "pagerank": q_pagerank,
@@ -6465,7 +6468,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_count_distribution": q_order_count_distribution,
     "top_supplier": q_top_supplier,
     "part_supplier_counts": q_part_supplier_counts,
-    "multimodal_decode_png": q_multimodal_decode_png,
     "idf_keywords": q_idf_keywords,
     "contamination_check": q_contamination_check,
     "event_pivot": q_event_pivot,
@@ -6534,9 +6536,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_frames": q_multimodal_frames,
-    "multimodal_features": q_multimodal_features,
     "multimodal_resize": q_multimodal_resize,
-    "multimodal_decode": q_multimodal_decode,
     "skew_salted_join": q_skew_salted_join,
     "stream_windowed": q_stream_windowed,
     "stream_tumbling": q_stream_tumbling,
@@ -6560,6 +6560,9 @@ _ORACLES: dict[str, str] = {
     "vault_mint_attach": ORACLE_VAULT_MINT_ATTACH,
     "rp_project": ORACLE_RP_PROJECT,
     "multimodal_resize_real": ORACLE_MULTIMODAL_RESIZE_REAL,
+    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "similarity_cosine_topk": ORACLE_COSINE_TOPK,
     "ann_recall": ORACLE_ANN_RECALL,
     "pagerank": ORACLE_PAGERANK,
@@ -6625,7 +6628,6 @@ _ORACLES: dict[str, str] = {
     "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
     "top_supplier": ORACLE_TOP_SUPPLIER,
     "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
-    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
     "idf_keywords": ORACLE_IDF,
     "contamination_check": ORACLE_CONTAMINATION,
     "event_pivot": ORACLE_EVENT_PIVOT,
@@ -6697,9 +6699,7 @@ _ORACLES: dict[str, str] = {
     "fingerprint": ORACLE_FINGERPRINT,
     "multimodal_meta": ORACLE_MULTIMODAL,
     "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
-    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
-    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "skew_salted_join": ORACLE_SKEW_SALTED,
     "stream_windowed": ORACLE_STREAM,
     "stream_tumbling": ORACLE_STREAM_TUMBLING,
