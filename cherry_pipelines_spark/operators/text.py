@@ -61,7 +61,11 @@ def fan_out(df: DataFrame) -> DataFrame:
     Sort/...), so a Repartition buried below a shuffle — or the word
     appearing inside a string literal mid-line — no longer counts
     (round-7 advice)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    try:
+        target = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - Spark Connect: no SparkContext
+        target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     files = df.inputFiles()
     if files and len(files) >= max(2, target // 2):
         return df
