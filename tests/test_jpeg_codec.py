@@ -284,3 +284,25 @@ def test_subsampled_420_decode():
     out = _decode_jpeg(blob)
     assert out.shape == (16, 16, 3)
     assert np.array_equal(out, np.full((16, 16, 3), v, dtype=np.uint8))
+
+
+def test_encoder_huffman_table_covers_worst_case_coefficients():
+    """The encoder's uniform AC table covers sizes 1..10 and the DC
+    table categories 0..11.  Adversarial proof that no uint8 input can
+    escape them: for every DCT basis (u, v), the block that MAXIMIZES
+    |coeff(u, v)| (pixels saturated to the basis sign) must encode
+    without a table miss and keep |AC| < 1024 (size 10) — measured max
+    is 1020.  A miss would KeyError at encode time."""
+    from cherry_pipelines_spark.operators.jpeg import _C
+
+    worst = 0.0
+    for u in range(8):
+        for v in range(8):
+            basis = np.outer(_C[u], _C[v])
+            block = np.where(basis >= 0, 255, 0).astype(np.uint8)
+            _decode_jpeg(_encode_jpeg(np.tile(block, (2, 2))))  # no raise
+            coeffs = _C @ (block.astype(float) - 128.0) @ _C.T
+            ac = np.abs(coeffs).copy()
+            ac[0, 0] = 0.0
+            worst = max(worst, float(ac.max()))
+    assert worst < 1024.0  # AC size <= 10
