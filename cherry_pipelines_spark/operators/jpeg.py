@@ -432,6 +432,12 @@ def _decode_jpeg(blob: bytes) -> np.ndarray:
     by_id = {c[0]: c for c in comps}
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, hi, vi, _tq in comps:
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+            # T.81 permits e.g. (3,2) factor mixes, but integer-ratio
+            # upsampling can't reconstruct them — reject rather than
+            # emit silently misaligned planes
+            raise ValueError("jpeg: non-integer sampling ratio unsupported")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     n_mcu = mcux * mcuy

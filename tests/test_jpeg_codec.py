@@ -306,3 +306,80 @@ def test_encoder_huffman_table_covers_worst_case_coefficients():
             ac[0, 0] = 0.0
             worst = max(worst, float(ac.max()))
     assert worst < 1024.0  # AC size <= 10
+
+
+def test_subsampled_422_decode_and_bad_ratio_rejected():
+    """4:2:2 (Y 2x1, chroma 1x1): MCU = 2 Y blocks + Cb + Cr, chroma
+    upsampled horizontally only.  Constant gray → bit-exact.  A
+    non-integer factor mix (Y 3x1 with Cb 2x1) must be REJECTED, not
+    silently mis-upsampled."""
+    import struct
+
+    from cherry_pipelines_spark.operators.jpeg import (
+        _ENC_AC_BITS,
+        _ENC_AC_VALS,
+        _ENC_DC_BITS,
+        _ENC_DC_VALS,
+        _BitWriter,
+        _canonical_codes,
+        _category,
+    )
+
+    v = 163
+    h, w = 8, 16  # one 4:2:2 MCU
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+    bw_ = _BitWriter()
+
+    def put_block(dc_diff):
+        size = _category(dc_diff)
+        code, ln = dc_codes[size]
+        bw_.put(code, ln)
+        if size:
+            bw_.put(dc_diff if dc_diff >= 0 else dc_diff + (1 << size) - 1, size)
+        code, ln = ac_codes[0x00]
+        bw_.put(code, ln)
+
+    put_block(8 * (v - 128))  # Y block 1
+    put_block(0)              # Y block 2 (diff 0)
+    put_block(0)              # Cb
+    put_block(0)              # Cr
+    entropy = bw_.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def frame(y_sampling, cb_sampling):
+        return (
+            b"\xff\xd8"
+            + seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))
+            + seg(
+                0xFFC0,
+                struct.pack(">BHHB", 8, h, w, 3)
+                + struct.pack(">BBB", 1, y_sampling, 0)
+                + struct.pack(">BBB", 2, cb_sampling, 0)
+                + struct.pack(">BBB", 3, 0x11, 0),
+            )
+            + seg(
+                0xFFC4,
+                bytes([0x00]) + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+                + bytes([0x10]) + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS),
+            )
+            + seg(
+                0xFFDA,
+                bytes([3])
+                + struct.pack(">BB", 1, 0x00)
+                + struct.pack(">BB", 2, 0x00)
+                + struct.pack(">BB", 3, 0x00)
+                + bytes([0, 63, 0]),
+            )
+            + entropy
+            + b"\xff\xd9"
+        )
+
+    out = _decode_jpeg(frame(0x21, 0x11))  # Y 2x1: valid 4:2:2
+    assert out.shape == (8, 16, 3)
+    assert np.array_equal(out, np.full((8, 16, 3), v, dtype=np.uint8))
+
+    with pytest.raises(ValueError, match="sampling"):
+        _decode_jpeg(frame(0x31, 0x21))  # Y 3x1, Cb 2x1: 3/2 ratio
