@@ -25,8 +25,16 @@ import os
 import re
 import sys
 
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ENTRY = os.path.join(ROOT, "__spark_entry__.py")
+# ROTATE_ROOT / ROTATE_ENTRY_PATH exist for the test harness only
+# (tests/test_rotate_registry.py rewrites a miniature fixture instead
+# of the real 6,700-line registry)
+ROOT = os.environ.get(
+    "ROTATE_ROOT",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
+ENTRY = os.environ.get(
+    "ROTATE_ENTRY_PATH", os.path.join(ROOT, "__spark_entry__.py")
+)
 SNAPSHOT_WINDOW = 50
 
 
