@@ -7,7 +7,7 @@ built from environment variables, with a chain-id→name map for sink
 partitioning and per-chain checkpoint scoping.
 
 Spark-first deviations: the "provider" is a path to columnar tables
-(Parquet/Delta) instead of a remote ingestion URL; buffer sizing (S3/T4)
+(Parquet, or csv/json/orc via TableSpec.format) instead of a remote ingestion URL; buffer sizing (S3/T4)
 has no equivalent because Spark pipelines stages itself.
 """
 

@@ -3,7 +3,7 @@
 Mirrors the reference's SQL MIN/MAX checkpoint reads
 (/root/reference/src/cherry_pipelines/db.py:8-45): the next block to
 ingest is ``MAX(block_col) + 1`` over the already-written sink table,
-optionally scoped by ``chain_id``.  Here the sink is a Parquet/Delta
+optionally scoped by ``chain_id``.  Here the sink is a Parquet
 directory; the max read is a metadata-cheap column scan (Parquet
 row-group stats make this fast even on huge sinks, and
 ``spark.sql.parquet.aggregatePushdown`` turns it into a stats-only
