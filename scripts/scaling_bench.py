@@ -1,0 +1,275 @@
+"""Measured operator-family scaling curves at 1x / 4x / 16x data.
+
+The per-round bench pins ABSOLUTE time at one scale (sf0.1); this
+script pins the SHAPE of the curve: it synthesizes K-times-scaled
+copies of the five fact tables under a scratch directory, then times a
+representative subset of the registry queries at each scale through
+the exact same ``(spark, sf_dir)`` entry points ``bench.py`` uses, and
+flags any family whose time grows super-linearly in the input — the
+failure mode that is invisible at a single scale factor but fatal at
+100 TB.
+
+Scaling model — corpus GROWTH, not replication:
+
+* every copy ``k`` gets disjoint keys (``+ k * 1e12``), so joins and
+  groupings gain NEW keys instead of deeper hot keys;
+* ``documents``: each word in copy ``k > 0`` is suffixed ``~k`` so
+  shingles are distinct across copies — byte-replicated text would
+  multiply every shingle's document frequency by K and the near-dup
+  self-joins would measure the (intentionally) quadratic pair blowup
+  of a degenerate corpus, not the operator;
+* ``embeddings``: element 0 is nudged by ``k * 1e-4`` to break exact
+  vector ties for the same reason;
+* dim tables (region/nation/customer/supplier/part) stay UNSCALED and
+  are symlinked — facts-per-dim grows, the realistic shape of a
+  growing corpus (and what keeps the broadcast sides broadcastable);
+* scaled tables are written with 32 partitions, the multi-file layout
+  cluster inputs actually have (the single-file sf0.1 fixtures are the
+  reason several queries carry their own ``fan_out``).
+
+Usage::
+
+    python scripts/scaling_bench.py [--scales 1,4,16] [--queries a,b]
+        [--out SCALING.json] [--data-root /tmp/scaling] [--keep-data]
+
+Writes one JSON artifact (default ``SCALING.json`` at the repo root)::
+
+    {"scales": [1, 4, 16], "sf_src": ".../sf0.1",
+     "queries": {"<name>": {"sec": {"1": s, "4": s, "16": s},
+                            "norm_hi": <sec_hi / (sec_lo * K_hi/K_lo)>,
+                            "verdict": "linear|super-linear"}}}
+
+``norm_hi`` is time at the top scale divided by perfectly-linear
+extrapolation from the previous scale; ≤ ``LINEAR_TOLERANCE`` counts
+as linear (timer noise, partial-agg constant factors and shuffle
+startup keep real linear operators under ~1.4 on this box).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+KEY_OFFSET = 10**12
+LINEAR_TOLERANCE = 1.6
+
+FACT_KEYS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+
+# one query per operator family with distinct scale risk:
+#   scan+agg, range window, union+window as-of, keyed sessionization,
+#   hash dedup, shingle self-join (the quadratic-risk shape), banded
+#   LSH x2, integer-GEMM ANN, iterative k-means, iterative graph,
+#   Arrow decode kernel.
+DEFAULT_QUERIES = [
+    "pricing_summary",
+    "trailing_window",
+    "asof_join_nearest",
+    "sessionize_native",
+    "dedup_exact",
+    "ngram_jaccard",
+    "ngram_jaccard_lsh",
+    "dedup_minhash_lsh",
+    "quantized_topk",
+    "quantized_topk_fixedq",
+    "kmeans_embeddings",
+    "pagerank",
+    "evm_decode_batch",
+]
+
+
+def _quantized_topk_fixedq(spark, sf_dir: str):
+    """Corpus-scaling twin of the registry ``quantized_topk``: same
+    operator, but the query set is pinned to copy-0 rows (keys below
+    ``KEY_OFFSET``), so |Q| stays constant while the corpus grows.
+
+    The registry query derives its queries from the corpus
+    (``vec_id % 50 == 0``), so under this harness BOTH sides grow and
+    its cost follows the brute-force law O(|Q|·|C|) — 16x data means
+    256x integer-dot work, which the artifact records as super-linear
+    BY CONSTRUCTION.  This twin answers the 100 TB question (fixed
+    query workload, growing corpus); for query sets that grow with the
+    corpus, the indexed IVF/SRP operators are the scale path.
+    """
+    from cherry_pipelines_spark.operators.similarity import quantized_cosine_topk
+
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = em.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < KEY_OFFSET))
+    return quantized_cosine_topk(em, q, k=5)
+
+
+EXTRA_WORKLOADS = {"quantized_topk_fixedq": _quantized_topk_fixedq}
+
+# super-linear BY CONSTRUCTION under this harness (documented on the
+# workload): flagged in the artifact but not a failure exit
+EXPECTED_SUPERLINEAR = {"quantized_topk"}
+
+
+def _scale_table(spark, src: str, dst: str, name: str, k: int) -> None:
+    df = spark.read.parquet(src)
+    df = df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_copy")
+    )
+    copy = F.col("_copy")
+    for key in FACT_KEYS[name]:
+        df = df.withColumn(key, F.col(key) + copy.cast("long") * F.lit(KEY_OFFSET))
+    if name == "documents":
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(w, F.lit("~"), copy.cast("string")),
+            ),
+            " ",
+        )
+        df = df.withColumn(
+            "text", F.when(copy == 0, F.col("text")).otherwise(suffixed)
+        ).withColumn("n_chars", F.length("text"))
+    elif name == "embeddings":
+        df = df.withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: F.when(
+                    i == 0, x + copy.cast("float") * F.lit(1e-4)
+                )
+                .otherwise(x)
+                .cast("float"),
+            ),
+        )
+    df.drop("_copy").repartition(32).write.mode("overwrite").parquet(dst)
+
+
+def _build_scale_dir(spark, sf_src: str, root: str, k: int) -> str:
+    out = os.path.join(root, f"x{k}")
+    marker = os.path.join(out, "_SCALE_OK")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for name in DIMS:
+        link = os.path.join(out, f"{name}.parquet")
+        if not os.path.lexists(link):
+            os.symlink(os.path.join(sf_src, f"{name}.parquet"), link)
+    for name in FACT_KEYS:
+        # k == 1 runs through the SAME writer (explode over [0]) so every
+        # scale shares the 32-partition layout — a symlinked single-file
+        # 1x baseline measures the fixture layout, not the operator, and
+        # bends the curve (observed: 4x FASTER than single-file 1x).
+        src = os.path.join(sf_src, f"{name}.parquet")
+        _scale_table(spark, src, os.path.join(out, f"{name}.parquet"), name, k)
+    open(marker, "w").close()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,4,16")
+    ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument("--out", default=os.path.join(_ROOT, "SCALING.json"))
+    ap.add_argument("--data-root", default="/tmp/scaling")
+    ap.add_argument(
+        "--keep-data",
+        action="store_true",
+        help="leave the synthesized scale dirs on disk for re-runs",
+    )
+    ap.add_argument(
+        "--sf-src",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+    )
+    args = ap.parse_args()
+    scales = sorted({int(s) for s in args.scales.split(",")})
+    names = [q for q in args.queries.split(",") if q]
+
+    import __spark_entry__ as entry_mod
+    from cherry_pipelines_spark.session import get_spark
+
+    spark = get_spark("scaling_bench")
+    qs = dict(entry_mod.queries())
+    qs.update(EXTRA_WORKLOADS)
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
+    dirs = {}
+    t0 = time.monotonic()
+    for k in scales:
+        dirs[k] = _build_scale_dir(spark, args.sf_src, args.data_root, k)
+    print(f"synthesis: {time.monotonic() - t0:.1f}s for scales {scales}", flush=True)
+
+    # one untimed warm-up so the first timed query doesn't pay JVM/codegen
+    # startup for the whole run
+    qs["pricing_summary"](spark, dirs[scales[0]]).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    results: dict[str, dict] = {}
+    for name in names:
+        secs: dict[str, float] = {}
+        for k in scales:
+            best = None
+            # best-of-2 below 20 s: single-JVM noise (GC, codegen, a cold
+            # Python worker pool) is material on short runs and irrelevant
+            # on long ones
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t = time.monotonic()
+                qs[name](spark, dirs[k]).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                dt = time.monotonic() - t
+                best = dt if best is None else min(best, dt)
+                if best >= 20.0:
+                    break
+            secs[str(k)] = round(best, 3)
+        k_lo, k_hi = scales[-2], scales[-1]
+        lin = secs[str(k_lo)] * (k_hi / k_lo)
+        norm_hi = round(secs[str(k_hi)] / lin, 3) if lin > 0 else None
+        verdict = (
+            "linear"
+            if norm_hi is not None and norm_hi <= LINEAR_TOLERANCE
+            else "super-linear"
+        )
+        results[name] = {"sec": secs, "norm_hi": norm_hi, "verdict": verdict}
+        print(f"{name:24s} {secs}  norm_hi={norm_hi}  {verdict}", flush=True)
+
+    # merge into an existing artifact when scales match, so a partial
+    # re-run (--queries x,y) updates rows instead of dropping the rest
+    artifact = {"scales": scales, "sf_src": args.sf_src, "queries": results}
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if prev.get("scales") == scales:
+                merged = dict(prev.get("queries", {}))
+                merged.update(results)
+                artifact["queries"] = merged
+        except (json.JSONDecodeError, OSError):
+            pass
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
+
+    if not args.keep_data:
+        shutil.rmtree(args.data_root, ignore_errors=True)
+    bad = [n for n, r in results.items() if r["verdict"] != "linear"]
+    if bad:
+        print(f"SUPER-LINEAR: {bad}", flush=True)
+    return 1 if [n for n in bad if n not in EXPECTED_SUPERLINEAR] else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
