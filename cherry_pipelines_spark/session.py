@@ -14,17 +14,36 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _wide_default(master: str) -> bool:
+    """Auto posture: wide partition planning on any non-local master;
+    locally only when ``SPARK_GRAFT_WIDE_SHUFFLES`` is set (the
+    deep-scale harness)."""
+    return not master.startswith("local") or bool(
+        os.environ.get("SPARK_GRAFT_WIDE_SHUFFLES")
+    )
+
+
 def get_spark(
     app_name: str = "cherry_pipelines_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    wide_shuffles: bool | None = None,
 ) -> SparkSession:
     """Create (or reuse) a SparkSession with scale-aware defaults.
 
     ``shuffle_partitions`` defaults to the local core count in local
     mode; on a cluster leave it unset and let AQE coalesce from a high
     initial number.
+
+    ``wide_shuffles`` selects the partition-PLANNING posture (the
+    ``initialPartitionNum`` mechanics are documented inline below):
+
+    * ``None`` (default) — auto: wide on any non-``local`` master,
+      fixed-width locally.  ``SPARK_GRAFT_WIDE_SHUFFLES=1`` forces wide
+      in local mode (how the deep-scale harness models cluster
+      behavior on synthesized 64x data).
+    * ``True`` / ``False`` — explicit override, same effect.
     """
     # Make this package importable inside Spark worker processes: decode
     # steps ship closures referencing this module, and workers don't
@@ -40,6 +59,8 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if master.startswith("local") else 200
+    if wide_shuffles is None:
+        wide_shuffles = _wide_default(master)
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -72,6 +93,35 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
+    if wide_shuffles:
+        # Cluster posture: plan byte-heavy exchanges WIDE and let AQE
+        # coalesce from measured sizes.  With a fixed partition count,
+        # per-partition state grows linearly with data — the 64x scaling
+        # run caught the shingle self-join's shuffled-hash build hitting
+        # exactly that wall (12.6 s → 64.7 s warm for 4x data; 4.9 s →
+        # 26.4 s with this posture, back inside linear tolerance).
+        # Small shuffles are unaffected: coalescePartitions.
+        # parallelismFirst (default true) keeps them at the core count,
+        # so only byte-heavy exchanges actually fan out.  32x the base
+        # count = 6400 at the cluster default of 200 — a partition stays
+        # near the 64 MB advisory target until ~400 GB shuffles, after
+        # which the operator-level guards (max_df, LSH prefilter,
+        # banding) are the documented scale path.  Local runs keep
+        # fixed-width planning: the fixtures are small by construction,
+        # and wide planning taxes the ITERATIVE loops (pagerank 0.9 →
+        # 2.4 s at sf0.1 — per-round map tasks each write
+        # initialPartitionNum shuffle buckets, a fixed cost AQE cannot
+        # coalesce away because it is paid before statistics exist).
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(32 * shuffle_partitions),
+        ).config(
+            # let AQE re-partition cached-plan output too — otherwise
+            # every .cache()/localCheckpoint inside an iterative loop
+            # pins the full initial width for all later rounds
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,34 @@
+"""Partition-planning posture selection (session.py).
+
+The posture itself is exercised end-to-end by the deep-scale harness
+(scripts/scaling_bench.py runs with ``wide_shuffles=True``); these tests
+pin the SELECTION logic — which deployments get wide planning — since a
+wrong default either re-introduces the 64x shuffled-hash-build cliff
+(cluster planned fixed-width) or taxes every local iterative loop
+(local planned wide).
+"""
+
+from cherry_pipelines_spark.session import _wide_default
+
+
+def test_local_master_defaults_to_fixed_width(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_WIDE_SHUFFLES", raising=False)
+    assert _wide_default("local[32]") is False
+    assert _wide_default("local[*]") is False
+
+
+def test_cluster_masters_default_to_wide(monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_WIDE_SHUFFLES", raising=False)
+    assert _wide_default("yarn") is True
+    assert _wide_default("k8s://https://host:443") is True
+    assert _wide_default("spark://host:7077") is True
+
+
+def test_env_forces_wide_locally(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_WIDE_SHUFFLES", "1")
+    assert _wide_default("local[32]") is True
+
+
+def test_empty_env_value_is_not_a_force(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_WIDE_SHUFFLES", "")
+    assert _wide_default("local[32]") is False
