@@ -31,6 +31,7 @@ Usage::
 
     python scripts/scaling_bench.py [--scales 1,4,16] [--queries a,b]
         [--out SCALING.json] [--data-root /tmp/scaling] [--keep-data]
+        [--isolate]
 
 Writes one JSON artifact (default ``SCALING.json`` at the repo root)::
 
@@ -190,14 +191,58 @@ def main() -> int:
         "--sf-src",
         default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
     )
+    ap.add_argument(
+        "--isolate",
+        action="store_true",
+        help="fresh JVM per query: one subprocess per queried name, "
+        "results merged into --out.  Single-JVM sequential runs carry "
+        "cross-query heap/GC state that swings big-shuffle timings "
+        "±50%% run-over-run — per-query isolation makes every curve's "
+        "measurement conditions uniform.",
+    )
     args = ap.parse_args()
     scales = sorted({int(s) for s in args.scales.split(",")})
     names = [q for q in args.queries.split(",") if q]
 
+    if args.isolate and len(names) > 1:
+        import subprocess
+
+        # synthesize once up front (children find the _SCALE_OK markers)
+        # so no child's measurements run in a JVM that just wrote the
+        # scaled tables; then one child process per query — children
+        # always --keep-data, the parent honors the flag at the end
+        from cherry_pipelines_spark.session import get_spark as _gs
+
+        synth = _gs("scaling_synth", wide_shuffles=True)
+        t0 = time.monotonic()
+        for k in scales:
+            _build_scale_dir(synth, args.sf_src, args.data_root, k)
+        print(
+            f"synthesis: {time.monotonic() - t0:.1f}s for scales {scales}",
+            flush=True,
+        )
+        synth.stop()
+        rc = 0
+        for i, name in enumerate(names):
+            cmd = [
+                sys.executable, os.path.abspath(__file__),
+                "--scales", args.scales, "--queries", name,
+                "--out", args.out, "--data-root", args.data_root,
+                "--sf-src", args.sf_src, "--keep-data",
+            ]
+            r = subprocess.run(cmd).returncode
+            rc = rc or r
+        if not args.keep_data:
+            shutil.rmtree(args.data_root, ignore_errors=True)
+        return rc
+
     import __spark_entry__ as entry_mod
     from cherry_pipelines_spark.session import get_spark
 
-    spark = get_spark("scaling_bench")
+    # wide posture = the cluster default this harness is modeling: the
+    # synthesized 64x inputs are exactly the byte-heavy shuffles whose
+    # per-partition state outgrows fixed-width planning (see session.py)
+    spark = get_spark("scaling_bench", wide_shuffles=True)
     qs = dict(entry_mod.queries())
     qs.update(EXTRA_WORKLOADS)
     unknown = [n for n in names if n not in qs]
@@ -221,10 +266,20 @@ def main() -> int:
         secs: dict[str, float] = {}
         for k in scales:
             best = None
-            # best-of-2 below 20 s: single-JVM noise (GC, codegen, a cold
-            # Python worker pool) is material on short runs and irrelevant
-            # on long ones
-            for _ in range(2):
+            # steady-state, not cold-start: JIT/whole-stage-codegen
+            # warm-up bleeds INTO the big runs, not just the small ones
+            # — pagerank at 64x measured 41 → 36 → 16 s across passes in
+            # a fresh JVM (the warm 16 s is BELOW linear extrapolation
+            # from 16x; the cold 41 s flagged a phantom
+            # super-linearity), so capping retimes on slow queries (the
+            # old `>= 20 s: break`) recorded warm-up as if it were the
+            # operator.  JMH-style depth ladder instead: best-of-2 under
+            # 5 s (noise band is small, and a third pass times ~40
+            # queries), best-of-3 under 20 s, best-of-5 above — C2
+            # compilation on multi-stage loops takes several executions
+            # to converge, and the big rows are exactly where the
+            # linear/super-linear verdict is decided.
+            for i in range(5):
                 spark.catalog.clearCache()
                 t = time.monotonic()
                 qs[name](spark, dirs[k]).write.mode("overwrite").format(
@@ -232,7 +287,7 @@ def main() -> int:
                 ).save()
                 dt = time.monotonic() - t
                 best = dt if best is None else min(best, dt)
-                if best >= 20.0:
+                if (i == 1 and best < 5.0) or (i == 2 and best < 20.0):
                     break
             secs[str(k)] = round(best, 3)
         k_lo, k_hi = scales[-2], scales[-1]
