@@ -657,7 +657,16 @@ def _intersection_counts(sh: DataFrame) -> DataFrame:
     shuffle-hash, not broadcast: the exploded shingle table is |docs| ×
     |shingles/doc| rows — far over any broadcast threshold at scale —
     and the identical l/r subplans share one exchange (ReusedExchange).
-    No sort needed (sort-merge would add two)."""
+    No sort needed (sort-merge would add two).
+
+    The shuffled-hash build is per-PARTITION state, so it is safe only
+    while ``rows / shuffle_partitions`` fits memory — under FIXED-width
+    partition planning that ratio grows linearly with the corpus and
+    the build hits a GC cliff (measured: 12.6 → 64.7 s warm for 4x data
+    at the 64x scaling point).  The session factory's wide AQE posture
+    (`session.py`, default on cluster masters) is what keeps the build
+    bounded: exchanges are planned wide and AQE coalesces to the 64 MB
+    advisory target, so partition count tracks input volume."""
     l, r = sh.hint("shuffle_hash").alias("l"), sh.hint("shuffle_hash").alias("r")
     return (
         l.join(

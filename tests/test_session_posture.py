@@ -32,3 +32,37 @@ def test_env_forces_wide_locally(monkeypatch):
 def test_empty_env_value_is_not_a_force(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_WIDE_SHUFFLES", "")
     assert _wide_default("local[32]") is False
+
+
+def test_wide_session_confs(tmp_path):
+    """The wide posture must land BOTH confs on a real session: wide
+    initial planning without cached-plan repartitioning re-pins the
+    full width inside every iterative loop's cache.  Needs its own JVM
+    (the suite session is already built, fixed-width), so drive a
+    subprocess."""
+    import subprocess
+    import sys
+
+    code = (
+        "from cherry_pipelines_spark.session import get_spark\n"
+        "s = get_spark('posture_probe', shuffle_partitions=2,"
+        " wide_shuffles=True)\n"
+        "assert s.conf.get("
+        "'spark.sql.adaptive.coalescePartitions.initialPartitionNum'"
+        ") == '64'\n"
+        "assert s.conf.get("
+        "'spark.sql.optimizer.canChangeCachedPlanOutputPartitioning'"
+        ") == 'true'\n"
+        "print('POSTURE_OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={
+            **__import__("os").environ,
+            "SPARK_GRAFT_CPUS": "2",
+        },
+    )
+    assert "POSTURE_OK" in r.stdout, r.stderr[-2000:]
