@@ -309,7 +309,11 @@ def cosine_near_dup_pairs(
     )
     # shuffle-hash self-join on the bucket key: identical l/r subplans
     # share one exchange, and the corpus is never broadcast (it is the
-    # big side at scale)
+    # big side at scale).  The per-partition hash build grows with the
+    # corpus under fixed-width partition planning (same boundary as
+    # dedup._intersection_counts — see its docstring); the session
+    # factory's wide AQE posture keeps the build near the 64 MB
+    # advisory target on cluster deployments.
     l = base.hint("shuffle_hash").alias("l")
     r = base.hint("shuffle_hash").alias("r")
     return (
