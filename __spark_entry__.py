@@ -1526,6 +1526,98 @@ FROM v
 """
 
 
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode (operators/jpeg.py ``_decode_jpeg``): a
+    spec-valid baseline grayscale JPEG is built per document PURELY IN
+    SQL expressions, exploiting the codec's exactness contract
+    (jpeg.py docstring): with an all-ones quant table, 8x8-block-
+    constant gray planes are DC-only and round-trip bit-exactly.  The
+    image is ``(doc_id%3+1) x (doc_id%2+1)`` blocks; block ``b``'s
+    constant value follows a +/-1 walk from 128
+    (``d_b = +1 iff ((doc_id*31 + b*17) % 5) % 2 == 0``), so every DC
+    diff quantizes to +/-8 — Huffman category 4 under the uniform
+    4-bit-DC/8-bit-AC tables the stream's own DHT carries, making each
+    block's entropy coding exactly TWO bytes (``0x4800`` / ``0x4700``:
+    4-bit DC code, 4 magnitude bits, 8-bit EOB) with no byte stuffing.
+    The decoder must parse DQT/DHT/SOF0/SOS, canonical-Huffman-decode
+    the MCU stream, dequantize, IDCT, and replicate gray to RGB to
+    reproduce the closed-form stats the DuckDB oracle computes
+    arithmetically (px_sum = 3 channels * 64 px * sum of the walk)."""
+    from cherry_pipelines_spark.operators.multimodal import decode_image_stats
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    (d,) = _load(spark, sf_dir, "documents")
+    d = fan_out(d)  # single-file fixture scan: parallelize the synthesis
+    i = F.col("doc_id")
+    bw = (i % 3 + 1).cast("int")
+    bh = (i % 2 + 1).cast("int")
+    be16 = lambda c: F.lpad(F.hex(c.cast("long")), 4, "0")
+
+    # constant marker segments (data-independent): all-ones DQT, the
+    # uniform-length canonical DHT pair (DC: 12 categories at 4 bits,
+    # code(cat) == cat; AC: EOB+ZRL+(run,size) at 8 bits, EOB first ==
+    # 0x00), and a one-component SOS — same BITS/HUFFVAL convention the
+    # codec's encoder uses, spelled out here so the query tests the
+    # decoder against an independently built stream.
+    ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    dqt_hex = "FFDB0043" + "00" + "01" * 64
+    dht_dc_hex = (
+        "FFC4001F00"
+        + "".join(f"{b:02X}" for b in [0, 0, 0, 12] + [0] * 12)
+        + "".join(f"{v:02X}" for v in range(12))
+    )
+    dht_ac_hex = (
+        "FFC400B510"
+        + "".join(f"{b:02X}" for b in [0] * 7 + [len(ac_vals)] + [0] * 8)
+        + "".join(f"{v:02X}" for v in ac_vals)
+    )
+    sos_hex = "FFDA00080101" + "00003F00"
+    sof_hex = F.concat(
+        F.lit("FFC0000B08"), be16(bh * 8), be16(bw * 8), F.lit("01011100")
+    )
+    # entropy data: block b is 0x4800 when the walk steps +1 (DC diff
+    # +8: DC code '0100' + bits '1000' + EOB '00000000'), else 0x4700
+    # (bits '0111' = -8 in category 4); byte-aligned by construction
+    step_up = lambda b: F.pmod(F.pmod(i * 31 + b * 17, F.lit(5)), F.lit(2)) == 0
+    entropy_hex = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), bw * bh - 1),
+            lambda b: F.when(step_up(b), F.lit("4800")).otherwise(F.lit("4700")),
+        ),
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8" + dqt_hex),
+        sof_hex,
+        F.lit(dht_dc_hex + dht_ac_hex + sos_hex),
+        entropy_hex,
+        F.lit("FFD9"),
+    )
+    blobs = d.select(i.alias("media_id"), F.unhex(jpeg_hex).alias("blob"))
+    return decode_image_stats(blobs)
+
+
+ORACLE_MULTIMODAL_DECODE_JPEG = """
+WITH p AS (
+  SELECT doc_id, doc_id % 3 + 1 AS bw, doc_id % 2 + 1 AS bh FROM documents
+),
+s AS (
+  SELECT doc_id, bw, bh,
+    [128 + list_aggregate([CASE WHEN ((doc_id*31 + j*17) % 5) % 2 = 0
+                                THEN 1 ELSE -1 END
+                           for j in generate_series(0, b)], 'sum')
+     for b in generate_series(0, bw*bh - 1)] AS sv
+  FROM p
+)
+SELECT doc_id AS media_id, 'jpeg' AS format,
+       (bw*8)::INTEGER AS width, (bh*8)::INTEGER AS height,
+       (192 * list_aggregate(sv, 'sum'))::BIGINT AS px_sum,
+       list_aggregate(sv, 'min')::INTEGER AS px_min,
+       list_aggregate(sv, 'max')::INTEGER AS px_max
+FROM s
+"""
+
+
 ORACLE_MULTIMODAL_FEATURES = """
 WITH f AS (
   SELECT doc_id AS media_id,
@@ -6394,6 +6486,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_resize_real": q_multimodal_resize_real,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_features": q_multimodal_features,
     "similarity_cosine_topk": q_similarity_cosine_topk,
     "ann_recall": q_ann_recall,
@@ -6562,6 +6655,7 @@ _ORACLES: dict[str, str] = {
     "multimodal_resize_real": ORACLE_MULTIMODAL_RESIZE_REAL,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
     "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
+    "multimodal_decode_jpeg": ORACLE_MULTIMODAL_DECODE_JPEG,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "similarity_cosine_topk": ORACLE_COSINE_TOPK,
     "ann_recall": ORACLE_ANN_RECALL,

@@ -14,13 +14,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _is_local_master(master: str) -> bool:
+    """True for single-JVM masters (``local``, ``local[N]``,
+    ``local[N,F]``) — NOT ``local-cluster[n,c,m]``, which simulates a
+    multi-JVM cluster and should get the cluster (wide) posture."""
+    return master == "local" or master.startswith("local[")
+
+
 def _wide_default(master: str) -> bool:
     """Auto posture: wide partition planning on any non-local master;
-    locally only when ``SPARK_GRAFT_WIDE_SHUFFLES`` is set (the
-    deep-scale harness)."""
-    return not master.startswith("local") or bool(
-        os.environ.get("SPARK_GRAFT_WIDE_SHUFFLES")
-    )
+    locally only when ``SPARK_GRAFT_WIDE_SHUFFLES`` is truthy (the
+    deep-scale harness).  ``0``/``false``/``no``/empty disable."""
+    return not _is_local_master(master) or os.environ.get(
+        "SPARK_GRAFT_WIDE_SHUFFLES", ""
+    ).strip().lower() not in ("", "0", "false", "no")
 
 
 def get_spark(
@@ -58,7 +65,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if master.startswith("local") else 200
+        shuffle_partitions = int(cpus) if _is_local_master(master) else 200
     if wide_shuffles is None:
         wide_shuffles = _wide_default(master)
 

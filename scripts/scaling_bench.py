@@ -63,6 +63,13 @@ from pyspark.sql import functions as F  # noqa: E402
 KEY_OFFSET = 10**12
 LINEAR_TOLERANCE = 1.6
 
+# Measurement-protocol provenance, stamped on every artifact row so a
+# merged artifact can never silently mix rows measured under different
+# conditions (the old single-JVM/20s-cap rows are tagged differently or
+# not at all).  Bump the ladder version whenever the retime discipline
+# changes.
+_LADDER_VERSION = "ladder-v2-depth235"
+
 FACT_KEYS: dict[str, list[str]] = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
@@ -200,11 +207,23 @@ def main() -> int:
         "±50%% run-over-run — per-query isolation makes every curve's "
         "measurement conditions uniform.",
     )
+    ap.add_argument(
+        "--_isolated-child",
+        action="store_true",
+        dest="isolated_child",
+        help=argparse.SUPPRESS,  # set by the --isolate parent on its
+        # children so their artifact rows carry the isolated protocol tag
+    )
     args = ap.parse_args()
     scales = sorted({int(s) for s in args.scales.split(",")})
     names = [q for q in args.queries.split(",") if q]
 
-    if args.isolate and len(names) > 1:
+    # NOTE: applies to single-query runs too — a one-query --isolate
+    # re-measurement must not time in the JVM that just synthesized the
+    # scaled tables (that cross-heap contamination is the whole point of
+    # the flag, and single-query re-runs are how artifact rows get
+    # refreshed).
+    if args.isolate:
         import subprocess
 
         # synthesize once up front (children find the _SCALE_OK markers)
@@ -229,6 +248,7 @@ def main() -> int:
                 "--scales", args.scales, "--queries", name,
                 "--out", args.out, "--data-root", args.data_root,
                 "--sf-src", args.sf_src, "--keep-data",
+                "--_isolated-child",
             ]
             r = subprocess.run(cmd).returncode
             rc = rc or r
@@ -298,7 +318,15 @@ def main() -> int:
             if norm_hi is not None and norm_hi <= LINEAR_TOLERANCE
             else "super-linear"
         )
-        results[name] = {"sec": secs, "norm_hi": norm_hi, "verdict": verdict}
+        results[name] = {
+            "sec": secs,
+            "norm_hi": norm_hi,
+            "verdict": verdict,
+            "protocol": {
+                "isolated": bool(args.isolated_child),
+                "ladder": _LADDER_VERSION,
+            },
+        }
         print(f"{name:24s} {secs}  norm_hi={norm_hi}  {verdict}", flush=True)
 
     # merge into an existing artifact when scales match, so a partial
@@ -312,6 +340,19 @@ def main() -> int:
                 merged = dict(prev.get("queries", {}))
                 merged.update(results)
                 artifact["queries"] = merged
+                my_proto = next(iter(results.values()))["protocol"]
+                mixed = [
+                    n
+                    for n, r in merged.items()
+                    if n not in results and r.get("protocol") != my_proto
+                ]
+                if mixed:
+                    print(
+                        "WARNING: merged artifact mixes measurement "
+                        f"protocols — rows {mixed} carry a different "
+                        f"(or no) protocol tag than this run's {my_proto}",
+                        flush=True,
+                    )
         except (json.JSONDecodeError, OSError):
             pass
     with open(args.out, "w") as f:

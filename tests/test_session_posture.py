@@ -34,6 +34,26 @@ def test_empty_env_value_is_not_a_force(monkeypatch):
     assert _wide_default("local[32]") is False
 
 
+def test_falsey_env_values_disable(monkeypatch):
+    """'0'/'false'/'no' must NOT force wide — a user exporting
+    SPARK_GRAFT_WIDE_SHUFFLES=0 to disable it should get fixed-width
+    (round-8 advice: bool(getenv(...)) treated '0' as a force)."""
+    for v in ("0", "false", "FALSE", "no", " 0 "):
+        monkeypatch.setenv("SPARK_GRAFT_WIDE_SHUFFLES", v)
+        assert _wide_default("local[32]") is False, v
+    for v in ("1", "true", "yes", "on"):
+        monkeypatch.setenv("SPARK_GRAFT_WIDE_SHUFFLES", v)
+        assert _wide_default("local[32]") is True, v
+
+
+def test_local_cluster_master_gets_wide_posture(monkeypatch):
+    """local-cluster[n,c,m] simulates a multi-JVM cluster — it must get
+    the cluster posture, not be string-prefix-matched as local."""
+    monkeypatch.delenv("SPARK_GRAFT_WIDE_SHUFFLES", raising=False)
+    assert _wide_default("local-cluster[2,1,1024]") is True
+    assert _wide_default("local") is False
+
+
 def test_wide_session_confs(tmp_path):
     """The wide posture must land BOTH confs on a real session: wide
     initial planning without cached-plan repartitioning re-pins the
