@@ -21,9 +21,10 @@ Upsampling of subsampled chroma (4:2:0 / 4:2:2) is nearest-neighbor
 Throughput: the entropy loop is per-symbol Python behind a one-probe
 8-bit Huffman lookup — ~1 s for a WORST-CASE 256×256×3 max-entropy
 image (every AC populated at quant=1); typical quantized photos carry
-far fewer symbols.  The codec is the correctness reference; a cluster
-whose workers have PIL/libvips should prefer those in ``_decode_blob``
-for bulk media — the Spark-side plumbing is identical either way.
+far fewer symbols.  The codec is the correctness reference; for bulk
+media, ``multimodal._decode_blob`` routes JPEG through PIL whenever
+the worker carries it (wired, with this codec as the fallback and
+parity reference) — the Spark-side plumbing is identical either way.
 
 Exactness contract used by the tests: with the all-ones quant table an
 8×8-block-constant plane is DC-only, and DCT/IDCT round-trip it

@@ -6,9 +6,13 @@ inflate + all five scanline filters), and baseline JPEG
 (``operators/jpeg.py``: marker/DQT/DHT parse, Huffman entropy decode,
 dequantize, IDCT, chroma upsample, YCbCr→RGB — plus a spec-valid
 encoder) are decoded FOR REAL here via ``decode_image_stats`` /
-``resize_image``.  Non-baseline JPEG variants (progressive,
-arithmetic, 12-bit) raise and surface as NULL rows; on a cluster whose
-workers carry PIL/libvips, extend ``_decode_blob`` for those.  The
+``resize_image``.  When the worker environment carries PIL/Pillow,
+``_decode_blob`` routes JPEG and PNG through it (C-speed libjpeg /
+libpng — the bulk-media throughput path, which also picks up
+progressive/arithmetic JPEG variants the pure codec rejects); without
+PIL the pure-numpy codecs decode everything themselves, and
+non-baseline JPEG raises and surfaces as NULL rows.
+``SPARK_GRAFT_NO_PIL=1`` pins the pure path.  The
 lightweight ``extract_media_meta`` probe keeps its deterministic
 stand-in (it is a metadata-only fixture surface, not a decoder).
 
@@ -561,17 +565,80 @@ def _encode_png(pix, filters=None) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+def _pil_available() -> bool:
+    """True when the optional PIL/Pillow fast path is importable and
+    not disabled via ``SPARK_GRAFT_NO_PIL``."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_PIL", "").strip().lower() in (
+        "1",
+        "true",
+        "yes",
+    ):
+        return False
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+def _try_pil_decode(blob: bytes):
+    """Bulk-media fast path: decode a JPEG/PNG blob via PIL (libjpeg /
+    libpng under the hood — C-speed entropy decode) when the worker
+    carries Pillow.  Returns an (h, w, 3) uint8 array, or ``None`` when
+    PIL is absent, disabled (``SPARK_GRAFT_NO_PIL=1``), or cannot parse
+    the blob — the caller then falls back to the pure-numpy codecs,
+    whose errors are the authoritative ones.
+
+    Output contract matches the pure codecs: grayscale replicated to 3
+    channels, palette/alpha modes converted to RGB.  For the
+    block-constant DC-only JPEG fixtures both engines are bit-exact
+    (libjpeg short-circuits all-AC-zero blocks to the descaled DC,
+    the same closed form jpeg.py computes); arbitrary photos may
+    differ per-pixel by IDCT rounding — the parity test pins the exact
+    fixtures and documents the tolerance for the rest."""
+    if not _pil_available():
+        return None
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(blob)) as img:
+            img.load()
+            if img.mode == "L":
+                g = np.asarray(img)
+                return np.stack([g, g, g], axis=2)
+            if img.mode != "RGB":
+                img = img.convert("RGB")
+            return np.asarray(img)
+    except Exception:
+        return None
+
+
 def _decode_blob(blob: bytes):
     """Dispatch on magic bytes → ("ppm"|"bmp"|"png"|"jpeg", pixel
     array).  Raises on malformed data or unsupported stream variants
-    (progressive/arithmetic JPEG — see operators/jpeg.py's scope)."""
+    (progressive/arithmetic JPEG — see operators/jpeg.py's scope).
+
+    JPEG and PNG route through PIL when the worker has it (the
+    bulk-media throughput path — the pure-Python JPEG entropy loop is a
+    correctness reference, not a 100 TB media plan) and fall back to
+    the pure codecs otherwise; ``SPARK_GRAFT_NO_PIL=1`` forces the
+    pure path everywhere (how the parity test exercises both)."""
     if blob[:2] == b"P6":
         return "ppm", _decode_ppm(blob)
     if blob[:2] == b"BM":
         return "bmp", _decode_bmp(blob)
     if blob[:8] == _PNG_SIG:
-        return "png", _decode_png(blob)
+        pix = _try_pil_decode(blob)
+        return "png", pix if pix is not None else _decode_png(blob)
     if blob[:2] == b"\xff\xd8":
+        pix = _try_pil_decode(blob)
+        if pix is not None:
+            return "jpeg", pix
         from cherry_pipelines_spark.operators.jpeg import _decode_jpeg
 
         return "jpeg", _decode_jpeg(blob)

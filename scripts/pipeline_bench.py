@@ -132,6 +132,63 @@ def main() -> None:
             "slots_per_sec": round(n_price_slots / el),
         }
 
+        # bulk-media decode throughput: N baseline JPEGs encoded once
+        # (distributed, deterministic per id) and written as a binary
+        # column, then the full decode_image_stats path timed over them.
+        # Records which engine decoded (PIL fast path when the env has
+        # Pillow, the pure-numpy codec otherwise) so throughput numbers
+        # are comparable across environments.
+        import numpy as np
+        import pandas as pd
+
+        from cherry_pipelines_spark.operators.jpeg import _encode_jpeg
+        from cherry_pipelines_spark.operators.multimodal import (
+            _pil_available,
+            decode_image_stats,
+        )
+        from pyspark.sql import types as T
+
+        n_images = n_slots
+        blob_schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("blob", T.BinaryType()),
+            ]
+        )
+
+        def enc(batches):
+            for pdf in batches:
+                blobs = []
+                for i in pdf["id"]:
+                    rng = np.random.default_rng(int(i))
+                    blobs.append(
+                        _encode_jpeg(
+                            rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+                        )
+                    )
+                yield pd.DataFrame({"media_id": pdf["id"], "blob": blobs})
+
+        media_dir = os.path.join(work, "media_blobs")
+        spark.range(n_images).repartition(32).mapInPandas(
+            enc, blob_schema
+        ).write.parquet(media_dir)
+        blobs_df = spark.read.parquet(media_dir)
+        media_mb = sum(
+            os.path.getsize(os.path.join(media_dir, f))
+            for f in os.listdir(media_dir)
+            if f.endswith(".parquet")
+        ) / 1e6
+        t0 = time.monotonic()
+        decode_image_stats(blobs_df).write.mode("overwrite").format("noop").save()
+        el = time.monotonic() - t0
+        results["media_decode_jpeg"] = {
+            "sec": round(el, 2),
+            "images": n_images,
+            "input_mb": round(media_mb, 1),
+            "images_per_sec": round(n_images / el),
+            "engine": "pil" if _pil_available() else "pure-numpy",
+        }
+
         payload = {
             "n_slots": n_slots,
             "gen_sec": round(gen_s, 1),
