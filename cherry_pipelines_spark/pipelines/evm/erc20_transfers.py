@@ -12,7 +12,10 @@ Spark-first notes: the topic0 filter and the field selection are applied
 directly on the Parquet scan (pushdown); the blocks side of the join is
 per-batch tiny → broadcast; the output keeps ``amount`` as
 Decimal(38,0) + ``amount_raw`` (32 bytes) per the uint256 overflow
-policy (SURVEY §7.3).
+policy (SURVEY §7.3).  Full-precision rollups over ``amount_raw``
+(the reference's Decimal256(0) surface, erc20_transfers.py:41) go
+through ``functions.uint256.uint256_sum`` — exact limb-decomposed
+aggregation with no 256-bit type needed.
 """
 
 from __future__ import annotations
