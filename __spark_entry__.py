@@ -6473,6 +6473,8 @@ WHERE s.m = 1 AND c.m = 2
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    "multimodal_decode_png": q_multimodal_decode_png,
     "lsh_recall": q_lsh_recall,
     "docs_curation": q_docs_curation,
     "docs_curation_v3": q_docs_curation_v3,
@@ -6485,8 +6487,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rp_project": q_rp_project,
     "multimodal_resize_real": q_multimodal_resize_real,
     "multimodal_decode": q_multimodal_decode,
-    "multimodal_decode_png": q_multimodal_decode_png,
-    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_features": q_multimodal_features,
     "similarity_cosine_topk": q_similarity_cosine_topk,
     "ann_recall": q_ann_recall,
@@ -6642,6 +6642,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _ORACLES: dict[str, str] = {
+    "multimodal_decode_jpeg": ORACLE_MULTIMODAL_DECODE_JPEG,
+    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
     "lsh_recall": ORACLE_LSH_RECALL,
     "docs_curation": ORACLE_DOCS_CURATION,
     "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
@@ -6654,8 +6656,6 @@ _ORACLES: dict[str, str] = {
     "rp_project": ORACLE_RP_PROJECT,
     "multimodal_resize_real": ORACLE_MULTIMODAL_RESIZE_REAL,
     "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
-    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
-    "multimodal_decode_jpeg": ORACLE_MULTIMODAL_DECODE_JPEG,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "similarity_cosine_topk": ORACLE_COSINE_TOPK,
     "ann_recall": ORACLE_ANN_RECALL,

@@ -98,6 +98,7 @@ DEFAULT_QUERIES = [
     "kmeans_embeddings",
     "pagerank",
     "evm_decode_batch",
+    "dedup_clusters",
 ]
 
 

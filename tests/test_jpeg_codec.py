@@ -383,3 +383,42 @@ def test_subsampled_422_decode_and_bad_ratio_rejected():
 
     with pytest.raises(ValueError, match="sampling"):
         _decode_jpeg(frame(0x31, 0x21))  # Y 3x1, Cb 2x1: 3/2 ratio
+
+
+def test_sql_built_fixture_stream_decodes_to_walk():
+    """Regression guard for the `multimodal_decode_jpeg` driver query:
+    the SQL-expressible stream construction (uniform-length DHT pair,
+    all-ones DQT, grayscale SOF0, 2-byte-per-block entropy coding of a
+    +/-1 DC walk) must decode to exactly the walk's block-constant
+    plane.  Mirrors the query's hex assembly in pure Python so a codec
+    or table change that would break the driver oracle fails here in
+    milliseconds instead of at the sf0.01 gate."""
+    ac_vals = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    header = (
+        "FFD8"
+        + "FFDB0043" + "00" + "01" * 64
+        + "{sof}"
+        + "FFC4001F00"
+        + "".join(f"{b:02X}" for b in [0, 0, 0, 12] + [0] * 12)
+        + "".join(f"{v:02X}" for v in range(12))
+        + "FFC400B510"
+        + "".join(f"{b:02X}" for b in [0] * 7 + [len(ac_vals)] + [0] * 8)
+        + "".join(f"{v:02X}" for v in ac_vals)
+        + "FFDA00080101" + "00003F00"
+    )
+    for doc_id in (0, 1, 2, 3, 17, 4999):
+        bw, bh = doc_id % 3 + 1, doc_id % 2 + 1
+        steps = [
+            1 if ((doc_id * 31 + b * 17) % 5) % 2 == 0 else -1
+            for b in range(bw * bh)
+        ]
+        sof = "FFC0000B08" + f"{bh * 8:04X}" + f"{bw * 8:04X}" + "01011100"
+        ent = "".join("4800" if d == 1 else "4700" for d in steps)
+        blob = bytes.fromhex(header.format(sof=sof) + ent + "FFD9")
+        pix = _decode_jpeg(blob)
+        vals = np.cumsum(steps) + 128
+        exp = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+        for b, val in enumerate(vals):
+            my, mx = divmod(b, bw)
+            exp[my * 8 : (my + 1) * 8, mx * 8 : (mx + 1) * 8] = val
+        assert (pix.astype(np.int64) == np.stack([exp] * 3, axis=2)).all(), doc_id
