@@ -19,7 +19,9 @@ Scaling model — corpus GROWTH, not replication:
   self-joins would measure the (intentionally) quadratic pair blowup
   of a degenerate corpus, not the operator;
 * ``embeddings``: element 0 is nudged by ``k * 1e-4`` to break exact
-  vector ties for the same reason;
+  vector ties for the same reason, and ``label`` (the near-dup
+  blocking key) is offset per copy so blocked self-joins gain new
+  groups instead of 256x-deeper ones;
 * dim tables (region/nation/customer/supplier/part) stay UNSCALED and
   are symlinked — facts-per-dim grows, the realistic shape of a
   growing corpus (and what keeps the broadcast sides broadcastable);
@@ -69,13 +71,23 @@ LINEAR_TOLERANCE = 1.6
 # not at all).  Bump the ladder version whenever the retime discipline
 # changes.
 _LADDER_VERSION = "ladder-v2-depth235"
+# synthesis model version: bump when _scale_table's growth model
+# changes (v2 = embeddings.label offset per copy — blocking keys gain
+# new groups instead of deeper ones)
+_SYNTHESIS_VERSION = "synth-v2-labeloffset"
 
 FACT_KEYS: dict[str, list[str]] = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    # label is a BLOCKING key (cosine_near_dup_pairs groups on it):
+    # left unscaled, every copy lands in the same 10 groups and the
+    # blocked self-join measures 256^2 pair blowup of a degenerate
+    # corpus instead of the operator — same reason documents' words get
+    # suffixed.  Offsetting it keeps group SIZE constant while group
+    # COUNT grows, the corpus-growth shape.
+    "embeddings": ["vec_id", "label"],
 }
 DIMS = ["region", "nation", "customer", "supplier", "part"]
 
@@ -99,6 +111,10 @@ DEFAULT_QUERIES = [
     "pagerank",
     "evm_decode_batch",
     "dedup_clusters",
+    "embedding_near_dup",
+    "containment",
+    "semantic_dedup",
+    "semantic_dedup_scaledk",
 ]
 
 
@@ -122,11 +138,37 @@ def _quantized_topk_fixedq(spark, sf_dir: str):
     return quantized_cosine_topk(em, q, k=5)
 
 
-EXTRA_WORKLOADS = {"quantized_topk_fixedq": _quantized_topk_fixedq}
+def _semantic_dedup_scaledk(spark, sf_dir: str):
+    """Corpus-scaling twin of the registry ``semantic_dedup``: ``k``
+    grows with the scale factor (parsed from the ``x{K}`` dir name) so
+    the EXPECTED cluster size stays constant while the corpus grows —
+    the real deployment posture, since ``k`` is the documented knob
+    that bounds the quadratic within-cluster screen (Σ|cluster|², see
+    operators/clustering.py).  The registry query pins k=4, so under
+    this harness its clusters grow linearly and the screen owes
+    quadratic work BY CONSTRUCTION — flagged-but-expected, like
+    ``quantized_topk``."""
+    import re as _re
+
+    from cherry_pipelines_spark.operators.clustering import semantic_dedup
+
+    m = _re.search(r"x(\d+)$", os.path.normpath(sf_dir))
+    scale = int(m.group(1)) if m else 1
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(em, k=4 * scale, iters=2, threshold=0.35)
+
+
+EXTRA_WORKLOADS = {
+    "quantized_topk_fixedq": _quantized_topk_fixedq,
+    "semantic_dedup_scaledk": _semantic_dedup_scaledk,
+}
 
 # super-linear BY CONSTRUCTION under this harness (documented on the
-# workload): flagged in the artifact but not a failure exit
-EXPECTED_SUPERLINEAR = {"quantized_topk"}
+# workload): flagged in the artifact but not a failure exit.
+# semantic_dedup: the registry query pins k=4, so cluster sizes grow
+# with the corpus and the within-cluster screen owes quadratic work —
+# the scaled-k twin measures the deployment posture.
+EXPECTED_SUPERLINEAR = {"quantized_topk", "semantic_dedup"}
 
 
 def _scale_table(spark, src: str, dst: str, name: str, k: int) -> None:
@@ -326,6 +368,7 @@ def main() -> int:
             "protocol": {
                 "isolated": bool(args.isolated_child),
                 "ladder": _LADDER_VERSION,
+                "synthesis": _SYNTHESIS_VERSION,
             },
         }
         print(f"{name:24s} {secs}  norm_hi={norm_hi}  {verdict}", flush=True)

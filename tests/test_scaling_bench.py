@@ -115,6 +115,28 @@ def test_embeddings_perturbed_only_in_element_zero(spark, sf_dir, scaled4):
     )
 
 
+def test_embedding_labels_disjoint_across_copies(spark, sf_dir, scaled4):
+    """label is a blocking key (cosine_near_dup_pairs groups on it) —
+    copies must land in NEW groups, or blocked self-joins measure the
+    K^2 pair blowup of a degenerate corpus instead of the operator."""
+    src = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dst = spark.read.parquet(os.path.join(scaled4, "embeddings.parquet"))
+    n_labels = src.select("label").distinct().count()
+    per_copy = (
+        dst.select(
+            F.floor(F.col("vec_id") / sb.KEY_OFFSET).alias("copy"), "label"
+        )
+        .distinct()
+        .groupBy("copy")
+        .count()
+        .collect()
+    )
+    assert len(per_copy) == 4
+    assert all(r["count"] == n_labels for r in per_copy)
+    # and the label sets themselves are disjoint: total distinct = 4x
+    assert dst.select("label").distinct().count() == 4 * n_labels
+
+
 def test_orders_lineitem_referential_integrity_preserved(spark, scaled4):
     o = spark.read.parquet(os.path.join(scaled4, "orders.parquet"))
     l = spark.read.parquet(os.path.join(scaled4, "lineitem.parquet"))
