@@ -341,3 +341,87 @@ def test_semantic_dedup_ragged_and_null_vectors_never_drop(spark):
     assert out[2] is True and out[4] is True
     # NULL-vector rows pass through the assignment with kept=True
     assert out.get(3, True) is True
+
+
+# ------------------------------------------------- GEMM assignment path
+
+
+def test_assignment_gemm_hof_parity(spark):
+    """The two assignment kernels must produce IDENTICAL verdicts on a
+    non-trivial corpus: same rounded-distance contract, same lowest-id
+    tie-break, same NULL/ragged fallback.  Includes deliberate ties
+    (duplicate points) and near-boundary vectors."""
+    from cherry_pipelines_spark.operators.clustering import assign_clusters
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(400, 8)).astype(np.float32)
+    vecs[10] = vecs[11]  # exact duplicates -> tie on every centroid
+    pts = _df(spark, range(400), vecs)
+    cents = spark.createDataFrame(
+        [(int(ci), [float(x) for x in vecs[ci]]) for ci in range(70)],
+        "cluster_id long, centroid array<double>",
+    )
+    hof = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(pts, cents, "embedding", "vec_id", "hof").collect()
+    }
+    gemm = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(pts, cents, "embedding", "vec_id", "gemm").collect()
+    }
+    assert hof == gemm
+
+
+def test_assignment_gemm_null_ragged_fallback(spark):
+    """NULL and ragged vectors land in the lowest cluster id in BOTH
+    kernels (pinned against the HOF fold's observed all-NULL-distance
+    behavior)."""
+    from cherry_pipelines_spark.operators.clustering import assign_clusters
+
+    pts = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, None), (3, [1.0]), (4, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [4.0, 4.0])],
+        "cluster_id long, centroid array<double>",
+    )
+    for method in ("hof", "gemm"):
+        got = {
+            r["vec_id"]: r["cluster_id"]
+            for r in assign_clusters(
+                pts, cents, "embedding", "vec_id", method
+            ).collect()
+        }
+        assert got == {1: 0, 2: 0, 3: 0, 4: 1}, method
+
+
+def test_assignment_auto_selects_by_k(spark):
+    """auto = hof below the threshold (all-JVM plan, no Python stage),
+    gemm at/above it (one MapInPandas)."""
+    from cherry_pipelines_spark.operators.clustering import (
+        _GEMM_K_THRESHOLD,
+        assign_clusters,
+    )
+
+    rng = np.random.default_rng(7)
+    pts = _df(spark, range(30), rng.normal(size=(30, 4)).astype(np.float32))
+    small = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0] * 4)], "cluster_id long, centroid array<double>"
+    )
+    plan_small = (
+        assign_clusters(pts, small, "embedding", "vec_id", "auto", k_hint=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan_small
+    big = spark.createDataFrame(
+        [(int(i), [float(i)] * 4) for i in range(_GEMM_K_THRESHOLD)],
+        "cluster_id long, centroid array<double>",
+    )
+    plan_big = (
+        assign_clusters(
+            pts, big, "embedding", "vec_id", "auto", k_hint=_GEMM_K_THRESHOLD
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan_big
