@@ -936,6 +936,11 @@ def dhash_near_dups(
     band value (a degenerate all-same-hash corpus needs the usual
     max_bucket-style cap upstream); the verify join is candidate-
     bounded.  Never broadcasts the corpus, never nests loops.
+    BAND WIDTH IS THE SCALE KNOB: a w-bit band collides random pairs
+    at 2^-w, so candidate volume is Θ(n²/2^w) — keep E[candidates]
+    bounded by growing the hash/sketch width ~2 bits per 4x of corpus
+    (measured: the pinned-32-plane SRP caller goes super-linear at
+    256x, the scaled-width twin is flat — SCALING_DEEP.json).
     """
     from pyspark.sql import functions as F
 

@@ -115,6 +115,8 @@ DEFAULT_QUERIES = [
     "containment",
     "semantic_dedup",
     "semantic_dedup_scaledk",
+    "srp_near_dups",
+    "srp_near_dups_scaledplanes",
 ]
 
 
@@ -158,9 +160,34 @@ def _semantic_dedup_scaledk(spark, sf_dir: str):
     return semantic_dedup(em, k=4 * scale, iters=2, threshold=0.35)
 
 
+def _srp_near_dups_scaledplanes(spark, sf_dir: str):
+    """Corpus-scaling twin of the registry ``srp_near_dups``: the SRP
+    sketch WIDTH grows with the corpus (planes 32/64/96/128 at
+    4/16/64/256x → band width 4/8/12/16 bits), the deployment knob the
+    pinned-width registry query cannot turn.  A fixed band width w
+    collides random pairs at rate 2^-w, so candidates are Θ(n²/2^w) —
+    quadratic BY CONSTRUCTION for any pinned sketch; growing w by
+    2 bits per 4x of corpus holds E[candidates] = n²/2^w CONSTANT
+    (6.4e7/16 = 1e9/256 = ... = 4e6 per band on this ladder) and the
+    linear sketch+banding side dominates.  max_dist stays 7 < bands=8
+    (pigeonhole-exact); at wider sketches the same hamming budget is a
+    stricter cosine threshold — the posture a larger corpus wants
+    anyway."""
+    import re as _re
+
+    from cherry_pipelines_spark.operators.similarity import srp_near_dups
+
+    m = _re.search(r"x(\d+)$", os.path.normpath(sf_dir))
+    scale = int(m.group(1)) if m else 1
+    planes = {1: 32, 4: 32, 16: 64, 64: 96, 256: 128}.get(scale, 128)
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return srp_near_dups(em, dims=64, max_dist=7, planes=planes, seed=0, bands=8)
+
+
 EXTRA_WORKLOADS = {
     "quantized_topk_fixedq": _quantized_topk_fixedq,
     "semantic_dedup_scaledk": _semantic_dedup_scaledk,
+    "srp_near_dups_scaledplanes": _srp_near_dups_scaledplanes,
 }
 
 # super-linear BY CONSTRUCTION under this harness (documented on the
@@ -168,7 +195,10 @@ EXTRA_WORKLOADS = {
 # semantic_dedup: the registry query pins k=4, so cluster sizes grow
 # with the corpus and the within-cluster screen owes quadratic work —
 # the scaled-k twin measures the deployment posture.
-EXPECTED_SUPERLINEAR = {"quantized_topk", "semantic_dedup"}
+# srp_near_dups: the registry query pins the sketch width (32 planes →
+# 4-bit bands), so band collisions are Θ(n²/16) — the scaled-planes
+# twin grows the sketch with the corpus, the deployment posture.
+EXPECTED_SUPERLINEAR = {"quantized_topk", "semantic_dedup", "srp_near_dups"}
 
 
 def _scale_table(spark, src: str, dst: str, name: str, k: int) -> None:
