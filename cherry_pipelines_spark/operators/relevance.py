@@ -1,0 +1,155 @@
+"""Corpus relevance statistics: TF-IDF term extraction and BM25
+scoring over the ``documents`` table — the retrieval/quality-weighting
+side of a training-data pipeline (keyword extraction for topic
+filtering, BM25 for query-driven corpus slicing, e.g. pulling the
+documents most relevant to an eval suite for decontamination review).
+
+Beyond-reference operators (the reference engine has no text-relevance
+primitives).  All statistics are computed with deterministic,
+engine-portable formulas so an independent SQL engine reproduces every
+score:
+
+* tf  = count of the term in the document (raw count, no sub-linear
+  damping — damping variants are a caller-side ``F.log1p``).
+* idf = ln((N + 1) / (df + 1)) + 1  (the smoothed form: strictly
+  positive, defined even for df = N).
+* BM25 idf = ln(1 + (N - df + 0.5) / (df + 0.5)) with k1/b defaults
+  1.2 / 0.75.
+* scores are rounded HALF_UP at ``scale`` (Spark's ``round``) before
+  ranking, ties broken on the term string ascending — bit-reproducible
+  rankings across engines.
+
+Scale shape (100 TB): one token explode feeds a (term) hash-agg for
+document frequencies — mergeable partial aggregation, one shuffle.
+Term stats join back onto the exploded tokens keyed by term; stop-word
+terms are the classic skew key, so ``max_df_ratio`` drops terms seen
+in more than that fraction of documents BEFORE the join (their idf is
+~0 — they can never make a top-k — so the guard is a provable no-op on
+results while removing the hottest keys from the shuffle, the same
+stop-shingle argument ``dedup.max_df`` makes).  BM25's query-term DF
+frame is tiny (|query| rows) and broadcast.  No Python anywhere — every
+expression is whole-stage-codegen JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tf) — whitespace tokens, empty strings dropped
+    (consecutive spaces), per-document term counts."""
+    return (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_ratio: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document:
+    ``(id, term, tf, df, score, rank)``.
+
+    ``max_df_ratio`` prunes terms present in more than that fraction of
+    documents before the stats join (skew guard; near-zero-idf terms
+    cannot reach a top-k).  Rank is dense within a document: score
+    DESC, then term ASC — deterministic under ties."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    terms = _doc_terms(df, id_col, text_col)
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    stats = (
+        terms.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_ratio))
+        .select(
+            "term",
+            "df",
+            (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+        )
+    )
+    scored = terms.join(stats, "term").select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.col("idf"), scale).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    scale: int = 6,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed bag of query
+    terms: ``(id, score)`` with score 0 for documents matching no term
+    (every document is returned — downstream slicing decides the
+    cutoff).
+
+    The per-term DF frame is |query| rows → broadcast; document length
+    and the corpus average use the same whitespace tokens as tf.  One
+    explode + two broadcast joins; facts never shuffle."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    uniq = sorted(set(query_terms))
+    terms = _doc_terms(df, id_col, text_col)
+    doclen = terms.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    avgdl = doclen.agg((F.sum("dl") / F.count("*")).alias("avgdl"))
+    qdf = (
+        terms.filter(F.col("term").isin(uniq))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.log(
+                1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    hits = (
+        terms.filter(F.col("term").isin(uniq))
+        .join(F.broadcast(qdf), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            id_col,
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("s").alias("score"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce(F.col("score"), F.lit(0.0)), scale).alias("score"),
+        )
+    )

@@ -1,0 +1,134 @@
+"""TF-IDF / BM25 relevance operators (operators/relevance.py):
+differential tests against a plain-Python reference of the same
+deterministic spec, plus plan/guard properties."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.operators.relevance import bm25_scores, tfidf_top_terms
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog chased the cat"),
+    (3, "quantum chromodynamics of the charm quark"),
+    (4, "the the the the"),
+    (5, "cat cat cat dog"),
+    (6, ""),  # empty text -> no terms
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _py_tf(text):
+    return Counter(t for t in text.split(" ") if t)
+
+
+def _py_tfidf(docs, top_k, max_df_ratio):
+    n = len(docs)
+    dfc = Counter()
+    for _i, t in docs:
+        dfc.update(set(_py_tf(t)))
+    out = {}
+    for i, t in docs:
+        rows = []
+        for term, tf in _py_tf(t).items():
+            if dfc[term] > n * max_df_ratio:
+                continue
+            idf = math.log((n + 1) / (dfc[term] + 1)) + 1
+            rows.append((round(tf * idf, 6), term, tf, dfc[term]))
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        out[i] = rows[:top_k]
+    return out
+
+
+def test_tfidf_matches_python_reference(spark):
+    got = {}
+    for r in tfidf_top_terms(_df(spark), top_k=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], float(r["score"]), r["term"], r["tf"], r["df"])
+        )
+    exp = _py_tfidf(DOCS, 3, 0.5)
+    for doc_id, rows in exp.items():
+        g = sorted(got.get(doc_id, []))
+        assert len(g) == len(rows), doc_id
+        for (rank, score, term, tf, df_), (escore, eterm, etf, edf) in zip(g, rows):
+            assert (term, tf, df_) == (eterm, etf, edf), (doc_id, rank)
+            assert score == pytest.approx(escore, abs=1e-6)
+    assert 6 not in got  # empty doc has no terms
+
+
+def test_tfidf_max_df_guard_is_result_noop(spark):
+    """'the' appears in 5/6 docs -> pruned at the default ratio; but a
+    ratio of 1.0 must give the SAME top-k (near-zero idf never beats a
+    rarer term) for docs that have rarer terms."""
+    strict = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in tfidf_top_terms(_df(spark), top_k=2).collect()
+    }
+    loose = {
+        (r["doc_id"], r["rank"]): r["term"]
+        for r in tfidf_top_terms(_df(spark), top_k=2, max_df_ratio=1.0).collect()
+        if r["doc_id"] != 4  # doc 4 is ONLY stop-words: guard drops it
+    }
+    assert strict == loose
+
+
+def _py_bm25(docs, query, k1=1.2, b=0.75):
+    n = len(docs)
+    tfs = {i: _py_tf(t) for i, t in docs}
+    dls = {i: sum(c.values()) for i, c in tfs.items()}
+    with_terms = [i for i in dls if dls[i] > 0]
+    avgdl = sum(dls.values()) / len(with_terms)
+    out = {}
+    for i, _t in docs:
+        s = 0.0
+        for term in sorted(set(query)):
+            df_ = sum(1 for c in tfs.values() if term in c)
+            tf = tfs[i].get(term, 0)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - df_ + 0.5) / (df_ + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+        out[i] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    got = {
+        r["doc_id"]: float(r["score"])
+        for r in bm25_scores(_df(spark), ["cat", "quark"]).collect()
+    }
+    exp = _py_bm25(DOCS, ["cat", "quark"])
+    assert set(got) == {1, 2, 3, 4, 5, 6}  # every doc returned
+    for i, e in exp.items():
+        assert got[i] == pytest.approx(e, abs=1e-6), i
+    assert got[6] == 0.0 and got[4] == 0.0
+
+
+def test_bm25_validation(spark):
+    with pytest.raises(ValueError):
+        bm25_scores(_df(spark), [])
+
+
+def test_plans_are_jvm_only_and_broadcast(spark):
+    """No Python stage anywhere; BM25's stats joins broadcast (facts
+    never shuffle onto a stats key)."""
+    tf_plan = (
+        tfidf_top_terms(_df(spark), 3)._jdf.queryExecution().executedPlan().toString()
+    )
+    bm_plan = (
+        bm25_scores(_df(spark), ["cat"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for plan in (tf_plan, bm_plan):
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in bm_plan
