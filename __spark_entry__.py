@@ -6472,7 +6472,321 @@ WHERE s.m = 1 AND c.m = 2
 """
 
 
+# =====================================================================
+# Relevance (operators/relevance.py): TF-IDF keyword extraction + BM25
+# corpus slicing — deterministic formulas, oracle-checkable in SQL
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document under the EXACT default
+    (max_df_ratio=1.0, nothing pruned): smoothed idf
+    ln((N+1)/(df+1))+1, HALF_UP round at scale 6 BEFORE ranking,
+    row_number rank with term-ascending ties."""
+    from cherry_pipelines_spark.operators.relevance import tfidf_top_terms
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, top_k=3)
+
+
+ORACLE_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1), 6) AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * (ln((n.n_docs + 1) / (dfreq.df + 1)) + 1), 6) DESC,
+                    tf.term ASC
+         )::BIGINT AS rank
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+def q_bm25_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed query bag —
+    the eval-decontamination slicing path.  Scores rounded HALF_UP at
+    scale 6; zero-match documents return 0.0 (downstream cuts)."""
+    from cherry_pipelines_spark.operators.relevance import bm25_scores
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return bm25_scores(d, ["spark", "window", "scan"])
+
+
+ORACLE_BM25 = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+doclen AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+avgdl AS (SELECT sum(dl) / count(*) AS avgdl FROM doclen),
+qdf AS (
+  SELECT term,
+         ln(1 + (n.n_docs - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM tf CROSS JOIN n
+  WHERE term IN ('scan', 'spark', 'window')
+  GROUP BY term, n.n_docs
+),
+hits AS (
+  SELECT tf.doc_id,
+         sum(qdf.idf * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / avgdl.avgdl))) AS score
+  FROM (SELECT tf.*, doclen.dl FROM tf JOIN doclen USING (doc_id)) tf
+  JOIN qdf USING (term) CROSS JOIN avgdl
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, round(coalesce(hits.score, 0.0), 6) AS score
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
+# =====================================================================
+# Exact uint256 aggregation (functions/uint256.py) — the reference's
+# ClickHouse Decimal256(0) SUM surface (reference evm/erc20_transfers.py:41)
+
+
+def q_uint256_sum_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT full-precision SUM of synthetic uint256 amounts.
+
+    Amounts are 32-byte words built limb-by-limb from lineitem keys
+    (every limb a deterministic BIGINT expression identical in both
+    engines); individual values reach ~9e75 — far beyond Spark's
+    Decimal(38,0) ceiling — and each group total exceeds 2^256, so no
+    native numeric on either engine can hold the answer.  Spark path:
+    JVM limb split -> Decimal(38,0) hash-agg -> one Arrow reassembly
+    pass (functions/uint256.py).  Oracle: DuckDB HUGEINT limb sums
+    reassembled by base-10^15 schoolbook multiply-carry; limb sums are
+    first re-normalized mod 2^64 so every intermediate product stays
+    far inside HUGEINT at any scale factor.  Limb sums also emitted as
+    strings — the SQL-checkable projection of the same total."""
+    from cherry_pipelines_spark.functions.uint256 import uint256_sum
+
+    (li,) = _load(spark, sf_dir, "lineitem")
+    a = (
+        (F.col("l_orderkey") % 9000 + 17) * F.lit(1000000000000000)
+        + F.col("l_partkey") % 1000
+    ).cast("long")
+    b = (
+        (F.col("l_partkey") % 1000000) * F.lit(4000000000000) + F.col("l_suppkey")
+    ).cast("long")
+    c = ((F.col("l_suppkey") % 100) * F.lit(90000000000000000)).cast("long")
+    d = (
+        (F.col("l_orderkey") % 9000) * F.lit(1000000000000000)
+        + F.col("l_partkey") % 1000
+    ).cast("long")
+    word = F.unhex(F.concat(*[F.lpad(F.hex(x), 16, "0") for x in (a, b, c, d)]))
+    amounts = li.select(
+        (F.col("l_suppkey") % 5).cast("long").alias("g"), word.alias("amount")
+    )
+    out = uint256_sum(amounts, "amount", ["g"], keep_limbs=True)
+    return out.select(
+        "g",
+        "amount_sum",
+        *[
+            F.col(f"amount_sum_limb{i}").cast("string").alias(f"limb{i}")
+            for i in range(4)
+        ],
+    )
+
+
+# base-10^15 digits (LSB first) of 2^64 / 2^128 / 2^192 / 2^256:
+#   2^64  -> [744073709551616, 18446]
+#   2^128 -> [607431768211456, 920938463463374, 340282366]
+#   2^192 -> [444464034512896, 207666416102355, 680763835789423, 6277101735386]
+#   2^256 -> [7913129639936, 640564039457584, 907853269984665,
+#             423570985008687, 792089237316195, 115]
+ORACLE_UINT256_SUM = """
+WITH base AS (
+  SELECT l_suppkey % 5 AS g,
+         (l_orderkey % 9000 + 17) * 1000000000000000 + l_partkey % 1000 AS a,
+         (l_partkey % 1000000) * 4000000000000 + l_suppkey AS b,
+         (l_suppkey % 100) * 90000000000000000 AS c,
+         (l_orderkey % 9000) * 1000000000000000 + l_partkey % 1000 AS d
+  FROM lineitem
+),
+limbs AS (
+  SELECT g,
+         CAST(sum(CAST(d AS HUGEINT)) AS HUGEINT) AS s0,
+         CAST(sum(CAST(c AS HUGEINT)) AS HUGEINT) AS s1,
+         CAST(sum(CAST(b AS HUGEINT)) AS HUGEINT) AS s2,
+         CAST(sum(CAST(a AS HUGEINT)) AS HUGEINT) AS s3
+  FROM base GROUP BY g
+),
+-- re-normalize limb sums mod 2^64 (carry folded into the next limb)
+-- so each m_i < 2^64 + N and every later product fits HUGEINT
+norm AS (
+  SELECT g, s0, s1, s2, s3,
+    s0 % CAST('18446744073709551616' AS HUGEINT) AS m0,
+    s1 % CAST('18446744073709551616' AS HUGEINT)
+      + s0 // CAST('18446744073709551616' AS HUGEINT) AS m1,
+    s2 % CAST('18446744073709551616' AS HUGEINT)
+      + s1 // CAST('18446744073709551616' AS HUGEINT) AS m2,
+    s3 % CAST('18446744073709551616' AS HUGEINT)
+      + s2 // CAST('18446744073709551616' AS HUGEINT) AS m3,
+    s3 // CAST('18446744073709551616' AS HUGEINT) AS m4
+  FROM limbs
+),
+-- total = sum_i m_i * 2^(64 i); expand each 2^(64 i) in base 10^15
+raw AS (
+  SELECT g, s0, s1, s2, s3,
+    m0 + m1 * 744073709551616 + m2 * 607431768211456
+       + m3 * 444464034512896 + m4 * 7913129639936 AS r0,
+    m1 * 18446 + m2 * 920938463463374
+       + m3 * 207666416102355 + m4 * 640564039457584 AS r1,
+    m2 * 340282366 + m3 * 680763835789423 + m4 * 907853269984665 AS r2,
+    m3 * 6277101735386 + m4 * 423570985008687 AS r3,
+    m4 * 792089237316195 AS r4,
+    m4 * 115 AS r5
+  FROM norm
+),
+c0 AS (SELECT g, s0, s1, s2, s3, r0 % 1000000000000000 AS d0,
+              r1 + r0 // 1000000000000000 AS r1c, r2, r3, r4, r5 FROM raw),
+c1 AS (SELECT g, s0, s1, s2, s3, d0, r1c % 1000000000000000 AS d1,
+              r2 + r1c // 1000000000000000 AS r2c, r3, r4, r5 FROM c0),
+c2 AS (SELECT g, s0, s1, s2, s3, d0, d1, r2c % 1000000000000000 AS d2,
+              r3 + r2c // 1000000000000000 AS r3c, r4, r5 FROM c1),
+c3 AS (SELECT g, s0, s1, s2, s3, d0, d1, d2, r3c % 1000000000000000 AS d3,
+              r4 + r3c // 1000000000000000 AS r4c, r5 FROM c2),
+c4 AS (SELECT g, s0, s1, s2, s3, d0, d1, d2, d3, r4c % 1000000000000000 AS d4,
+              r5 + r4c // 1000000000000000 AS d5 FROM c3)
+SELECT g::BIGINT AS g,
+  CASE WHEN d5 = 0 AND d4 = 0 AND d3 = 0 AND d2 = 0 AND d1 = 0 AND d0 = 0
+       THEN '0'
+       ELSE ltrim(
+         lpad(CAST(d5 AS VARCHAR), 20, '0') || lpad(CAST(d4 AS VARCHAR), 15, '0')
+         || lpad(CAST(d3 AS VARCHAR), 15, '0') || lpad(CAST(d2 AS VARCHAR), 15, '0')
+         || lpad(CAST(d1 AS VARCHAR), 15, '0') || lpad(CAST(d0 AS VARCHAR), 15, '0'),
+         '0') END AS amount_sum,
+  CAST(s0 AS VARCHAR) AS limb0, CAST(s1 AS VARCHAR) AS limb1,
+  CAST(s2 AS VARCHAR) AS limb2, CAST(s3 AS VARCHAR) AS limb3
+FROM c4
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tfidf_keywords": q_tfidf_keywords,
+    "bm25_slice": q_bm25_slice,
+    "uint256_sum_exact": q_uint256_sum_exact,
+    "pii_scrub": q_pii_scrub,
+    "repetition_stats": q_repetition_stats,
+    "pricing_summary": q_pricing_summary,
+    "topk_revenue": q_topk_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
+    "left_join_null": q_left_join_null,
+    "semi_anti": q_semi_anti,
+    "correlated_subquery": q_correlated_subquery,
+    "rollup_revenue": q_rollup_revenue,
+    "distinct_agg": q_distinct_agg,
+    "percentile_value": q_percentile_value,
+    "positional_adjacency": q_positional_adjacency,
+    "asof_join": q_asof_join,
+    "asof_join_nearest": q_asof_join_nearest,
+    "interval_join": q_interval_join,
+    "overlap_join": q_overlap_join,
+    "trailing_window": q_trailing_window,
+    "union_typed_null": q_union_typed_null,
+    "range_const_frames": q_range_const_frames,
+    "window_rownum_topk": q_window_rownum_topk,
+    "boolean_split_swap": q_boolean_split_swap,
+    "minmax_checkpoint": q_minmax_checkpoint,
+    "borsh_decode": q_borsh_decode,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
+    "embedding_near_dup": q_embedding_near_dup,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "skew_salted_join": q_skew_salted_join,
+    "stream_windowed": q_stream_windowed,
+    "stream_tumbling": q_stream_tumbling,
+    "stream_distinct": q_stream_distinct,
+    "stream_sessionize": q_stream_sessionize,
+    "sessionize": q_sessionize,
+    "sessionize_native": q_sessionize_native,
+    "stratified_sample": q_stratified_sample,
+    "chain_lookup": q_chain_lookup,
+    "stream_topk": q_stream_topk,
+    "text_clean": q_text_clean,
+    "minhash_estimate": q_minhash_estimate,
+    "hll_by_group": q_hll_by_group,
+    "volume_shipping": q_volume_shipping,
+    "product_profit": q_product_profit,
+    "order_count_distribution": q_order_count_distribution,
+    "top_supplier": q_top_supplier,
+    "part_supplier_counts": q_part_supplier_counts,
+    "idf_keywords": q_idf_keywords,
+    "contamination_check": q_contamination_check,
+    "event_pivot": q_event_pivot,
+    "percentile_by_group": q_percentile_by_group,
+    "cube_revenue": q_cube_revenue,
+    "geomean_udaf": q_geomean_udaf,
+    "stream_stream_join": q_stream_stream_join,
+    "vocab_topk": q_vocab_topk,
+    "cluster_canonical": q_cluster_canonical,
+    "training_mix": q_training_mix,
+    "doc_chunks": q_doc_chunks,
+    "pack_sequences": q_pack_sequences,
+    "quality_quantile_filter": q_quality_quantile_filter,
+    "cross_dedup": q_cross_dedup,
+    "zorder_key": q_zorder_key,
+    "incremental_rollup": q_incremental_rollup,
+    "embedding_centroids": q_embedding_centroids,
+    "inverted_index": q_inverted_index,
+    "outlier_events": q_outlier_events,
+    "json_props_agg": q_json_props_agg,
+    "full_outer_join": q_full_outer_join,
+    "docs_curation_v2": q_docs_curation_v2,
+    "hopping_window": q_hopping_window,
+    "group_topk": q_group_topk,
+    "crypto_digests": q_crypto_digests,
+    "decimal_price_ladder": q_decimal_price_ladder,
+    "kmeans_embeddings": q_kmeans,
+    "profile_table": q_profile_table,
+    "bigram_lm_score": q_bigram_lm_score,
+    "weighted_sample": q_weighted_sample,
+    "pattern_absence": q_pattern_absence,
+    "containment": q_containment,
+    "chunks_roundtrip": q_chunks_roundtrip,
+    "split_leakage": q_split_leakage,
+    "oov_rate": q_oov_rate,
+    "dup_source_matrix": q_dup_source_matrix,
+    "shipping_priority": q_shipping_priority,
+    "char_entropy": q_char_entropy,
+    "ewma_smooth": q_ewma_smooth,
+    "last_touch": q_last_touch,
+    "dataset_split": q_dataset_split,
+    "contract_check": q_contract_check,
+    "fuzzy_match": q_fuzzy_match,
+    "corr_matrix": q_corr_matrix,
+    "trend_lines": q_trend_lines,
+    "debounce": q_debounce,
+    "quantile_normalize": q_quantile_normalize,
+    "resample_daily": q_resample_daily,
+    "running_total": q_running_total,
+    "mad_outliers": q_mad_outliers,
     "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
     "multimodal_decode_png": q_multimodal_decode_png,
     "lsh_recall": q_lsh_recall,
@@ -6531,227 +6845,13 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_late_supplier": q_sole_late_supplier,
     "disjunctive_pushdown": q_disjunctive_pushdown,
     "idle_rich_customers": q_idle_rich_customers,
-    "mad_outliers": q_mad_outliers,
-    "char_entropy": q_char_entropy,
-    "ewma_smooth": q_ewma_smooth,
-    "last_touch": q_last_touch,
-    "dataset_split": q_dataset_split,
-    "contract_check": q_contract_check,
-    "fuzzy_match": q_fuzzy_match,
-    "corr_matrix": q_corr_matrix,
-    "trend_lines": q_trend_lines,
-    "debounce": q_debounce,
-    "quantile_normalize": q_quantile_normalize,
-    "resample_daily": q_resample_daily,
-    "running_total": q_running_total,
-    "pattern_absence": q_pattern_absence,
-    "containment": q_containment,
-    "chunks_roundtrip": q_chunks_roundtrip,
-    "split_leakage": q_split_leakage,
-    "oov_rate": q_oov_rate,
-    "dup_source_matrix": q_dup_source_matrix,
-    "shipping_priority": q_shipping_priority,
-    "chain_lookup": q_chain_lookup,
-    "stream_topk": q_stream_topk,
-    "text_clean": q_text_clean,
-    "minhash_estimate": q_minhash_estimate,
-    "hll_by_group": q_hll_by_group,
-    "volume_shipping": q_volume_shipping,
-    "product_profit": q_product_profit,
-    "order_count_distribution": q_order_count_distribution,
-    "top_supplier": q_top_supplier,
-    "part_supplier_counts": q_part_supplier_counts,
-    "idf_keywords": q_idf_keywords,
-    "contamination_check": q_contamination_check,
-    "event_pivot": q_event_pivot,
-    "percentile_by_group": q_percentile_by_group,
-    "cube_revenue": q_cube_revenue,
-    "geomean_udaf": q_geomean_udaf,
-    "stream_stream_join": q_stream_stream_join,
-    "vocab_topk": q_vocab_topk,
-    "cluster_canonical": q_cluster_canonical,
-    "training_mix": q_training_mix,
-    "doc_chunks": q_doc_chunks,
-    "pack_sequences": q_pack_sequences,
-    "quality_quantile_filter": q_quality_quantile_filter,
-    "cross_dedup": q_cross_dedup,
-    "zorder_key": q_zorder_key,
-    "incremental_rollup": q_incremental_rollup,
-    "embedding_centroids": q_embedding_centroids,
-    "inverted_index": q_inverted_index,
-    "outlier_events": q_outlier_events,
-    "json_props_agg": q_json_props_agg,
-    "full_outer_join": q_full_outer_join,
-    "docs_curation_v2": q_docs_curation_v2,
-    "hopping_window": q_hopping_window,
-    "group_topk": q_group_topk,
-    "crypto_digests": q_crypto_digests,
-    "decimal_price_ladder": q_decimal_price_ladder,
-    "kmeans_embeddings": q_kmeans,
-    "profile_table": q_profile_table,
-    "bigram_lm_score": q_bigram_lm_score,
-    "weighted_sample": q_weighted_sample,
-    "pii_scrub": q_pii_scrub,
-    "repetition_stats": q_repetition_stats,
-    "pricing_summary": q_pricing_summary,
-    "topk_revenue": q_topk_revenue,
-    "local_supplier_volume": q_local_supplier_volume,
-    "left_join_null": q_left_join_null,
-    "semi_anti": q_semi_anti,
-    "correlated_subquery": q_correlated_subquery,
-    "rollup_revenue": q_rollup_revenue,
-    "distinct_agg": q_distinct_agg,
-    "percentile_value": q_percentile_value,
-    "positional_adjacency": q_positional_adjacency,
-    "asof_join": q_asof_join,
-    "asof_join_nearest": q_asof_join_nearest,
-    "interval_join": q_interval_join,
-    "overlap_join": q_overlap_join,
-    "trailing_window": q_trailing_window,
-    "union_typed_null": q_union_typed_null,
-    "range_const_frames": q_range_const_frames,
-    "window_rownum_topk": q_window_rownum_topk,
-    "boolean_split_swap": q_boolean_split_swap,
-    "minmax_checkpoint": q_minmax_checkpoint,
-    "borsh_decode": q_borsh_decode,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_simhash": q_dedup_simhash,
-    "ngram_jaccard": q_ngram_jaccard,
-    "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
-    "similarity_ivf_topk": q_similarity_ivf_topk,
-    "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
-    "embedding_near_dup": q_embedding_near_dup,
-    "text_langid": q_text_langid,
-    "text_quality": q_text_quality,
-    "token_stats": q_token_stats,
-    "fingerprint": q_fingerprint,
-    "multimodal_meta": q_multimodal_meta,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
-    "skew_salted_join": q_skew_salted_join,
-    "stream_windowed": q_stream_windowed,
-    "stream_tumbling": q_stream_tumbling,
-    "stream_distinct": q_stream_distinct,
-    "stream_sessionize": q_stream_sessionize,
-    "sessionize": q_sessionize,
-    "sessionize_native": q_sessionize_native,
-    "stratified_sample": q_stratified_sample,
 }
 
 
 _ORACLES: dict[str, str] = {
-    "multimodal_decode_jpeg": ORACLE_MULTIMODAL_DECODE_JPEG,
-    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
-    "lsh_recall": ORACLE_LSH_RECALL,
-    "docs_curation": ORACLE_DOCS_CURATION,
-    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
-    "evm_decode": ORACLE_EVM_DECODE,
-    "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
-    "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
-    "quantized_topk": ORACLE_QUANTIZED_TOPK,
-    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
-    "vault_mint_attach": ORACLE_VAULT_MINT_ATTACH,
-    "rp_project": ORACLE_RP_PROJECT,
-    "multimodal_resize_real": ORACLE_MULTIMODAL_RESIZE_REAL,
-    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
-    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
-    "similarity_cosine_topk": ORACLE_COSINE_TOPK,
-    "ann_recall": ORACLE_ANN_RECALL,
-    "pagerank": ORACLE_PAGERANK,
-    "label_propagation": ORACLE_LABEL_PROPAGATION,
-    "forecast_revenue": ORACLE_FORECAST_REVENUE,
-    "promo_revenue": ORACLE_PROMO_REVENUE,
-    "stream_ewma": ORACLE_STREAM_EWMA,
-    "winsorize": ORACLE_WINSORIZE,
-    "cpi_pairing": ORACLE_CPI_PAIRING,
-    "excess_stock_suppliers": ORACLE_EXCESS_STOCK_SUPPLIERS,
-    "swap_prices_chain": ORACLE_SWAP_PRICES_CHAIN,
-    "stream_static_join": ORACLE_STREAM_STATIC,
-    "upsert_merge": ORACLE_UPSERT_MERGE,
-    "bpe_merges": ORACLE_BPE_MERGES,
-    "hll_distinct": ORACLE_HLL_DISTINCT,
-    "heavy_hitters": ORACLE_HEAVY_HITTERS,
-    "span_dedup": ORACLE_SPAN_DEDUP,
-    "audio_decode": ORACLE_AUDIO_DECODE,
-    "table_diff": ORACLE_TABLE_DIFF,
-    "triangle_count": ORACLE_TRIANGLES,
-    "scd2_history": ORACLE_SCD2,
-    "cohort_retention": ORACLE_COHORT,
-    "funnel": ORACLE_FUNNEL,
-    "temperature_mix": ORACLE_TEMPERATURE_MIX,
-    "image_dhash_dedup": ORACLE_IMAGE_DHASH,
-    "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
-    "bpe_encode": ORACLE_BPE_ENCODE,
-    "srp_near_dups": ORACLE_SRP_NEAR_DUPS,
-    "market_share": ORACLE_MARKET_SHARE,
-    "returned_items": ORACLE_RETURNED_ITEMS,
-    "priority_late_orders": ORACLE_PRIORITY_LATE,
-    "large_order_customers": ORACLE_LARGE_ORDER,
-    "sole_late_supplier": ORACLE_SOLE_LATE,
-    "disjunctive_pushdown": ORACLE_DISJUNCTIVE,
-    "idle_rich_customers": ORACLE_IDLE_RICH,
-    "mad_outliers": ORACLE_MAD_OUTLIERS,
-    "char_entropy": ORACLE_CHAR_ENTROPY,
-    "ewma_smooth": ORACLE_EWMA,
-    "last_touch": ORACLE_LAST_TOUCH,
-    "dataset_split": ORACLE_DATASET_SPLIT,
-    "contract_check": ORACLE_CONTRACT_CHECK,
-    "fuzzy_match": ORACLE_FUZZY_MATCH,
-    "corr_matrix": ORACLE_CORR_MATRIX,
-    "trend_lines": ORACLE_TREND_LINES,
-    "debounce": ORACLE_DEBOUNCE,
-    "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
-    "resample_daily": ORACLE_RESAMPLE_DAILY,
-    "running_total": ORACLE_RUNNING_TOTAL,
-    "pattern_absence": ORACLE_PATTERN_ABSENCE,
-    "containment": ORACLE_CONTAINMENT,
-    "chunks_roundtrip": ORACLE_CHUNKS_ROUNDTRIP,
-    "split_leakage": ORACLE_SPLIT_LEAKAGE,
-    "oov_rate": ORACLE_OOV_RATE,
-    "dup_source_matrix": ORACLE_DUP_SOURCE_MATRIX,
-    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
-    "chain_lookup": ORACLE_CHAIN_LOOKUP,
-    "stream_topk": ORACLE_STREAM_TOPK,
-    "text_clean": ORACLE_TEXT_CLEAN,
-    "minhash_estimate": ORACLE_MINHASH_EST,
-    "hll_by_group": ORACLE_HLL_BY_GROUP,
-    "volume_shipping": ORACLE_VOLUME_SHIPPING,
-    "product_profit": ORACLE_PRODUCT_PROFIT,
-    "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
-    "top_supplier": ORACLE_TOP_SUPPLIER,
-    "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
-    "idf_keywords": ORACLE_IDF,
-    "contamination_check": ORACLE_CONTAMINATION,
-    "event_pivot": ORACLE_EVENT_PIVOT,
-    "percentile_by_group": ORACLE_PCT_GROUP,
-    "cube_revenue": ORACLE_CUBE,
-    "geomean_udaf": ORACLE_GEOMEAN,
-    "stream_stream_join": ORACLE_STREAM_SS_JOIN,
-    "vocab_topk": ORACLE_VOCAB_TOPK,
-    "cluster_canonical": ORACLE_CLUSTER_CANONICAL,
-    "training_mix": ORACLE_TRAINING_MIX,
-    "doc_chunks": ORACLE_DOC_CHUNKS,
-    "pack_sequences": ORACLE_PACK_SEQUENCES,
-    "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,
-    "cross_dedup": ORACLE_CROSS_DEDUP,
-    "zorder_key": ORACLE_ZORDER,
-    "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
-    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
-    "inverted_index": ORACLE_INVERTED_INDEX,
-    "outlier_events": ORACLE_OUTLIER_EVENTS,
-    "json_props_agg": ORACLE_JSON_PROPS,
-    "full_outer_join": ORACLE_FULL_OUTER,
-    "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
-    "hopping_window": ORACLE_HOPPING,
-    "group_topk": ORACLE_GROUP_TOPK,
-    "crypto_digests": ORACLE_CRYPTO_DIGESTS,
-    "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
-    "kmeans_embeddings": ORACLE_KMEANS,
-    "profile_table": ORACLE_PROFILE_TABLE,
-    "bigram_lm_score": ORACLE_BIGRAM_LM,
-    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "tfidf_keywords": ORACLE_TFIDF,
+    "bm25_slice": ORACLE_BM25,
+    "uint256_sum_exact": ORACLE_UINT256_SUM,
     "pii_scrub": ORACLE_PII,
     "repetition_stats": ORACLE_REPETITION,
     "pricing_summary": ORACLE_PRICING,
@@ -6802,6 +6902,116 @@ _ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "sessionize_native": ORACLE_SESSIONIZE_NATIVE,
     "stratified_sample": ORACLE_STRATIFIED,
+    "chain_lookup": ORACLE_CHAIN_LOOKUP,
+    "stream_topk": ORACLE_STREAM_TOPK,
+    "text_clean": ORACLE_TEXT_CLEAN,
+    "minhash_estimate": ORACLE_MINHASH_EST,
+    "hll_by_group": ORACLE_HLL_BY_GROUP,
+    "volume_shipping": ORACLE_VOLUME_SHIPPING,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
+    "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
+    "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
+    "idf_keywords": ORACLE_IDF,
+    "contamination_check": ORACLE_CONTAMINATION,
+    "event_pivot": ORACLE_EVENT_PIVOT,
+    "percentile_by_group": ORACLE_PCT_GROUP,
+    "cube_revenue": ORACLE_CUBE,
+    "geomean_udaf": ORACLE_GEOMEAN,
+    "stream_stream_join": ORACLE_STREAM_SS_JOIN,
+    "vocab_topk": ORACLE_VOCAB_TOPK,
+    "cluster_canonical": ORACLE_CLUSTER_CANONICAL,
+    "training_mix": ORACLE_TRAINING_MIX,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,
+    "cross_dedup": ORACLE_CROSS_DEDUP,
+    "zorder_key": ORACLE_ZORDER,
+    "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
+    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
+    "inverted_index": ORACLE_INVERTED_INDEX,
+    "outlier_events": ORACLE_OUTLIER_EVENTS,
+    "json_props_agg": ORACLE_JSON_PROPS,
+    "full_outer_join": ORACLE_FULL_OUTER,
+    "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
+    "hopping_window": ORACLE_HOPPING,
+    "group_topk": ORACLE_GROUP_TOPK,
+    "crypto_digests": ORACLE_CRYPTO_DIGESTS,
+    "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
+    "kmeans_embeddings": ORACLE_KMEANS,
+    "profile_table": ORACLE_PROFILE_TABLE,
+    "bigram_lm_score": ORACLE_BIGRAM_LM,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "pattern_absence": ORACLE_PATTERN_ABSENCE,
+    "containment": ORACLE_CONTAINMENT,
+    "chunks_roundtrip": ORACLE_CHUNKS_ROUNDTRIP,
+    "split_leakage": ORACLE_SPLIT_LEAKAGE,
+    "oov_rate": ORACLE_OOV_RATE,
+    "dup_source_matrix": ORACLE_DUP_SOURCE_MATRIX,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
+    "ewma_smooth": ORACLE_EWMA,
+    "last_touch": ORACLE_LAST_TOUCH,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "contract_check": ORACLE_CONTRACT_CHECK,
+    "fuzzy_match": ORACLE_FUZZY_MATCH,
+    "corr_matrix": ORACLE_CORR_MATRIX,
+    "trend_lines": ORACLE_TREND_LINES,
+    "debounce": ORACLE_DEBOUNCE,
+    "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+    "resample_daily": ORACLE_RESAMPLE_DAILY,
+    "running_total": ORACLE_RUNNING_TOTAL,
+    "mad_outliers": ORACLE_MAD_OUTLIERS,
+    "multimodal_decode_jpeg": ORACLE_MULTIMODAL_DECODE_JPEG,
+    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
+    "lsh_recall": ORACLE_LSH_RECALL,
+    "docs_curation": ORACLE_DOCS_CURATION,
+    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
+    "evm_decode": ORACLE_EVM_DECODE,
+    "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
+    "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
+    "quantized_topk": ORACLE_QUANTIZED_TOPK,
+    "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
+    "vault_mint_attach": ORACLE_VAULT_MINT_ATTACH,
+    "rp_project": ORACLE_RP_PROJECT,
+    "multimodal_resize_real": ORACLE_MULTIMODAL_RESIZE_REAL,
+    "multimodal_decode": ORACLE_MULTIMODAL_DECODE,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "similarity_cosine_topk": ORACLE_COSINE_TOPK,
+    "ann_recall": ORACLE_ANN_RECALL,
+    "pagerank": ORACLE_PAGERANK,
+    "label_propagation": ORACLE_LABEL_PROPAGATION,
+    "forecast_revenue": ORACLE_FORECAST_REVENUE,
+    "promo_revenue": ORACLE_PROMO_REVENUE,
+    "stream_ewma": ORACLE_STREAM_EWMA,
+    "winsorize": ORACLE_WINSORIZE,
+    "cpi_pairing": ORACLE_CPI_PAIRING,
+    "excess_stock_suppliers": ORACLE_EXCESS_STOCK_SUPPLIERS,
+    "swap_prices_chain": ORACLE_SWAP_PRICES_CHAIN,
+    "stream_static_join": ORACLE_STREAM_STATIC,
+    "upsert_merge": ORACLE_UPSERT_MERGE,
+    "bpe_merges": ORACLE_BPE_MERGES,
+    "hll_distinct": ORACLE_HLL_DISTINCT,
+    "heavy_hitters": ORACLE_HEAVY_HITTERS,
+    "span_dedup": ORACLE_SPAN_DEDUP,
+    "audio_decode": ORACLE_AUDIO_DECODE,
+    "table_diff": ORACLE_TABLE_DIFF,
+    "triangle_count": ORACLE_TRIANGLES,
+    "scd2_history": ORACLE_SCD2,
+    "cohort_retention": ORACLE_COHORT,
+    "funnel": ORACLE_FUNNEL,
+    "temperature_mix": ORACLE_TEMPERATURE_MIX,
+    "image_dhash_dedup": ORACLE_IMAGE_DHASH,
+    "histogram_quantiles": ORACLE_HISTOGRAM_QUANTILES,
+    "bpe_encode": ORACLE_BPE_ENCODE,
+    "srp_near_dups": ORACLE_SRP_NEAR_DUPS,
+    "market_share": ORACLE_MARKET_SHARE,
+    "returned_items": ORACLE_RETURNED_ITEMS,
+    "priority_late_orders": ORACLE_PRIORITY_LATE,
+    "large_order_customers": ORACLE_LARGE_ORDER,
+    "sole_late_supplier": ORACLE_SOLE_LATE,
+    "disjunctive_pushdown": ORACLE_DISJUNCTIVE,
+    "idle_rich_customers": ORACLE_IDLE_RICH,
 }
 
 

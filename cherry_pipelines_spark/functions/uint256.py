@@ -44,8 +44,13 @@ _SUM_DEC = T.DecimalType(38, 0)
 
 
 def _hex64(col: Column) -> Column:
-    """64-nibble big-endian hex of a <=32-byte binary word."""
-    return F.lpad(F.hex(col), 64, "0")
+    """64-nibble big-endian hex of a <=32-byte binary word.
+
+    Values longer than 32 bytes become NULL: ``lpad`` would otherwise
+    TRUNCATE to the first 64 hex chars, silently dropping the
+    least-significant bytes — a wrong value is worse than a NULL (which
+    SUM semantics then skip, same as a decode-failure NULL)."""
+    return F.when(F.length(col) <= 32, F.lpad(F.hex(col), 64, "0"))
 
 
 def uint256_limbs(col: Column, prefix: str = "limb") -> list[Column]:
@@ -56,7 +61,8 @@ def uint256_limbs(col: Column, prefix: str = "limb") -> list[Column]:
     width Spark's conv handles without wraparound), so each limb is an
     exact integer; values shorter than 32 bytes are left-padded (EVM
     words are fixed-width, but decode-failure NULLs and trimmed test
-    fixtures survive)."""
+    fixtures survive); values LONGER than 32 bytes yield NULL limbs
+    rather than a silently-truncated wrong value."""
     h = _hex64(col)
     return [
         F.conv(F.substring(h, 64 - 16 * (i + 1) + 1, 16), 16, 10)
@@ -89,7 +95,11 @@ def uint256_sum(
         .groupBy(*group_cols)
         .agg(
             *[
-                F.sum(f"_l{i}").cast(_SUM_DEC).alias(f"{out_col}_limb{i}")
+                # cast BEFORE the sum: Spark accumulates SUM(Decimal(20,0))
+                # in Decimal(30,0) (overflow->NULL at ~5.4e10 rows/group);
+                # summing Decimal(38,0) inputs keeps the accumulator at
+                # Decimal(38,0), good to ~5.4e18 rows/group
+                F.sum(F.col(f"_l{i}").cast(_SUM_DEC)).alias(f"{out_col}_limb{i}")
                 for i in range(4)
             ]
         )

@@ -603,8 +603,10 @@ def ngram_jaccard_pairs(
     (doc_b, shingle)), so its size is |candidates|·shingles/doc no
     matter how common any shingle is: the stop-shingle N² blowup of the
     self-join cannot occur.  Jaccard values for surviving pairs are
-    identical to exact mode; pairs that collide in no LSH band are
-    missed (recall is the bands/k dial, same as the LSH operator)."""
+    identical to exact mode up to 64-bit shingle-hash collisions (the
+    verify join keys on xxhash64(shingle), never the raw string — see
+    the inline note); pairs that collide in no LSH band are missed
+    (recall is the bands/k dial, same as the LSH operator)."""
     if lsh_prefilter:
         # ONE shingle+signature pass feeds both stages: candidates band
         # off the mh columns, the verify join explodes the same cached
@@ -617,9 +619,17 @@ def ngram_jaccard_pairs(
         # measured 1.7× slower (arrays hauled through two shuffles);
         # arrays here live only in the cached map-side frame.
         ss = shingle_sets(df, text_col, ngram, k=lsh_k).localCheckpoint(eager=False)
+        # 64-bit-hash the shingles map-side: the verify fan-out and its
+        # (doc_b, shingle) equi-probe then shuffle an 8-byte long per row
+        # instead of the raw n-gram string (~20-40 bytes) — the dominant
+        # byte volume of this operator at scale.  Intersection counts are
+        # identical to exact mode up to xxhash64 collisions, a ~D²/2^65
+        # event over D distinct shingles — vanishing next to the banding
+        # recall loss this mode already accepts.  Exact mode (below)
+        # keeps raw strings: it is the oracle baseline.
         sh = ss.select(
             "doc_id", "n_sh", F.explode("shingles").alias("shingle")
-        )
+        ).select("doc_id", "n_sh", F.xxhash64("shingle").alias("shingle"))
         if max_df is not None:
             sh = sh.join(_rare_shingles(sh, max_df), "shingle")
         cands = _pairs_from_banded(

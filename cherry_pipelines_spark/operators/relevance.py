@@ -22,13 +22,18 @@ score:
 Scale shape (100 TB): one token explode feeds a (term) hash-agg for
 document frequencies — mergeable partial aggregation, one shuffle.
 Term stats join back onto the exploded tokens keyed by term; stop-word
-terms are the classic skew key, so ``max_df_ratio`` drops terms seen
-in more than that fraction of documents BEFORE the join (their idf is
-~0 — they can never make a top-k — so the guard is a provable no-op on
-results while removing the hottest keys from the shuffle, the same
-stop-shingle argument ``dedup.max_df`` makes).  BM25's query-term DF
-frame is tiny (|query| rows) and broadcast.  No Python anywhere — every
-expression is whole-stage-codegen JVM.
+terms are the classic skew key, so ``max_df_ratio`` (OPT-IN, default
+1.0 = keep everything) drops terms seen in more than that fraction of
+documents BEFORE the join.  The guard is an APPROXIMATION that alters
+results: under the smoothed idf above, idf(df = N) = ln((N+1)/(N+1))+1
+= 1, so a high-tf common term can still out-score rarer terms and
+pruning it changes top-k composition (and drops stopword-only
+documents entirely).  It is the same honest df-cut trade
+``dedup.max_df`` makes — removing the hottest shuffle keys at the cost
+of exactness — which is why it defaults OFF here where exact ranking
+is the contract.  BM25's query-term DF frame is tiny (|query| rows)
+and broadcast.  No Python anywhere — every expression is
+whole-stage-codegen JVM.
 """
 
 from __future__ import annotations
@@ -39,10 +44,14 @@ from pyspark.sql.window import Window
 
 
 def _doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term, tf) — whitespace tokens, empty strings dropped
-    (consecutive spaces), per-document term counts."""
+    """(id, term, tf) — whitespace tokens (``\\s+`` regex split, so
+    tabs/newlines delimit exactly like ``str.split()``), empty strings
+    dropped, per-document term counts."""
     return (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("term"),
+        )
         .filter(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("long").alias("tf"))
@@ -54,16 +63,20 @@ def tfidf_top_terms(
     top_k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_df_ratio: float = 0.5,
+    max_df_ratio: float = 1.0,
     scale: int = 6,
 ) -> DataFrame:
     """Top-``top_k`` TF-IDF terms per document:
     ``(id, term, tf, df, score, rank)``.
 
-    ``max_df_ratio`` prunes terms present in more than that fraction of
-    documents before the stats join (skew guard; near-zero-idf terms
-    cannot reach a top-k).  Rank is dense within a document: score
-    DESC, then term ASC — deterministic under ties."""
+    ``max_df_ratio`` < 1.0 opts into an APPROXIMATE skew guard: terms
+    present in more than that fraction of documents are pruned before
+    the stats join.  Because the smoothed idf floors at 1 even for
+    df = N, pruning CAN change top-k composition (a high-tf stop-word
+    may legitimately out-score rarer terms) and drops documents made
+    only of pruned terms; the default 1.0 keeps exact ranking.  Rank is
+    ``row_number`` within a document (consecutive, no gaps or ties):
+    score DESC, then term ASC — deterministic under ties."""
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
     terms = _doc_terms(df, id_col, text_col)

@@ -2,12 +2,17 @@
 first-50 CORRECTNESS snapshot accumulates coverage across rounds.
 
 Reads every ``CORRECTNESS_r*.json`` in the repo root, computes the set
-of queries that have EVER had a green driver row, and rewrites the
-``_QUERIES`` / ``_ORACLES`` dict literals with never-snapshotted keys
-first (preserving their relative order, and keeping any comment lines
-attached to the entry below them).  Run AFTER a round's snapshot lands
-and BEFORE adding new queries; new queries should be inserted at the
-front so they are checked in their first round.
+of queries that have EVER had a green driver row — and the round each
+was LAST green — and rewrites the ``_QUERIES`` / ``_ORACLES`` dict
+literals as: never-snapshotted keys first (relative order preserved),
+then ``--front`` rewrites, then every already-checked query sorted
+least-recently-checked first (the LRU sweep: the window's leftover
+slots refresh the stalest driver rows, so every query gets a fresh
+row within ~#queries/50 rounds instead of aging indefinitely).
+Comment lines attached above an entry move with it.  Run AFTER a
+round's snapshot lands and BEFORE adding new queries; new queries
+should be inserted at the front so they are checked in their first
+round.
 
 Usage: python scripts/rotate_registry.py [--dry-run] [--front a,b,c]
 
@@ -87,11 +92,15 @@ def main() -> int:
         )
     dry = "--dry-run" in sys.argv
     src = open(ENTRY).read()
-    ever_checked: set[str] = set()
+    # last_green[name] = highest round with a green row (LRU key)
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         for name, row in json.load(open(path)).items():
             if isinstance(row, dict) and row.get("hash_match"):
-                ever_checked.add(name)
+                last_green[name] = max(rnd, last_green.get(name, 0))
+    ever_checked = set(last_green)
     qe, qorder, qfull, qtrail = parse_dict(src, "_QUERIES")
     oe, oorder, ofull, otrail = parse_dict(src, "_ORACLES")
     # guard (round-5 advice): an _ORACLES key absent from _QUERIES would
@@ -104,11 +113,18 @@ def main() -> int:
         raise SystemExit(f"--front names not in _QUERIES: {bad_front}")
     unchecked = [k for k in qorder if k not in ever_checked]
     fronted = [k for k in front if k in ever_checked and k not in unchecked]
-    rest = [k for k in qorder if k in ever_checked and k not in fronted]
+    # LRU sweep: stalest driver row first; position in qorder tiebreaks
+    # so equal-round queries keep a stable relative order
+    rest = sorted(
+        (k for k in qorder if k in ever_checked and k not in fronted),
+        key=lambda k: (last_green[k], qorder.index(k)),
+    )
     new_order = unchecked + fronted + rest
+    stale = {k: last_green[k] for k in rest[: SNAPSHOT_WINDOW]}
     print(
         f"{len(ever_checked)} ever driver-checked; {len(unchecked)} pending; "
-        f"{len(fronted)} fronted rewrites"
+        f"{len(fronted)} fronted rewrites; LRU head last-green rounds: "
+        f"{sorted(set(stale.values()))}"
     )
     print(f"next snapshot window ({SNAPSHOT_WINDOW}): {new_order[:SNAPSHOT_WINDOW]}")
     if new_order == qorder:

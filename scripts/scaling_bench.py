@@ -414,11 +414,13 @@ def main() -> int:
                 merged = dict(prev.get("queries", {}))
                 merged.update(results)
                 artifact["queries"] = merged
-                my_proto = next(iter(results.values()))["protocol"]
+                my_proto = (
+                    next(iter(results.values()))["protocol"] if results else None
+                )
                 mixed = [
                     n
                     for n, r in merged.items()
-                    if n not in results and r.get("protocol") != my_proto
+                    if results and n not in results and r.get("protocol") != my_proto
                 ]
                 if mixed:
                     print(

@@ -27,7 +27,7 @@ def _df(spark):
 
 
 def _py_tf(text):
-    return Counter(t for t in text.split(" ") if t)
+    return Counter(text.split())  # \s+ tokenization, same as the operator
 
 
 def _py_tfidf(docs, top_k, max_df_ratio):
@@ -54,7 +54,7 @@ def test_tfidf_matches_python_reference(spark):
         got.setdefault(r["doc_id"], []).append(
             (r["rank"], float(r["score"]), r["term"], r["tf"], r["df"])
         )
-    exp = _py_tfidf(DOCS, 3, 0.5)
+    exp = _py_tfidf(DOCS, 3, 1.0)
     for doc_id, rows in exp.items():
         g = sorted(got.get(doc_id, []))
         assert len(g) == len(rows), doc_id
@@ -64,20 +64,36 @@ def test_tfidf_matches_python_reference(spark):
     assert 6 not in got  # empty doc has no terms
 
 
-def test_tfidf_max_df_guard_is_result_noop(spark):
-    """'the' appears in 5/6 docs -> pruned at the default ratio; but a
-    ratio of 1.0 must give the SAME top-k (near-zero idf never beats a
-    rarer term) for docs that have rarer terms."""
-    strict = {
-        (r["doc_id"], r["rank"]): r["term"]
-        for r in tfidf_top_terms(_df(spark), top_k=2).collect()
-    }
-    loose = {
-        (r["doc_id"], r["rank"]): r["term"]
-        for r in tfidf_top_terms(_df(spark), top_k=2, max_df_ratio=1.0).collect()
-        if r["doc_id"] != 4  # doc 4 is ONLY stop-words: guard drops it
-    }
-    assert strict == loose
+def test_tfidf_default_is_exact_and_guard_is_approximate(spark):
+    """Default (max_df_ratio=1.0) is EXACT: nothing pruned, every doc
+    with terms present, and 'the' (the high-df term) legitimately wins
+    where its tf is high.  Opting into max_df_ratio=0.5 prunes 'the'
+    (df 5 > 6*0.5): an honest approximation the contract documents as
+    result-altering — it reshapes top-ks and drops the stopword-only
+    doc 4 entirely."""
+    exact = tfidf_top_terms(_df(spark), top_k=2).collect()
+    exact_by_doc = {}
+    for r in exact:
+        exact_by_doc.setdefault(r["doc_id"], []).append(r)
+    # every non-empty doc is represented; doc 4 ('the' x4) keeps its term
+    assert set(exact_by_doc) == {1, 2, 3, 4, 5}
+    assert [r["term"] for r in sorted(exact_by_doc[4], key=lambda r: r["rank"])] == [
+        "the"
+    ]
+    # doc 1: 'the' tf=2 idf=1+ln(7/6)=1.154 -> 2.31 beats 'mat' tf=1
+    # idf=1+ln(7/2)=2.25 — the smoothed-idf floor makes stop-words rankable
+    doc1 = [r["term"] for r in sorted(exact_by_doc[1], key=lambda r: r["rank"])]
+    assert doc1 == ["the", "mat"]
+
+    pruned = tfidf_top_terms(_df(spark), top_k=2, max_df_ratio=0.5).collect()
+    pruned_terms = {r["term"] for r in pruned}
+    assert "the" not in pruned_terms  # df 5/6 > 0.5 — pruned
+    assert {r["doc_id"] for r in pruned} == {1, 2, 3, 5}  # doc 4 dropped
+    # and the pruned run's doc-1 top-k differs from exact (approximation)
+    doc1_pruned = sorted(
+        (r["rank"], r["term"]) for r in pruned if r["doc_id"] == 1
+    )
+    assert [t for _, t in doc1_pruned] != doc1
 
 
 def _py_bm25(docs, query, k1=1.2, b=0.75):

@@ -94,3 +94,21 @@ def test_unknown_flag_and_unknown_front_are_hard_errors(tmp_path):
     assert _run(tmp_path, ["--dry"]).returncode != 0
     assert _run(tmp_path, ["--front", "nosuch"]).returncode != 0
     assert (tmp_path / "__spark_entry__.py").read_text() == before
+
+
+def test_lru_sweep_orders_stalest_checked_first(tmp_path):
+    """A query last green in r01 must sort ahead of one refreshed in
+    r02 — the LRU sweep that guarantees every query's driver row is
+    refreshed within ~#queries/window rounds."""
+    _setup(tmp_path, checked=["alpha", "beta", "gamma"])  # all green r01
+    rows = {
+        k: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for k in ["alpha", "gamma"]  # alpha+gamma refreshed in r02
+    }
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(rows))
+    r = _run(tmp_path, [])
+    assert r.returncode == 0, r.stderr
+    # delta never checked -> leads; beta stalest (r01); alpha/gamma (r02)
+    # keep original relative order as the tiebreak
+    assert _order(tmp_path, "_QUERIES") == ["delta", "beta", "alpha", "gamma"]
+    assert _order(tmp_path, "_ORACLES") == ["delta", "beta", "alpha", "gamma"]

@@ -120,3 +120,39 @@ def test_plan_is_jvm_side_until_final_pass(spark):
     plan = uint256_sum(df, "amount", ["g"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_accumulator_survives_many_max_limbs(spark):
+    """Regression for the pre-cast fix: SUM over Decimal(20,0) inputs
+    accumulates in Decimal(30,0), which a large count of 2^64-1 limbs
+    can overflow to NULL under non-ANSI mode.  With the cast-before-sum
+    the accumulator is Decimal(38,0).  5e10 rows is untestable locally;
+    instead prove the aggregation plan's sum input type IS Decimal(38,0)
+    and that a dense all-max-limb batch sums exactly."""
+    n = 2000
+    df = _df(spark, [("a", 2**256 - 1)] * n)
+    out = uint256_sum(df, "amount").collect()
+    assert out[0]["amount_sum"] == str((2**256 - 1) * n)
+    plan = (
+        uint256_sum(df, "amount", ["g"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the sum's child expression carries the widened accumulator type
+    assert "decimal(38,0)" in plan
+    assert "sum(_l0" in plan or "sum(cast(_l0" in plan
+
+
+def test_oversized_binary_yields_null_not_truncation(spark):
+    """A >32-byte value must become NULL (skipped by SUM), never a
+    silently hex-truncated wrong number."""
+    df = spark.createDataFrame(
+        [((1).to_bytes(33, "big"),), ((7).to_bytes(32, "big"),)],
+        T.StructType([T.StructField("amount", T.BinaryType())]),
+    )
+    out = uint256_sum(df, "amount").collect()
+    assert out[0]["amount_sum"] == "7"
+    limbs = df.select(*uint256_limbs(F.col("amount"))).collect()
+    by_null = sorted(tuple(r[f"limb{i}"] is None for i in range(4)) for r in limbs)
+    assert by_null == [(False, False, False, False), (True, True, True, True)]
