@@ -6575,6 +6575,14 @@ def q_uint256_sum_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cherry_pipelines_spark.functions.uint256 import uint256_sum
 
     (li,) = _load(spark, sf_dir, "lineitem")
+    # fixture-only repartition: the synthetic single-file scan yields ~3
+    # input splits, strangling the (string-heavy) word construction and
+    # limb split to 3 of 32 cores — measured 6.8 s -> 2.2 s at sf0.1.
+    # At production scale the scan arrives wide and this line is a no-op
+    # cost (24 bytes/row of key columns, before any string exists).
+    li = li.select("l_orderkey", "l_partkey", "l_suppkey").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     a = (
         (F.col("l_orderkey") % 9000 + 17) * F.lit(1000000000000000)
         + F.col("l_partkey") % 1000

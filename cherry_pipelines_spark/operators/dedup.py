@@ -229,11 +229,20 @@ def _banded_from_sig(
     the signatures (e.g. a shared shingle+signature subtree) band without
     re-shingling."""
     rows_per_band = k // bands
+    # band key = fixed-width binary concat of the band's minhash longs
+    # (cast BIGINT->BINARY is the 8-byte big-endian encoding): injective,
+    # so bucket membership — and therefore every emitted pair — is
+    # identical to any other exact encoding, but the groupBy/join
+    # shuffles carry 8*rows_per_band bytes instead of a ~20-char decimal
+    # string per minhash.  Keys never appear in operator output.
     band_structs = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"mh{bi * rows_per_band + r}") for r in range(rows_per_band)]
+            F.concat(
+                *[
+                    F.col(f"mh{bi * rows_per_band + r}").cast("binary")
+                    for r in range(rows_per_band)
+                ]
             ).alias("key"),
         )
         for bi in range(bands)

@@ -184,10 +184,39 @@ def _srp_near_dups_scaledplanes(spark, sf_dir: str):
     return srp_near_dups(em, dims=64, max_dist=7, planes=planes, seed=0, bands=8)
 
 
+def _dedup_endgame(spark, sf_dir: str):
+    """The dedup ENDGAME as one composite chain — the deployment recipe
+    a 100 TB curation run actually executes end-to-end:
+
+        LSH candidate pairs -> connected components -> canonical doc
+        per cluster (longest text wins) -> survivor semi-join
+
+    Each stage is individually linear (its own SCALING_DEEP row); the
+    chain adds the question no per-stage row answers: does the
+    ITERATION COUNT of the label-propagation stage grow as the corpus
+    (and its cluster population) grows?  Under the corpus-growth
+    synthesis model clusters stay near-clique-sized, so rounds should
+    stay at the graph diameter (2-3) and the chain should stay linear.
+    """
+    from cherry_pipelines_spark.operators.dedup import (
+        canonical_per_cluster,
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    cands = minhash_lsh_candidates(docs, k=8, bands=4)
+    clusters = duplicate_clusters(docs, cands)
+    scores = docs.select("doc_id", F.length("text").alias("text_len"))
+    canon = canonical_per_cluster(clusters, scores, "text_len")
+    return docs.join(canon.select("doc_id"), "doc_id", "left_semi")
+
+
 EXTRA_WORKLOADS = {
     "quantized_topk_fixedq": _quantized_topk_fixedq,
     "semantic_dedup_scaledk": _semantic_dedup_scaledk,
     "srp_near_dups_scaledplanes": _srp_near_dups_scaledplanes,
+    "dedup_endgame": _dedup_endgame,
 }
 
 # super-linear BY CONSTRUCTION under this harness (documented on the
