@@ -60,6 +60,20 @@ class ParquetSink:
         # identical between the two modes.
         expr = F.lit(from_block) if batch_expr is None else batch_expr
         df = df.withColumn(BATCH_COL, expr.cast("long"))
+        if batch_expr is not None or self.partition_by:
+            # cluster rows by their output directory before a multi-dir
+            # dynamic-partition write: without this, every write task
+            # holds rows for (nearly) every directory and emits one file
+            # per (task, dir) — a single-plan backfill stamping ~2.5k
+            # batch dirs from ~128 tasks creates ~300k tiny files and
+            # the write is file-creation-bound (measured 219 s of a
+            # 224 s backfill at 500k slots; 14 s after).  One hash
+            # shuffle on the partition key bounds files at
+            # #dirs (+ AQE-coalesced task count), the layout the batch
+            # loop produces naturally.  Single-batch writes (constant
+            # batch_expr, no partition_by) keep their full write
+            # parallelism instead.
+            df = df.repartition(F.col(BATCH_COL), *[F.col(c) for c in self.partition_by])
         sort_cols = (self.sort_within_partitions or {}).get(name)
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
