@@ -940,6 +940,46 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM walk GROUP BY node
 )
 
 
+def q_dedup_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup DEPLOYMENT CHAIN as one correctness surface:
+    minhash-LSH candidates -> connected components -> canonical doc per
+    cluster (longest text wins, doc_id-asc ties) -> survivor join back
+    to the corpus.  Returns one row per KEPT document with its cluster
+    id, cluster size, and n_chars.  The same chain is curve-tracked to
+    256x in SCALING_DEEP.json (linear, norm 0.51); this row pins its
+    values."""
+    from cherry_pipelines_spark.operators.dedup import (
+        canonical_per_cluster,
+        duplicate_clusters,
+        minhash_lsh_candidates,
+    )
+
+    (d,) = _load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, k=8, bands=4)
+    clusters = duplicate_clusters(d, pairs)
+    scores = d.select("doc_id", F.length("text").alias("text_len"))
+    canon = canonical_per_cluster(clusters, scores, "text_len")
+    return canon.join(d.select("doc_id", "n_chars"), "doc_id").select(
+        "doc_id", "cluster_id", "cluster_size", "n_chars"
+    )
+
+
+# extend the clusters oracle: fold its final SELECT into a CTE, then
+# rank within clusters (longest text, doc_id ties) and keep rank 1
+ORACLE_DEDUP_ENDGAME = ORACLE_DEDUP_CLUSTERS.replace(
+    "SELECT node AS doc_id, min(root) AS cluster_id FROM walk GROUP BY node",
+    """, clusters AS (
+    SELECT node AS doc_id, min(root) AS cluster_id FROM walk GROUP BY node),
+ranked AS (
+    SELECT c.doc_id, c.cluster_id, d.n_chars,
+           count(*) OVER (PARTITION BY c.cluster_id)::BIGINT AS cluster_size,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY length(d.text) DESC, c.doc_id ASC) AS rn
+    FROM clusters c JOIN documents d USING (doc_id))
+SELECT doc_id, cluster_id, cluster_size, n_chars FROM ranked WHERE rn = 1""",
+)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cherry_pipelines_spark.operators.dedup import simhash
 
@@ -6685,6 +6725,7 @@ FROM c4
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
     "uint256_sum_exact": q_uint256_sum_exact,
@@ -6857,6 +6898,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _ORACLES: dict[str, str] = {
+    "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,
     "uint256_sum_exact": ORACLE_UINT256_SUM,

@@ -197,6 +197,12 @@ def _dedup_endgame(spark, sf_dir: str):
     (and its cluster population) grows?  Under the corpus-growth
     synthesis model clusters stay near-clique-sized, so rounds should
     stay at the graph diameter (2-3) and the chain should stay linear.
+
+    NOTE: the registry carries a same-named correctness query
+    (``q_dedup_endgame``, oracle-checked) returning the canonical
+    survivor rows; this workload (which shadows it under the harness,
+    and is what the SCALING_DEEP row measured) ends in the survivor
+    semi-join instead — same chain, same stages, leaner output.
     """
     from cherry_pipelines_spark.operators.dedup import (
         canonical_per_cluster,
