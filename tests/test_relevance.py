@@ -148,3 +148,59 @@ def test_plans_are_jvm_only_and_broadcast(spark):
     for plan in (tf_plan, bm_plan):
         assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastExchange" in bm_plan
+
+
+# --- property-based differential: random corpora vs the python spec ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["the", "cat", "dog", "sat", "mat", "on", "quark", "spark", "a"]
+_corpus = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=_corpus, top_k=st.integers(1, 3))
+def test_tfidf_property_differential(spark, texts, top_k):
+    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    got = {}
+    for r in tfidf_top_terms(
+        spark.createDataFrame(docs, "doc_id long, text string"), top_k=top_k
+    ).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], round(float(r["score"]), 6), r["term"], r["tf"], r["df"])
+        )
+    exp = _py_tfidf(docs, top_k, 1.0)
+    for doc_id, rows in exp.items():
+        g = sorted(got.get(doc_id, []))
+        assert [(t, tf, df_) for _, _, t, tf, df_ in g] == [
+            (t, tf, df_) for _, t, tf, df_ in rows
+        ], doc_id
+        for (_, score, *_), (escore, *_) in zip(g, rows):
+            assert score == pytest.approx(escore, abs=1e-6)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=_corpus,
+    query=st.lists(st.sampled_from(_WORDS), min_size=1, max_size=3),
+)
+def test_bm25_property_differential(spark, texts, query):
+    docs = [(i + 1, t) for i, t in enumerate(texts)]
+    # all-empty corpora have no avgdl; the operator returns 0.0 rows
+    if not any(t.strip() for t in texts):
+        return
+    got = {
+        r["doc_id"]: float(r["score"])
+        for r in bm25_scores(
+            spark.createDataFrame(docs, "doc_id long, text string"), query
+        ).collect()
+    }
+    exp = _py_bm25(docs, query)
+    assert set(got) == set(exp)
+    for i, e in exp.items():
+        assert got[i] == pytest.approx(e, abs=1e-6), i
