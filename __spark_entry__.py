@@ -6724,7 +6724,91 @@ FROM c4
 """
 
 
+# =====================================================================
+# Product quantization ANN (operators/similarity.py:pq_topk) — ADC over
+# per-subspace codebooks; beyond-reference, the memory-compression path
+# for corpora whose raw vectors don't fit (m bytes/vector vs 4·dim)
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-3: m=2 subspaces over the 64-dim embeddings, ksub=4
+    codebooks trained with the deterministic 2-iteration Lloyd loop,
+    query set = vec_id % 100 == 0.  Distances are exact decimal sums of
+    6-dp-rounded per-subspace partials; ties break on vec_id."""
+    from cherry_pipelines_spark.operators.similarity import pq_topk
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    return pq_topk(em, k=3, m=2, dim=64, ksub=4, iters=2)
+
+
+def _pq_oracle(m: int = 2, dim: int = 64, ksub: int = 4, k: int = 3) -> str:
+    """Generate the DuckDB mirror of pq_topk: per subspace, the
+    ORACLE_KMEANS 2-iteration Lloyd unroll plus a final-codebook
+    assignment (codes) and a query LUT; ADC = decimal sum of partials."""
+    sd = dim // m
+    sq = (
+        "round(list_sum([({v}[j] - {c}[j]) * ({v}[j] - {c}[j])"
+        " for j in generate_series(1, len({v}))]), 6)"
+    )
+    blocks, parts = [], []
+    for s in range(m):
+        lo, hi = s * sd + 1, (s + 1) * sd
+        d = {"s": s, "lo": lo, "hi": hi, "ksub": ksub}
+        blocks.append(
+            """
+p{s} AS (SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v FROM embeddings),
+c0_{s} AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid, v AS c
+           FROM p{s} ORDER BY vec_id LIMIT {ksub}),
+d1_{s} AS (SELECT p.vec_id, p.v, c.cid, SQ1 AS d FROM p{s} p, c0_{s} c),
+a1_{s} AS (SELECT vec_id, v, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d1_{s}) WHERE rn = 1),
+m1_{s} AS (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS vd FROM a1_{s}),
+c1d_{s} AS (SELECT cid, dim,
+                   round(CAST(sum(CAST(vd AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS cv
+            FROM m1_{s} GROUP BY cid, dim),
+c1_{s} AS (SELECT cid, list(cv ORDER BY dim) AS c FROM c1d_{s} GROUP BY cid),
+d2_{s} AS (SELECT p.vec_id, p.v, c.cid, SQ1 AS d FROM p{s} p, c1_{s} c),
+a2_{s} AS (SELECT vec_id, v, cid FROM
+            (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d2_{s}) WHERE rn = 1),
+m2_{s} AS (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS vd FROM a2_{s}),
+c2d_{s} AS (SELECT cid, dim,
+                   round(CAST(sum(CAST(vd AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS cv
+            FROM m2_{s} GROUP BY cid, dim),
+c2_{s} AS (SELECT cid, list(cv ORDER BY dim) AS c FROM c2d_{s} GROUP BY cid),
+d3_{s} AS (SELECT p.vec_id, c.cid, SQ1 AS d FROM p{s} p, c2_{s} c),
+code_{s} AS (SELECT vec_id, cid AS code FROM
+              (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+               FROM d3_{s}) WHERE rn = 1),
+q{s} AS (SELECT vec_id AS query_id, v FROM p{s} WHERE vec_id % 100 = 0),
+lut{s} AS (SELECT q.query_id, c.cid AS code, SQ2::DECIMAL(18,6) AS partial
+           FROM q{s} q, c2_{s} c),
+part{s} AS (SELECT l.query_id, k.vec_id, l.partial
+            FROM code_{s} k JOIN lut{s} l ON l.code = k.code)""".format(**d)
+            .replace("SQ1", sq.format(v="p.v", c="c.c"))
+            .replace("SQ2", sq.format(v="q.v", c="c.c"))
+        )
+        parts.append(f"SELECT * FROM part{s}")
+    return (
+        "WITH "
+        + ",".join(blocks)
+        + f""",
+alldist AS (SELECT query_id, vec_id, CAST(sum(partial) AS DOUBLE) AS adc_dist
+            FROM ({' UNION ALL '.join(parts)}) GROUP BY query_id, vec_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc_dist, vec_id)::BIGINT AS rank
+           FROM alldist)
+SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+ORACLE_PQ_TOPK = _pq_oracle()
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pq_topk": q_pq_topk,
     "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
@@ -6898,6 +6982,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _ORACLES: dict[str, str] = {
+    "pq_topk": ORACLE_PQ_TOPK,
     "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,

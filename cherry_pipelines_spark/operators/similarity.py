@@ -731,3 +731,168 @@ def rp_project(
         for p in range(out_dims)
     ]
     return qz.select(F.col(id_col), F.array(*comps).alias("rp"))
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN via asymmetric
+# distance computation (ADC).  Beyond-reference (the reference engine
+# has no vector ops); the standard technique for ANN at corpus sizes
+# where raw vectors don't fit: a dim-d float corpus (4d bytes/vector)
+# is stored as m uint8-sized codes (m bytes/vector, e.g. 64-dim floats
+# -> 4 codes = 64x), and query-time distances are m lookup-table adds
+# instead of d multiply-adds.
+#
+# Determinism contract (oracle-checkable, same as operators/clustering):
+# per-subspace codebooks train with the shared `_lloyd` loop (init =
+# first ksub rows by id, distances rounded HALF_UP at 6 dp before
+# argmin with lowest-cid ties, decimal-exact recenter rounded at 6 dp);
+# LUT partials are rounded at 6 dp and CAST TO DECIMAL(18,6), so the
+# ADC sum is exact and order-independent across engines.
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+    ksub: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """Train per-subspace PQ codebooks: ``(sub, cluster_id, centroid)``
+    — m · ksub rows, the whole index metadata (broadcastable at any m).
+
+    Each of the ``m`` subspaces runs the deterministic Lloyd loop over
+    the sliced vectors; the m loops are driver-sequenced (m is a small
+    constant) but each iteration is a full-corpus map + k-row shuffle,
+    identical in shape to ``kmeans_lloyd``."""
+    from cherry_pipelines_spark.operators.clustering import _lloyd
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    out = None
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), s * sd + 1, sd).alias(
+                "_v"
+            ),
+        )
+        _, cents = _lloyd(sub, "_v", id_col, ksub, iters)
+        part = cents.select(
+            F.lit(s).cast("long").alias("sub"), "cluster_id", "centroid"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode every vector to its per-subspace nearest-centroid codes,
+    LONG layout: ``(id, sub, code)`` — m rows per vector, join-ready
+    against an ADC lookup table (and trivially pivotable to an
+    array<tinyint> for storage).  Assignment reuses
+    ``assign_clusters``'s all-JVM HOF kernel and its verdict."""
+    from cherry_pipelines_spark.operators.clustering import assign_clusters
+
+    sd = dim // m
+    out = None
+    for s in range(m):
+        sub = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), s * sd + 1, sd).alias(
+                "_v"
+            ),
+        )
+        cb = codebooks.filter(F.col("sub") == s).select("cluster_id", "centroid")
+        assigned = assign_clusters(sub, cb, "_v", id_col, method="hof")
+        part = assigned.select(
+            id_col,
+            F.lit(s).cast("long").alias("sub"),
+            F.col("cluster_id").alias("code"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def pq_topk(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_filter: Column | None = None,
+    m: int = 2,
+    dim: int = 64,
+    ksub: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """PQ/ADC top-k: train codebooks, encode the corpus, and answer the
+    query set (corpus rows matching ``query_filter``, default
+    ``vec_id % 100 == 0``) with asymmetric distances:
+    ``(query_id, vec_id, adc_dist, rank)``.
+
+    Plan shape: codebooks (m·ksub rows) and the LUT (|Q|·m·ksub rows of
+    DECIMAL partials) broadcast; the corpus side is the CODES frame —
+    m longs per vector, never the raw vectors — flowing through one
+    broadcast join, one (id, query) hash agg, and one per-query top-k
+    window.  The ADC scan is linear in the corpus (the same contract as
+    `cosine_topk`/`quantized_cosine_topk`, which it beats on memory by
+    ~4·dim/m); compose with `ivf_topk`'s cell pruning for sub-linear.
+    Distances are EXACT sums of 6-dp-rounded per-subspace partials
+    (decimal addition — order-independent, engine-portable); rank ties
+    break on vec_id ascending."""
+    if query_filter is None:
+        query_filter = F.col(id_col) % 100 == 0
+    sd = dim // m
+    codebooks = pq_train(df, vec_col, id_col, m, dim, ksub, iters).localCheckpoint(
+        eager=False
+    )
+    codes = pq_encode(df, codebooks, vec_col, id_col, m, dim)
+    queries = df.filter(query_filter)
+    lut = None
+    for s in range(m):
+        qs = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.slice(F.col(vec_col).cast("array<double>"), s * sd + 1, sd).alias(
+                "_q"
+            ),
+        )
+        cb = codebooks.filter(F.col("sub") == s)
+        part = qs.crossJoin(cb).select(
+            "query_id",
+            "sub",
+            F.col("cluster_id").alias("code"),
+            _pq_partial(F.col("_q"), F.col("centroid")).alias("partial"),
+        )
+        lut = part if lut is None else lut.unionByName(part)
+    dists = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("partial").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col).asc())
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_dist", "rank")
+    )
+
+
+def _pq_partial(q: Column, cent: Column) -> Column:
+    """6-dp-rounded squared distance as DECIMAL(18,6) — the exactly
+    summable LUT entry (same fold as clustering._sqdist)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(q, cent, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ).cast("decimal(18,6)")

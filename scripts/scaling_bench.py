@@ -107,6 +107,8 @@ DEFAULT_QUERIES = [
     "dedup_minhash_lsh",
     "quantized_topk",
     "quantized_topk_fixedq",
+    "pq_topk",
+    "pq_topk_fixedq",
     "kmeans_embeddings",
     "pagerank",
     "evm_decode_batch",
@@ -218,7 +220,27 @@ def _dedup_endgame(spark, sf_dir: str):
     return docs.join(canon.select("doc_id"), "doc_id", "left_semi")
 
 
+def _pq_topk_fixedq(spark, sf_dir: str):
+    """Corpus-scaling twin of the registry ``pq_topk``: queries pinned
+    to copy-0 rows (same rationale as ``quantized_topk_fixedq`` — the
+    registry query's ADC join is |Q|·|corpus| with |Q| growing with the
+    corpus, super-linear BY CONSTRUCTION; the deployment posture is a
+    fixed query workload over a growing corpus)."""
+    from cherry_pipelines_spark.operators.similarity import pq_topk
+
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return pq_topk(
+        em,
+        k=3,
+        m=2,
+        dim=64,
+        query_filter=(F.col("vec_id") % 100 == 0)
+        & (F.col("vec_id") < KEY_OFFSET),
+    )
+
+
 EXTRA_WORKLOADS = {
+    "pq_topk_fixedq": _pq_topk_fixedq,
     "quantized_topk_fixedq": _quantized_topk_fixedq,
     "semantic_dedup_scaledk": _semantic_dedup_scaledk,
     "srp_near_dups_scaledplanes": _srp_near_dups_scaledplanes,
@@ -233,7 +255,15 @@ EXTRA_WORKLOADS = {
 # srp_near_dups: the registry query pins the sketch width (32 planes →
 # 4-bit bands), so band collisions are Θ(n²/16) — the scaled-planes
 # twin grows the sketch with the corpus, the deployment posture.
-EXPECTED_SUPERLINEAR = {"quantized_topk", "semantic_dedup", "srp_near_dups"}
+EXPECTED_SUPERLINEAR = {
+    "quantized_topk",
+    "semantic_dedup",
+    "srp_near_dups",
+    # registry pq_topk derives its query set from the corpus (|Q| grows
+    # with it), so the ADC join owes |Q|·|corpus| work by construction;
+    # pq_topk_fixedq is the deployment twin
+    "pq_topk",
+}
 
 
 def _scale_table(spark, src: str, dst: str, name: str, k: int) -> None:

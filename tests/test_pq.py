@@ -1,0 +1,137 @@
+"""Product-quantization ANN (operators/similarity.py: pq_train /
+pq_encode / pq_topk): differential test against a pure-python PQ of
+the same deterministic spec, plus plan/shape gates."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cherry_pipelines_spark.operators.similarity import pq_encode, pq_topk, pq_train
+
+
+def _vecs(n, dim, seed=7):
+    # deterministic pseudo-vectors, no RNG dependency
+    return [
+        (i, [math.sin(seed + i * 0.37 + j * 0.11) for j in range(dim)])
+        for i in range(n)
+    ]
+
+
+def _py_pq(rows, m, dim, ksub, iters):
+    """The exact spec: per-subspace Lloyd (init = first ksub by id,
+    6-dp-rounded distances, lowest-cid ties, recenter rounded 6),
+    final-codebook assignment, 6-dp LUT partials."""
+    sd = dim // m
+    books = {}
+    for s in range(m):
+        pts = {i: v[s * sd : (s + 1) * sd] for i, v in rows}
+        cents = [pts[i] for i, _ in rows[:ksub]]
+        for _ in range(iters):
+            assign = {
+                i: min(
+                    range(len(cents)),
+                    key=lambda c: (round(_sq(p, cents[c]), 6), c),
+                )
+                for i, p in pts.items()
+            }
+            cents = [
+                [
+                    round(sum(pts[i][j] for i in mem) / len(mem), 6)
+                    for j in range(sd)
+                ]
+                if (mem := [i for i, c in assign.items() if c == cid])
+                else cents[cid]
+                for cid in range(len(cents))
+            ]
+        books[s] = cents
+    codes = {
+        i: [
+            min(
+                range(len(books[s])),
+                key=lambda c: (
+                    round(_sq(v[s * sd : (s + 1) * sd], books[s][c]), 6),
+                    c,
+                ),
+            )
+            for s in range(m)
+        ]
+        for i, v in rows
+    }
+    return books, codes
+
+
+def _sq(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+M, DIM, KSUB, ITERS = 2, 8, 3, 2
+
+
+@pytest.fixture(scope="module")
+def pq_df(spark):
+    return spark.createDataFrame(
+        _vecs(40, DIM), "vec_id long, embedding array<double>"
+    )
+
+
+def test_codes_match_python_reference(spark, pq_df):
+    rows = _vecs(40, DIM)
+    _, exp_codes = _py_pq(rows, M, DIM, KSUB, ITERS)
+    books = pq_train(pq_df, m=M, dim=DIM, ksub=KSUB, iters=ITERS)
+    got = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(pq_df, books, m=M, dim=DIM).collect()
+    }
+    assert len(got) == 40 * M  # long layout: m rows per vector
+    for i, cs in exp_codes.items():
+        for s, c in enumerate(cs):
+            assert got[(i, s)] == c, (i, s)
+
+
+def test_topk_matches_python_adc(spark, pq_df):
+    rows = _vecs(40, DIM)
+    books, codes = _py_pq(rows, M, DIM, KSUB, ITERS)
+    sd = DIM // M
+    by_id = dict(rows)
+    exp = {}
+    for qid in (0, 20):
+        dists = []
+        for i in by_id:
+            d = sum(
+                round(_sq(by_id[qid][s * sd : (s + 1) * sd], books[s][codes[i][s]]), 6)
+                for s in range(M)
+            )
+            dists.append((round(d, 6), i))
+        dists.sort()
+        exp[qid] = dists[:3]
+    out = pq_topk(
+        pq_df, k=3, m=M, dim=DIM, ksub=KSUB, iters=ITERS,
+        query_filter=F.col("vec_id") % 20 == 0,
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], float(r["adc_dist"]), r["vec_id"])
+        )
+    assert set(got) == {0, 20}
+    for qid, pairs in exp.items():
+        g = sorted(got[qid])
+        assert [(v, d) for _, d, v in g] == [(v, d) for d, v in pairs], qid
+
+
+def test_plan_jvm_only_with_broadcast_lut(spark, pq_df):
+    out = pq_topk(pq_df, k=2, m=M, dim=DIM, ksub=KSUB)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan  # the LUT side
+
+
+def test_dim_validation(spark, pq_df):
+    with pytest.raises(ValueError):
+        pq_train(pq_df, m=3, dim=DIM)  # 8 % 3 != 0
