@@ -6731,17 +6731,24 @@ FROM c4
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC top-3: m=2 subspaces over the 64-dim embeddings, ksub=4
-    codebooks trained with the deterministic 2-iteration Lloyd loop,
+    """PQ/ADC top-3: m=8 subspaces over the 64-dim embeddings, ksub=16
+    codebooks trained with the deterministic 2-iteration Lloyd loop
+    (the recall-optimal point of the measured sweep — see q_pq_recall),
     query set = vec_id % 100 == 0.  Distances are exact decimal sums of
     6-dp-rounded per-subspace partials; ties break on vec_id."""
     from cherry_pipelines_spark.operators.similarity import pq_topk
 
     (em,) = _load(spark, sf_dir, "embeddings")
-    return pq_topk(em, k=3, m=2, dim=64, ksub=4, iters=2)
+    return pq_topk(em, k=3, m=8, dim=64, ksub=16, iters=2)
 
 
-def _pq_oracle(m: int = 2, dim: int = 64, ksub: int = 4, k: int = 3) -> str:
+def _pq_oracle(
+    m: int = 8,
+    dim: int = 64,
+    ksub: int = 16,
+    k: int = 3,
+    exclude_self: bool = False,
+) -> str:
     """Generate the DuckDB mirror of pq_topk: per subspace, the
     ORACLE_KMEANS 2-iteration Lloyd unroll plus a final-codebook
     assignment (codes) and a query LUT; ADC = decimal sum of partials."""
@@ -6798,7 +6805,7 @@ alldist AS (SELECT query_id, vec_id, CAST(sum(partial) AS DOUBLE) AS adc_dist
             FROM ({' UNION ALL '.join(parts)}) GROUP BY query_id, vec_id),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY adc_dist, vec_id)::BIGINT AS rank
-           FROM alldist)
+           FROM alldist{' WHERE query_id <> vec_id' if exclude_self else ''})
 SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
 """
     )
@@ -6807,8 +6814,52 @@ SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
 ORACLE_PQ_TOPK = _pq_oracle()
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality measurement: recall@3 of the ADC index against the
+    exact squared-L2 top-3 (same metric family, so the number isolates
+    quantization loss) — the acceptance gate before trusting m-byte
+    codes for a full-corpus backfill."""
+    from cherry_pipelines_spark.operators.similarity import (
+        ann_recall,
+        l2_topk,
+        pq_topk,
+    )
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") % 100 == 0)
+    exact = l2_topk(em, q, k=3)
+    approx = pq_topk(em, k=3, m=8, dim=64, ksub=16, exclude_self=True).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    return ann_recall(exact, approx, k=3)
+
+
+_SQ_FOLD_SQL = (
+    "round(list_sum([(q.qv[j] - e.v[j]) * (q.qv[j] - e.v[j])"
+    " for j in generate_series(1, len(q.qv))]), 6)"
+)
+ORACLE_PQ_RECALL = f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+exq AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id % 100 = 0),
+exd AS (SELECT q.query_id, e.vec_id AS neighbor_id, {_SQ_FOLD_SQL} AS d
+        FROM pts e, exq q WHERE e.vec_id <> q.query_id),
+ex AS (SELECT query_id, neighbor_id FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, neighbor_id) AS rn FROM exd)
+       WHERE rn <= 3),
+ap AS (SELECT query_id, vec_id AS neighbor_id
+       FROM ({_pq_oracle(exclude_self=True)})),
+h AS (SELECT e.query_id, count(a.neighbor_id)::BIGINT AS hits
+      FROM ex e LEFT JOIN ap a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id)
+SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
+    "pq_recall": q_pq_recall,
     "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
@@ -6983,6 +7034,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ORACLES: dict[str, str] = {
     "pq_topk": ORACLE_PQ_TOPK,
+    "pq_recall": ORACLE_PQ_RECALL,
     "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,

@@ -750,6 +750,89 @@ def rp_project(
 # ADC sum is exact and order-independent across engines.
 
 
+def _pq_subrows(
+    df: DataFrame, vec_col: str, id_col: str, m: int, dim: int
+) -> DataFrame:
+    """(id, sub, _v) — one row per (vector, subspace), map-only: the
+    combined frame that lets ALL m subspaces train/encode in one plan
+    instead of m driver-sequenced loops (the loop form measured 7.4 s
+    at sf0.1 for m=8 purely in per-job latency; combined ~2 s)."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sd = dim // m
+    full = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_full")
+    )
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("sub"),
+                F.slice("_full", s * sd + 1, sd).alias("_v"),
+            )
+            for s in range(m)
+        ]
+    )
+    return full.select(id_col, F.explode(subs).alias("x")).select(
+        id_col, F.col("x.sub").alias("sub"), F.col("x._v").alias("_v")
+    )
+
+
+def _pq_assign(pts: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Per-subspace nearest-centroid assignment over the combined
+    (id, sub, _v) frame: centroids grouped per sub into one broadcast
+    row each, argmin over the same 6-dp-rounded fold / lowest-cid-ties
+    verdict as clustering.assign_clusters."""
+    cents_row = cents.groupBy("sub").agg(
+        F.sort_array(
+            F.collect_list(F.struct("cluster_id", "centroid"))
+        ).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda s: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("_v"),
+                            s["centroid"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("d"),
+                s["cluster_id"].alias("cluster_id"),
+            ),
+        )
+    )
+    return pts.join(F.broadcast(cents_row), "sub").select(
+        id_col, "sub", "_v", best["cluster_id"].alias("cluster_id")
+    )
+
+
+def _pq_recenter(assigned: DataFrame) -> DataFrame:
+    """Decimal-exact per-(sub, cluster) mean, rounded HALF_UP at 6 dp —
+    clustering._recenter extended with the sub key."""
+    per_dim = (
+        assigned.select("sub", "cluster_id", F.posexplode("_v").alias("dim", "val"))
+        .groupBy("sub", "cluster_id", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+                / F.count("val"),
+                6,
+            ).alias("cv")
+        )
+    )
+    return per_dim.groupBy("sub", "cluster_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("centroid")
+    )
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -762,29 +845,29 @@ def pq_train(
     """Train per-subspace PQ codebooks: ``(sub, cluster_id, centroid)``
     — m · ksub rows, the whole index metadata (broadcastable at any m).
 
-    Each of the ``m`` subspaces runs the deterministic Lloyd loop over
-    the sliced vectors; the m loops are driver-sequenced (m is a small
-    constant) but each iteration is a full-corpus map + k-row shuffle,
-    identical in shape to ``kmeans_lloyd``."""
-    from cherry_pipelines_spark.operators.clustering import _lloyd
-
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sd = dim // m
-    out = None
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col).cast("array<double>"), s * sd + 1, sd).alias(
-                "_v"
-            ),
+    All m subspaces train CONCURRENTLY in one plan per Lloyd iteration
+    (the combined (id, sub, _v) frame): job count is O(iters),
+    independent of m.  Same deterministic contract as
+    ``clustering._lloyd`` per subspace: init = the first ``ksub`` rows
+    by id (identical ids for every sub), distances rounded HALF_UP at
+    6 dp before the argmin with lowest-cid ties, decimal-exact recenter
+    rounded at 6 dp, empty clusters drop."""
+    if iters < 1 or ksub < 1:
+        raise ValueError("ksub and iters must be >= 1")
+    pts = _pq_subrows(df, vec_col, id_col, m, dim).localCheckpoint(eager=False)
+    w = Window.partitionBy("sub").orderBy(id_col)
+    cents = (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= ksub)
+        .select(
+            "sub",
+            (F.col("_rn") - 1).cast("long").alias("cluster_id"),
+            F.col("_v").alias("centroid"),
         )
-        _, cents = _lloyd(sub, "_v", id_col, ksub, iters)
-        part = cents.select(
-            F.lit(s).cast("long").alias("sub"), "cluster_id", "centroid"
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    )
+    for _ in range(iters):
+        cents = _pq_recenter(_pq_assign(pts, cents, id_col))
+    return cents
 
 
 def pq_encode(
@@ -798,28 +881,61 @@ def pq_encode(
     """Encode every vector to its per-subspace nearest-centroid codes,
     LONG layout: ``(id, sub, code)`` — m rows per vector, join-ready
     against an ADC lookup table (and trivially pivotable to an
-    array<tinyint> for storage).  Assignment reuses
-    ``assign_clusters``'s all-JVM HOF kernel and its verdict."""
-    from cherry_pipelines_spark.operators.clustering import assign_clusters
+    array<tinyint> for storage).  One broadcast join + fold for all m
+    subspaces."""
+    pts = _pq_subrows(df, vec_col, id_col, m, dim)
+    return _pq_assign(pts, codebooks, id_col).select(
+        id_col, "sub", F.col("cluster_id").alias("code")
+    )
 
-    sd = dim // m
-    out = None
-    for s in range(m):
-        sub = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col).cast("array<double>"), s * sd + 1, sd).alias(
-                "_v"
-            ),
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 6,
+) -> DataFrame:
+    """Exact squared-L2 top-k per query (excluding self) — the ground
+    truth a PQ/ADC index is graded against (same metric family, so
+    recall isolates quantization loss, not metric mismatch).  Same
+    plan as :func:`cosine_topk`: broadcast queries, corpus-side pair
+    expansion, per-query window."""
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    corpus = fan_out(corpus)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "dist",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                scale,
+            ).cast(f"decimal(18,{scale})"),
         )
-        cb = codebooks.filter(F.col("sub") == s).select("cluster_id", "centroid")
-        assigned = assign_clusters(sub, cb, "_v", id_col, method="hof")
-        part = assigned.select(
-            id_col,
-            F.lit(s).cast("long").alias("sub"),
-            F.col("cluster_id").alias("code"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+        .drop("qvec", "cvec")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
+    )
 
 
 def pq_topk(
@@ -832,6 +948,7 @@ def pq_topk(
     dim: int = 64,
     ksub: int = 4,
     iters: int = 2,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """PQ/ADC top-k: train codebooks, encode the corpus, and answer the
     query set (corpus rows matching ``query_filter``, default
@@ -850,33 +967,28 @@ def pq_topk(
     break on vec_id ascending."""
     if query_filter is None:
         query_filter = F.col(id_col) % 100 == 0
-    sd = dim // m
     codebooks = pq_train(df, vec_col, id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False
     )
     codes = pq_encode(df, codebooks, vec_col, id_col, m, dim)
-    queries = df.filter(query_filter)
-    lut = None
-    for s in range(m):
-        qs = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.slice(F.col(vec_col).cast("array<double>"), s * sd + 1, sd).alias(
-                "_q"
-            ),
-        )
-        cb = codebooks.filter(F.col("sub") == s)
-        part = qs.crossJoin(cb).select(
-            "query_id",
-            "sub",
-            F.col("cluster_id").alias("code"),
-            _pq_partial(F.col("_q"), F.col("centroid")).alias("partial"),
-        )
-        lut = part if lut is None else lut.unionByName(part)
+    qsubs = _pq_subrows(df.filter(query_filter), vec_col, id_col, m, dim).select(
+        F.col(id_col).alias("query_id"), "sub", F.col("_v").alias("_q")
+    )
+    lut = qsubs.join(codebooks, "sub").select(
+        "query_id",
+        "sub",
+        F.col("cluster_id").alias("code"),
+        _pq_partial(F.col("_q"), F.col("centroid")).alias("partial"),
+    )
     dists = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .groupBy("query_id", id_col)
         .agg(F.sum("partial").cast("double").alias("adc_dist"))
     )
+    if exclude_self:
+        # recall-grading posture: rank only true neighbors, matching
+        # l2_topk's self-exclusion
+        dists = dists.filter(F.col("query_id") != F.col(id_col))
     w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col).asc())
     return (
         dists.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -232,7 +232,8 @@ def _pq_topk_fixedq(spark, sf_dir: str):
     return pq_topk(
         em,
         k=3,
-        m=2,
+        m=8,
+        ksub=16,
         dim=64,
         query_filter=(F.col("vec_id") % 100 == 0)
         & (F.col("vec_id") < KEY_OFFSET),
