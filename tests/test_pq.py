@@ -135,3 +135,22 @@ def test_plan_jvm_only_with_broadcast_lut(spark, pq_df):
 def test_dim_validation(spark, pq_df):
     with pytest.raises(ValueError):
         pq_train(pq_df, m=3, dim=DIM)  # 8 % 3 != 0
+
+
+def test_null_and_ragged_vectors_land_in_lowest_code(spark):
+    """Same contract as clustering.assign_clusters: a NULL or ragged
+    vector's distances are all NULL, and the argmin deterministically
+    lands in the lowest cluster id — corrupt rows cannot wander between
+    codes across runs/engines."""
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(10)]
+    rows.append((10, None))
+    rows.append((11, [1.0, 2.0]))  # ragged: zip_with pads -> NULL fold
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(df, m=2, dim=8, ksub=2, iters=1)
+    enc = pq_encode(df, books, m=2, dim=8).filter("vec_id >= 10").collect()
+    assert sorted((r["vec_id"], r["sub"], r["code"]) for r in enc) == [
+        (10, 0, 0),
+        (10, 1, 0),
+        (11, 0, 0),
+        (11, 1, 0),
+    ]
