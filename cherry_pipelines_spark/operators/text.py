@@ -508,13 +508,23 @@ def bigram_lm_scores(
     grams = df.filter(F.length(F.col(text_col)) >= 2).select(
         F.col(id_col), F.explode(bigrams).alias("bigram")
     )
-    # localCheckpoint (not cache): model and score branches prune
-    # different columns, so plain exchange reuse cannot dedupe them;
-    # checkpoint blocks are reclaimed when the frame goes out of scope
+    # persist (columnar cache), NOT localCheckpoint: model and score
+    # branches prune different columns so plain exchange reuse cannot
+    # dedupe them, and this frame is CORPUS-SCALE (|docs| × bigrams/doc
+    # rows — 123M at the 256× deep-scale point).  A localCheckpoint
+    # stores it as deserialized row objects whose blocks the truncated
+    # lineage must keep, and at 256× that pinned storage starved the
+    # downstream score aggregation into AGGREGATE_OUT_OF_MEMORY; the
+    # SQL columnar cache is compressed (~10× smaller here) and
+    # evictable-to-disk, so execution memory always wins.  Lifetime:
+    # released by spark.catalog.clearCache() or when the plan is
+    # re-derived — same contract as pagerank's materialize="cache".
+    from pyspark.storagelevel import StorageLevel
+
     pairs = (
         grams.groupBy(id_col, "bigram")
         .agg(F.count("*").cast("long").alias("k"))
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     model = pairs.groupBy("bigram").agg(F.sum("k").cast("long").alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("t"))

@@ -119,6 +119,9 @@ DEFAULT_QUERIES = [
     "semantic_dedup_scaledk",
     "srp_near_dups",
     "srp_near_dups_scaledplanes",
+    # composed-path rows: the chains a curation deployment actually runs
+    "dedup_endgame",
+    "docs_curation_v3",
 ]
 
 
