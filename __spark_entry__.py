@@ -4748,6 +4748,184 @@ GROUP BY 1
 """
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the fixture has no partsupp, so
+    lineitem stands in as the part↔supplier cost relation): for each
+    small part, the EUROPE supplier offering the minimum cost — the
+    classic correlated-min subquery decorrelated into a per-part min
+    aggregate joined back on (partkey, cost).  The region→nation→
+    supplier snowflake is a broadcast chain (dims never shuffle the
+    fact side); the part filter applies BEFORE the cost aggregate so
+    the shuffle only carries qualifying parts.  Costs stay
+    Decimal(18,2) end-to-end so the min join-back key is exact."""
+    p, s, n, r, l = _load(spark, sf_dir, "part", "supplier", "nation", "region", "lineitem")
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    small_parts = p.filter(F.col("p_size") <= 10).select("p_partkey")
+    costs = (
+        l.join(F.broadcast(small_parts), l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost"))
+        # feeds the per-part min AND the join-back probe — one fact
+        # aggregate, materialized once
+        .localCheckpoint(eager=False)
+    )
+    min_per_part = (
+        costs.groupBy("l_partkey")
+        .agg(F.min("cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "mp_partkey")
+    )
+    return (
+        costs.join(
+            min_per_part,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+            F.col("cost").cast("double").alias("cost"),
+        )
+        .orderBy(F.col("acctbal").desc(), "s_name", "partkey")
+        .limit(100)
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH euro_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), costs AS (
+  SELECT l_partkey, l_suppkey, s_name, s_acctbal,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part WHERE p_size <= 10) sp ON l_partkey = p_partkey
+  JOIN euro_supp ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4
+), min_per_part AS (
+  SELECT l_partkey, min(cost) AS min_cost FROM costs GROUP BY 1
+)
+SELECT c.l_partkey AS partkey, c.s_name,
+       CAST(c.s_acctbal AS DOUBLE) AS acctbal,
+       CAST(c.cost AS DOUBLE) AS cost
+FROM costs c JOIN min_per_part m
+  ON c.l_partkey = m.l_partkey AND c.cost = m.min_cost
+ORDER BY acctbal DESC, s_name, partkey LIMIT 100
+"""
+
+
+def q_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part total value over one region's
+    suppliers, HAVING value above TWICE the mean per-part share of the
+    GLOBAL total — the group-share-vs-scalar-aggregate pattern, with
+    the scale-free threshold Q11 itself uses (its fraction divides by
+    SF).  The (total, n_parts) pair is a 1-row broadcast crossJoin
+    back onto the per-part aggregate (never a correlated re-scan); the
+    threshold compares `value * n_parts > 2 * total` in bounded
+    decimal so the selected row SET is engine-exact — no float
+    boundary can flip membership."""
+    s, n, r, l = _load(spark, sf_dir, "supplier", "nation", "region", "lineitem")
+    asia_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    vals = (
+        l.join(F.broadcast(asia_supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("value")
+        )
+    )
+    stats = vals.agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        vals.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("value").cast("decimal(30,4)")
+            * F.col("n_parts").cast("decimal(18,0)")
+            > F.col("total").cast("decimal(38,4)") * 2
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+ORACLE_IMPORTANT_PARTS = """
+WITH asia_supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), vals AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS value
+  FROM lineitem JOIN asia_supp ON l_suppkey = s_suppkey
+  GROUP BY 1
+), st AS (
+  SELECT CAST(sum(value) AS DECIMAL(38,4)) AS total, count(*) AS n_parts FROM vals
+)
+SELECT l_partkey AS partkey, CAST(value AS DOUBLE) AS value
+FROM vals, st
+WHERE CAST(value AS DECIMAL(30,4)) * CAST(n_parts AS DECIMAL(18,0)) > total * 2
+ORDER BY value DESC, partkey
+"""
+
+
+def q_priority_shipmodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the fixture has no l_shipmode, so
+    l_returnflag stands in as the mode): per-mode counts of
+    high-priority (1-URGENT / 2-HIGH) vs lower-priority orders among
+    1997 shipments — a fact⨝fact join where the year filter pushes
+    into the lineitem scan and the priority split is a single-pass
+    conditional aggregate (never two filtered re-scans)."""
+    o, l = _load(spark, sf_dir, "orders", "lineitem")
+    shipped_97 = l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        shipped_97.join(o.select("o_orderkey", "o_orderpriority"),
+                        shipped_97.l_orderkey == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("mode")
+    )
+
+
+ORACLE_PRIORITY_SHIPMODES = """
+SELECT l_returnflag AS mode,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT
+         AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust outlier screen: per-type median + MAD (median absolute
     deviation) instead of mean/stddev — 50% breakdown point, the screen
@@ -6864,6 +7042,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
     "uint256_sum_exact": q_uint256_sum_exact,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_part_values": q_important_part_values,
+    "priority_shipmodes": q_priority_shipmodes,
     "pii_scrub": q_pii_scrub,
     "repetition_stats": q_repetition_stats,
     "pricing_summary": q_pricing_summary,
@@ -7039,6 +7220,9 @@ _ORACLES: dict[str, str] = {
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,
     "uint256_sum_exact": ORACLE_UINT256_SUM,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "important_part_values": ORACLE_IMPORTANT_PARTS,
+    "priority_shipmodes": ORACLE_PRIORITY_SHIPMODES,
     "pii_scrub": ORACLE_PII,
     "repetition_stats": ORACLE_REPETITION,
     "pricing_summary": ORACLE_PRICING,

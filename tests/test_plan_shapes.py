@@ -481,6 +481,59 @@ def test_idle_rich_customers_anti_join_scalar_broadcast(spark, sf_dir, queries):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_min_cost_supplier_broadcast_snowflake(spark, sf_dir, queries):
+    s = plan_summary(queries["min_cost_supplier"](spark, sf_dir))
+    # the costs aggregate is checkpoint-shared (it feeds the per-part
+    # min AND the join-back), so the visible plan is the two keyed
+    # aggregates + one equi-join — never a nested loop, and the top-100
+    # is a per-partition heap
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert s.get("HashAggregate", 0) >= 2, s
+    assert "TakeOrderedAndProject" in s, s
+    # the broadcast snowflake lives in the checkpointed prefix: build
+    # the same fact⨝dims tree uncheckpointed and pin it there
+    from pyspark.sql import functions as F
+
+    p, sup, n, r, l = entry_mod._load(
+        spark, sf_dir, "part", "supplier", "nation", "region", "lineitem"
+    )
+    euro = (
+        sup.join(F.broadcast(n), sup.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    prefix = (
+        l.join(F.broadcast(p.filter(F.col("p_size") <= 10).select("p_partkey")),
+               l.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(euro), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost"))
+    )
+    ps = plan_summary(prefix)
+    assert ps.get("BroadcastHashJoin", 0) >= 3, ps
+    assert "BroadcastNestedLoopJoin" not in ps
+
+
+def test_important_part_values_scalar_broadcast(spark, sf_dir, queries):
+    plan = plan_of(queries["important_part_values"](spark, sf_dir))
+    # the (total, n_parts) 1-row aggregate joins back as a broadcast;
+    # the per-part aggregate is never re-scanned per row
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_priority_shipmodes_date_pushdown(spark, sf_dir, queries):
+    plan = plan_of(queries["priority_shipmodes"](spark, sf_dir))
+    # the 1997 year bounds reach the lineitem scan as pushed filters —
+    # at 100 TB this is the partition-pruning predicate
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_shipdate" in plan, plan
+    # the priority split is one conditional aggregate, not two scans
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_mad_outliers_facts_never_shuffle(spark, sf_dir, queries):
     plan = plan_of(queries["mad_outliers"](spark, sf_dir))
     # both stat joins are broadcast: the fact side reaches the filter
