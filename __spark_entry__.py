@@ -6926,10 +6926,14 @@ def _pq_oracle(
     ksub: int = 16,
     k: int = 3,
     exclude_self: bool = False,
+    cells: tuple[int, float, int] | None = None,
 ) -> str:
     """Generate the DuckDB mirror of pq_topk: per subspace, the
     ORACLE_KMEANS 2-iteration Lloyd unroll plus a final-codebook
-    assignment (codes) and a query LUT; ADC = decimal sum of partials."""
+    assignment (codes) and a query LUT; ADC = decimal sum of partials.
+    ``cells=(n_components, grid, probe_radius)`` adds the IVF-PQ cell
+    restriction: candidates must sit within the query's probed lattice
+    neighborhood (mirrors ``similarity.ivf_pq_topk``)."""
     sd = dim // m
     sq = (
         "round(list_sum([({v}[j] - {c}[j]) * ({v}[j] - {c}[j])"
@@ -6975,12 +6979,35 @@ part{s} AS (SELECT l.query_id, k.vec_id, l.partial
             .replace("SQ2", sq.format(v="q.v", c="c.c"))
         )
         parts.append(f"SELECT * FROM part{s}")
+    if cells is not None:
+        nc, grid, radius = cells
+        comp_cols = ", ".join(
+            f"floor((embedding::DOUBLE[])[{i + 1}] / {grid})::BIGINT AS c{i}"
+            for i in range(nc)
+        )
+        probe_pred = " AND ".join(
+            f"vc.c{i} BETWEEN qvc.c{i} - {radius} AND qvc.c{i} + {radius}"
+            for i in range(nc)
+        )
+        cell_blocks = f""",
+vcells AS (SELECT vec_id AS vid, {comp_cols} FROM embeddings),
+qvc AS (SELECT vid AS qid, {', '.join(f'c{i}' for i in range(nc))}
+        FROM vcells WHERE vid % 100 = 0)"""
+        dist_from = f"""FROM ({' UNION ALL '.join(parts)}) u
+            JOIN vcells vc ON u.vec_id = vc.vid
+            JOIN qvc ON u.query_id = qvc.qid
+            WHERE {probe_pred}
+            GROUP BY u.query_id, u.vec_id"""
+    else:
+        cell_blocks = ""
+        dist_from = f"FROM ({' UNION ALL '.join(parts)}) GROUP BY query_id, vec_id"
     return (
         "WITH "
         + ",".join(blocks)
+        + cell_blocks
         + f""",
 alldist AS (SELECT query_id, vec_id, CAST(sum(partial) AS DOUBLE) AS adc_dist
-            FROM ({' UNION ALL '.join(parts)}) GROUP BY query_id, vec_id),
+            {dist_from}),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                         ORDER BY adc_dist, vec_id)::BIGINT AS rank
            FROM alldist{' WHERE query_id <> vec_id' if exclude_self else ''})
@@ -7035,9 +7062,29 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 """
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-3: the billion-scale ANN layout — coarse lattice
+    cells prune candidates BEFORE any distance work (probe_radius=1
+    searches the 3² neighborhood), then the globally-trained m=8 /
+    ksub=16 PQ codebooks score only the probed cells' codes with
+    exact-decimal ADC.  Per-query cost tracks the probed cells'
+    population, not the corpus."""
+    from cherry_pipelines_spark.operators.similarity import ivf_pq_topk
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        em, k=3, m=8, dim=64, ksub=16, iters=2,
+        n_components=2, grid=0.5, probe_radius=1,
+    )
+
+
+ORACLE_IVF_PQ_TOPK = _pq_oracle(cells=(2, 0.5, 1))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "pq_recall": q_pq_recall,
+    "ivf_pq_topk": q_ivf_pq_topk,
     "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
@@ -7216,6 +7263,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ORACLES: dict[str, str] = {
     "pq_topk": ORACLE_PQ_TOPK,
     "pq_recall": ORACLE_PQ_RECALL,
+    "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
     "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,

@@ -1008,3 +1008,104 @@ def _pq_partial(q: Column, cent: Column) -> Column:
         ),
         6,
     ).cast("decimal(18,6)")
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_filter: Column | None = None,
+    m: int = 2,
+    dim: int = 64,
+    ksub: int = 4,
+    iters: int = 2,
+    n_components: int = 2,
+    grid: float = 0.5,
+    probe_radius: int = 0,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ top-k — the billion-scale ANN layout: a coarse IVF cell
+    prunes the candidate set BEFORE any distance work, then PQ/ADC
+    scores only the probed cells' codes.  Composes :func:`bucket_id`'s
+    deterministic lattice coarse quantizer (engine-portable floor
+    arithmetic, no trained coarse codebook to replay) with
+    :func:`pq_topk`'s globally-trained codebooks and exact-decimal ADC.
+
+    Plan shape: the stored index is ``(id, cell, codes)`` — the
+    ``codes ⨝ cells`` id-join here exists only because the index is
+    built inline; a deployment encodes once and persists the joined
+    layout, cell-partitioned, so a query probe is a partition-pruned
+    scan.  The query side (LUT × probe fan-out: |Q|·(2r+1)^n·m·ksub
+    decimal partials) broadcasts; the corpus codes flow through ONE
+    hash join keyed on (sub, code, cell) and one (query, id) hash agg.
+    Per-query cost is proportional to the probed cells' population,
+    not the corpus — the sub-linear path `pq_topk`'s docstring
+    promises.  ``probe_radius`` is the recall dial: radius r probes
+    the (2r+1)^n lattice neighborhood exactly like :func:`ivf_topk`.
+
+    Distances are exact sums of 6-dp-rounded DECIMAL(18,6) partials
+    (order-independent, engine-portable); rank ties break on id
+    ascending.  With a grid coarse enough to hold the whole corpus in
+    one cell this reduces bit-exactly to :func:`pq_topk` (pinned in
+    tests)."""
+    import itertools
+
+    if query_filter is None:
+        query_filter = F.col(id_col) % 100 == 0
+    comp_names = [f"_c{i}" for i in range(n_components)]
+
+    def comps(src: Column) -> list[Column]:
+        return [
+            c.alias(n)
+            for c, n in zip(_cell_components(src, n_components, grid), comp_names)
+        ]
+
+    codebooks = pq_train(df, vec_col, id_col, m, dim, ksub, iters).localCheckpoint(
+        eager=False
+    )
+    codes = pq_encode(df, codebooks, vec_col, id_col, m, dim)
+    cells = df.select(F.col(id_col), *comps(F.col(vec_col)))
+    indexed = codes.join(cells, id_col)
+    qsubs = _pq_subrows(df.filter(query_filter), vec_col, id_col, m, dim).select(
+        F.col(id_col).alias("query_id"), "sub", F.col("_v").alias("_q")
+    )
+    lut = qsubs.join(codebooks, "sub").select(
+        "query_id",
+        "sub",
+        F.col("cluster_id").alias("code"),
+        _pq_partial(F.col("_q"), F.col("centroid")).alias("partial"),
+    )
+    qcells = df.filter(query_filter).select(
+        F.col(id_col).alias("query_id"), *comps(F.col(vec_col))
+    )
+    if probe_radius > 0:
+        offsets = F.array(
+            *[
+                F.struct(*[F.lit(d).alias(f"d{i}") for i, d in enumerate(combo)])
+                for combo in itertools.product(
+                    range(-probe_radius, probe_radius + 1), repeat=n_components
+                )
+            ]
+        )
+        qcells = qcells.withColumn("_off", F.explode(offsets)).select(
+            "query_id",
+            *[
+                (F.col(n) + F.col(f"_off.d{i}")).alias(n)
+                for i, n in enumerate(comp_names)
+            ],
+        )
+    lutc = lut.join(qcells, "query_id")
+    dists = (
+        indexed.join(F.broadcast(lutc), ["sub", "code", *comp_names])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("partial").cast("double").alias("adc_dist"))
+    )
+    if exclude_self:
+        dists = dists.filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col).asc())
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_dist", "rank")
+    )

@@ -9,7 +9,12 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from cherry_pipelines_spark.operators.similarity import pq_encode, pq_topk, pq_train
+from cherry_pipelines_spark.operators.similarity import (
+    ivf_pq_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
 
 
 def _vecs(n, dim, seed=7):
@@ -154,3 +159,63 @@ def test_null_and_ragged_vectors_land_in_lowest_code(spark):
         (11, 0, 0),
         (11, 1, 0),
     ]
+
+
+def test_ivf_pq_degenerate_cell_equals_pq(spark, pq_df):
+    """With a grid coarse enough that probe_radius=1 covers every cell
+    (floor splits positives/negatives at 0 even on a huge grid), IVF-PQ
+    must reduce BIT-EXACTLY to plain PQ — the cell restriction is a
+    pure candidate filter, never a scoring change."""
+    a = (
+        ivf_pq_topk(
+            pq_df, k=3, m=M, dim=DIM, ksub=KSUB, iters=ITERS,
+            query_filter=F.col("vec_id") % 20 == 0,
+            grid=1e9, probe_radius=1,
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    b = (
+        pq_topk(
+            pq_df, k=3, m=M, dim=DIM, ksub=KSUB, iters=ITERS,
+            query_filter=F.col("vec_id") % 20 == 0,
+        )
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 6  # 2 queries x top-3
+
+
+def test_ivf_pq_radius0_neighbors_share_the_query_cell(spark, pq_df):
+    """At probe_radius=0 every returned neighbor must live in the
+    query's own lattice cell — the invariant the sub-linear scan cost
+    rests on."""
+    from cherry_pipelines_spark.operators.similarity import bucket_id
+
+    out = ivf_pq_topk(
+        pq_df, k=5, m=M, dim=DIM, ksub=KSUB,
+        query_filter=F.col("vec_id") % 10 == 0,
+        n_components=2, grid=0.5, probe_radius=0,
+    )
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in pq_df.select(
+            "vec_id", bucket_id(F.col("embedding"), 2, 0.5).alias("cell")
+        ).collect()
+    }
+    rows = out.collect()
+    assert rows, "fixture must produce at least one same-cell neighbor"
+    for r in rows:
+        assert cells[r["query_id"]] == cells[r["vec_id"]], r
+
+
+def test_ivf_pq_plan_broadcast_lut_no_bnlj(spark, pq_df):
+    out = ivf_pq_topk(pq_df, k=2, m=M, dim=DIM, ksub=KSUB, probe_radius=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the LUT x probe fan-out broadcasts; the corpus codes never do,
+    # and the cell restriction is an equi-join, not a nested loop
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
