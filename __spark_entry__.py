@@ -7081,10 +7081,103 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_IVF_PQ_TOPK = _pq_oracle(cells=(2, 0.5, 1))
 
 
+def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership screen — the membership member of the
+    sketch family (`operators/sketches.py:bloom_build/bloom_probe`).
+    Build the filter over the part keys seen in low-quantity lineitem
+    rows, probe every real part key PLUS a shifted set guaranteed
+    absent, and report the confusion counts next to the exact answer:
+    `n_false_negatives` MUST be 0 (the one-sided guarantee incremental
+    ingest dedup rests on); false positives are the dialed-in
+    (1-e^{-kn/m})^k tax.  The filter is <= n_bits/32 rows by
+    construction, broadcast to the probe side — the probe never
+    shuffles the corpus that built it."""
+    from cherry_pipelines_spark.operators.sketches import bloom_build, bloom_probe
+
+    p, l = _load(spark, sf_dir, "part", "lineitem")
+    n_bits, n_hashes = 1 << 16, 4
+    members = (
+        l.filter(F.col("l_quantity") <= 2)
+        .select(F.col("l_partkey").cast("string").alias("k"))
+    )
+    bloom = bloom_build(members, F.col("k"), n_bits=n_bits, n_hashes=n_hashes)
+    probes = p.select(
+        F.col("p_partkey").alias("pid"), F.col("p_partkey").cast("string").alias("k")
+    ).unionAll(
+        p.select(
+            (F.col("p_partkey") + 1000000000).alias("pid"),
+            (F.col("p_partkey") + 1000000000).cast("string").alias("k"),
+        )
+    )
+    probed = bloom_probe(
+        probes, bloom, F.col("k"), id_col="pid", n_bits=n_bits, n_hashes=n_hashes
+    )
+    exact = probes.join(
+        members.distinct().withColumnRenamed("k", "mk"),
+        F.col("k") == F.col("mk"),
+        "left",
+    ).select("pid", F.col("mk").isNotNull().alias("present"))
+    return (
+        probed.join(exact, "pid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum(F.when(F.col("maybe_present"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_maybe"),
+            F.sum(F.when(F.col("present"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_present"),
+            F.sum(F.when(F.col("maybe_present") & ~F.col("present"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_positives"),
+            F.sum(F.when(~F.col("maybe_present") & F.col("present"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_false_negatives"),
+        )
+    )
+
+
+ORACLE_BLOOM_FILTER = """
+WITH members AS (
+  SELECT DISTINCT l_partkey::VARCHAR AS k FROM lineitem WHERE l_quantity <= 2
+), pos AS (
+  SELECT ('0x' || substr(sha256(i::VARCHAR || ':' || k), 1, 8))::BIGINT % 65536 AS pos
+  FROM members, generate_series(0, 3) g(i)
+), words AS (
+  SELECT pos // 32 AS word_idx,
+         bit_or(1::BIGINT << (pos % 32)::INT) AS word
+  FROM pos GROUP BY 1
+), probes AS (
+  SELECT p_partkey AS pid, p_partkey::VARCHAR AS k FROM part
+  UNION ALL
+  SELECT p_partkey + 1000000000, (p_partkey + 1000000000)::VARCHAR FROM part
+), ppos AS (
+  SELECT pid, k,
+         ('0x' || substr(sha256(i::VARCHAR || ':' || k), 1, 8))::BIGINT % 65536 AS pos
+  FROM probes, generate_series(0, 3) g(i)
+), hits AS (
+  SELECT pid, k,
+         min((coalesce(w.word, 0) >> (pos % 32)::INT) & 1) AS hit
+  FROM ppos LEFT JOIN words w ON ppos.pos // 32 = w.word_idx
+  GROUP BY 1, 2
+), final AS (
+  SELECT h.pid, h.hit = 1 AS maybe, (m.k IS NOT NULL) AS present
+  FROM hits h LEFT JOIN members m ON h.k = m.k
+)
+SELECT count(*)::BIGINT AS n_probes,
+       sum(CASE WHEN maybe THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
+       sum(CASE WHEN present THEN 1 ELSE 0 END)::BIGINT AS n_present,
+       sum(CASE WHEN maybe AND NOT present THEN 1 ELSE 0 END)::BIGINT AS n_false_positives,
+       sum(CASE WHEN present AND NOT maybe THEN 1 ELSE 0 END)::BIGINT AS n_false_negatives
+FROM final
+"""
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "pq_recall": q_pq_recall,
     "ivf_pq_topk": q_ivf_pq_topk,
+    "bloom_filter": q_bloom_filter,
     "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
@@ -7264,6 +7357,7 @@ _ORACLES: dict[str, str] = {
     "pq_topk": ORACLE_PQ_TOPK,
     "pq_recall": ORACLE_PQ_RECALL,
     "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
+    "bloom_filter": ORACLE_BLOOM_FILTER,
     "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,

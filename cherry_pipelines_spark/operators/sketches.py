@@ -340,3 +340,85 @@ def histogram_quantiles(
         * F.lit(width)
     )
     return targets.select("q", F.round(est, 9).alias("estimate"))
+
+
+# --- Bloom filter -----------------------------------------------------------
+#
+# The membership member of the sketch family (HLL = cardinality,
+# count-min = frequency, histogram = quantiles, Bloom = membership).
+# At 100 TB the canonical uses are "have we ingested this URL/doc-id
+# before" and benchmark decontamination pre-screens: the filter is
+# n_bits/32 rows no matter how many keys feed it, merges across
+# shards/days with a plain BIT_OR, and broadcasts to the probe side so
+# the probe is map-only.  One-sided error by construction: a present
+# key can NEVER probe false (the guarantee incremental-ingest dedup
+# rests on); absent keys false-positive at the classic
+# (1 - e^{-kn/m})^k rate, dialed by n_bits/n_hashes.
+#
+# Deterministic and engine-portable: positions are h32(i || ':' || key)
+# mod n_bits (same sha256 bits in DuckDB), words are 32-bit so every
+# value fits a signed BIGINT without sign games.
+
+BLOOM_WORD = 32
+
+
+def bloom_positions(key: Column, n_bits: int = 1 << 14, n_hashes: int = 4) -> Column:
+    """``array<long>`` of the key's ``n_hashes`` bit positions."""
+    return F.array(
+        *[h32(F.concat(F.lit(f"{i}:"), key)) % n_bits for i in range(n_hashes)]
+    )
+
+
+def bloom_build(
+    df: DataFrame, key: Column, n_bits: int = 1 << 14, n_hashes: int = 4
+) -> DataFrame:
+    """Build the filter: ``(word_idx, word)`` — at most ``n_bits/32``
+    rows.  The aggregation is a BIT_OR groupBy on a uniform word key,
+    so map-side partials reduce every partition to <= n_bits/32 rows
+    before the (trivial) shuffle; shard filters merge with
+    ``union -> groupBy word_idx -> bit_or(word)``."""
+    if n_bits % BLOOM_WORD != 0:
+        raise ValueError(f"n_bits must be a multiple of {BLOOM_WORD}")
+    pos = df.select(F.explode(bloom_positions(key, n_bits, n_hashes)).alias("pos"))
+    return (
+        pos.select(
+            F.floor(F.col("pos") / BLOOM_WORD).cast("long").alias("word_idx"),
+            (F.col("pos") % BLOOM_WORD).cast("int").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_probe(
+    items: DataFrame,
+    bloom: DataFrame,
+    key: Column,
+    id_col: str,
+    n_bits: int = 1 << 14,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Probe: ``(id, maybe_present)``.  The filter broadcasts (it is
+    <= n_bits/32 rows by construction) and each item checks its
+    ``n_hashes`` bits with one left join + one keyed aggregate — the
+    probe side never shuffles the corpus that built the filter.
+    ``maybe_present`` is true iff ALL bits are set."""
+    ipos = items.select(
+        F.col(id_col),
+        F.explode(bloom_positions(key, n_bits, n_hashes)).alias("pos"),
+    ).select(
+        id_col,
+        F.floor(F.col("pos") / BLOOM_WORD).cast("long").alias("word_idx"),
+        (F.col("pos") % BLOOM_WORD).cast("int").alias("bit"),
+    )
+    checked = ipos.join(F.broadcast(bloom), "word_idx", "left").select(
+        id_col,
+        F.expr("(shiftright(coalesce(word, CAST(0 AS BIGINT)), bit) & 1)").alias("hit"),
+    )
+    return checked.groupBy(id_col).agg(
+        (F.min("hit") == 1).alias("maybe_present")
+    )

@@ -7,6 +7,8 @@ from pyspark.sql import functions as F
 
 from cherry_pipelines_spark.operators import dedup
 from cherry_pipelines_spark.operators.sketches import (
+    bloom_build,
+    bloom_probe,
     countmin_heavy_hitters,
     countmin_sketch,
     hll_distinct,
@@ -182,3 +184,65 @@ def test_hll_by_group_merge_equals_whole(spark):
         assert rows[f"g{g}"]["exact"] == expect
         # raw-HLL relative error at m=256 is ~6.5%; 3x sigma guard
         assert abs(rows[f"g{g}"]["estimate"] - expect) / expect < 0.25
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+
+def _keys(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "k string")
+
+
+def test_bloom_no_false_negatives_and_bounded_size(spark):
+    members = [f"key{i}" for i in range(200)]
+    bloom = bloom_build(_keys(spark, members), F.col("k"), n_bits=1024, n_hashes=4)
+    words = bloom.collect()
+    assert len(words) <= 1024 // 32  # bounded BY CONSTRUCTION
+    probes = spark.createDataFrame(
+        [(v, v) for v in members] + [(f"absent{i}", f"absent{i}") for i in range(200)],
+        "pid string, k string",
+    )
+    got = {
+        r["pid"]: r["maybe_present"]
+        for r in bloom_probe(
+            probes, bloom, F.col("k"), id_col="pid", n_bits=1024, n_hashes=4
+        ).collect()
+    }
+    # one-sided error: every member MUST probe true
+    assert all(got[m] for m in members)
+    # 200 members x 4 hashes in 1024 bits -> fill ~54%, fp ~9%: the
+    # absent set must not be all-true (the filter is not saturated)
+    assert not all(got[f"absent{i}"] for i in range(200))
+
+
+def test_bloom_shard_merge_equals_whole(spark):
+    a = [f"a{i}" for i in range(80)]
+    b = [f"b{i}" for i in range(80)]
+    whole = bloom_build(_keys(spark, a + b), F.col("k"), n_bits=512, n_hashes=3)
+    sharded = (
+        bloom_build(_keys(spark, a), F.col("k"), n_bits=512, n_hashes=3)
+        .unionAll(bloom_build(_keys(spark, b), F.col("k"), n_bits=512, n_hashes=3))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    lhs = sorted(tuple(r) for r in whole.collect())
+    rhs = sorted(tuple(r) for r in sharded.collect())
+    assert lhs == rhs
+
+
+def test_bloom_empty_filter_probes_all_false(spark):
+    empty = bloom_build(
+        _keys(spark, []).limit(0), F.col("k"), n_bits=256, n_hashes=2
+    )
+    probes = spark.createDataFrame([("x", "x"), ("y", "y")], "pid string, k string")
+    got = bloom_probe(
+        probes, empty, F.col("k"), id_col="pid", n_bits=256, n_hashes=2
+    ).collect()
+    assert len(got) == 2 and not any(r["maybe_present"] for r in got)
+
+
+def test_bloom_word_width_validation(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        bloom_build(_keys(spark, ["a"]), F.col("k"), n_bits=100)
