@@ -6730,6 +6730,57 @@ SELECT doc_id, term, tf, df, score, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_tfidf_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine all-pairs similarity over the inverted
+    index (`operators/relevance.py:tfidf_cosine_pairs`) — the
+    text-side near-dup detector.  The df-cut at 0.5 is the candidate
+    bound: on this corpus's shared head vocabulary an uncut posting
+    join degenerates to all-pairs (C(n,2) — measured 12.5M pairs at
+    sf0.1), while the cut keeps only discriminative terms so
+    candidates are the documents sharing rare vocabulary.  Weights,
+    dots and norms are exact decimals; only the final cosine divides
+    in double, rounded at 6 dp."""
+    from cherry_pipelines_spark.operators.relevance import tfidf_cosine_pairs
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, threshold=0.5, max_df_ratio=0.5)
+
+
+ORACLE_TFIDF_DOC_PAIRS = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf
+  FROM tok WHERE term <> '' GROUP BY doc_id, term
+),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+keep AS (
+  SELECT term, ln((n.n_docs + 1) / (count(*) + 1)) + 1 AS idf
+  FROM tf, n GROUP BY term, n.n_docs HAVING count(*) <= n.n_docs * 0.5
+),
+w AS (
+  SELECT doc_id AS doc, tf.term,
+         round(tf.tf * keep.idf, 6)::DECIMAL(18,6) AS w
+  FROM tf JOIN keep ON tf.term = keep.term
+),
+norms AS (SELECT doc, sum(w * w) AS nn FROM w GROUP BY doc),
+dots AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cos
+FROM dots
+JOIN norms na ON doc_a = na.doc
+JOIN norms nb ON doc_b = nb.doc
+WHERE round(CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) >= 0.5
+"""
+
+
 def q_bm25_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance of every document against a fixed query bag —
     the eval-decontamination slicing path.  Scores rounded HALF_UP at
@@ -7178,6 +7229,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_recall": q_pq_recall,
     "ivf_pq_topk": q_ivf_pq_topk,
     "bloom_filter": q_bloom_filter,
+    "tfidf_doc_pairs": q_tfidf_doc_pairs,
     "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
@@ -7358,6 +7410,7 @@ _ORACLES: dict[str, str] = {
     "pq_recall": ORACLE_PQ_RECALL,
     "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
     "bloom_filter": ORACLE_BLOOM_FILTER,
+    "tfidf_doc_pairs": ORACLE_TFIDF_DOC_PAIRS,
     "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,

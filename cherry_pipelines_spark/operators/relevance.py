@@ -166,3 +166,88 @@ def bm25_scores(
             F.round(F.coalesce(F.col("score"), F.lit(0.0)), scale).alias("score"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_ratio: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """All-pairs sparse TF-IDF cosine similarity over the inverted
+    index — the text-side counterpart to the dense embedding near-dup:
+    ``(doc_a, doc_b, cos)`` for every pair scoring ``>= threshold``,
+    ``doc_a < doc_b``.
+
+    Candidate generation is the classic all-pairs-similarity shape
+    (posting-list self-join on term): only documents SHARING a kept
+    term ever pair, so cost is bounded by posting-list sizes, not n².
+    ``max_df_ratio`` is the same honest df-cut ``dedup.max_df`` makes —
+    terms in more than that fraction of documents (stop words, the
+    quadratic buckets) contribute nothing to any pair.  Unlike
+    ``tfidf_top_terms`` this is part of the CONTRACT here, not an
+    opt-in: the score is defined over the df-kept vocabulary, norms
+    included, so the result is deterministic and the SQL mirror applies
+    the identical cut.
+
+    Exactness: weights are ``round(tf·idf, scale)`` DECIMAL(18,6); dot
+    products and squared norms are decimal sums of decimal products —
+    order-independent, engine-portable.  Floats appear only in the
+    final ``dot / (sqrt(na)·sqrt(nb))``, rounded HALF_UP at ``scale``.
+
+    Scale shape (100 TB): one explode → (doc, term) agg, one term-keyed
+    stats join (df-cut BEFORE the join kills the skew keys), one
+    posting self-join keyed on term, one (a, b) hash-agg, two id-keyed
+    norm joins.  Every join is an equi-join; nothing driver-side."""
+    if not 0 < max_df_ratio <= 1:
+        raise ValueError("max_df_ratio must be in (0, 1]")
+    terms = _doc_terms(df, id_col, text_col)
+    n_docs = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    keep = (
+        terms.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_ratio))
+        .select(
+            "term",
+            (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1).alias("idf"),
+        )
+    )
+    w = (
+        terms.join(keep, "term")
+        .select(
+            F.col(id_col).alias("doc"),
+            "term",
+            F.round(F.col("tf") * F.col("idf"), scale)
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+        # feeds the norms AND both sides of the posting self-join —
+        # materialize the weighted index once instead of re-running the
+        # explode + df stats three times
+        .localCheckpoint(eager=False)
+    )
+    norms = w.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("nn"))
+    a = w.select(F.col("doc").alias("doc_a"), "term", F.col("w").alias("wa"))
+    b = w.select(F.col("doc").alias("doc_b"), "term", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("nn").alias("na"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nn").alias("nb"))
+    cos = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+        scale,
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -204,3 +204,112 @@ def test_bm25_property_differential(spark, texts, query):
     assert set(got) == set(exp)
     for i, e in exp.items():
         assert got[i] == pytest.approx(e, abs=1e-6), i
+
+
+# --- tfidf_cosine_pairs ------------------------------------------------------
+
+
+def _py_cosine_pairs(docs, max_df_ratio, threshold):
+    """Plain-python mirror of the exact spec: df-cut vocabulary,
+    6-dp-rounded decimal weights, exact dot/norm sums, double cosine
+    rounded at 6."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def r6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    n = len(docs)
+    tf = {i: Counter(t.split()) for i, t in docs}
+    df = Counter(term for c in tf.values() for term in c)
+    keep = {t: math.log((n + 1) / (d + 1)) + 1 for t, d in df.items()
+            if d <= n * max_df_ratio}
+    w = {
+        i: {t: r6(c * keep[t]) for t, c in cnt.items() if t in keep}
+        for i, cnt in tf.items()
+    }
+    nn = {i: sum(x * x for x in ws.values()) for i, ws in w.items() if ws}
+    out = {}
+    ids = sorted(w)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            cos = float(
+                Decimal(repr(float(dot) / (math.sqrt(float(nn[a])) * math.sqrt(float(nn[b])))))
+                .quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            )
+            if cos >= threshold:
+                out[(a, b)] = cos
+    return out
+
+
+PAIR_DOCS = [
+    (1, "alpha beta gamma delta"),
+    (2, "alpha beta gamma delta"),        # exact dup of 1 -> cos 1.0
+    (3, "alpha beta gamma epsilon"),      # 3/4 overlap with 1
+    (4, "zeta eta theta iota"),           # disjoint from 1-3
+    (5, "zeta eta theta kappa lambda"),   # partial overlap with 4
+    (6, "mu nu xi omicron"),              # no shared rare terms
+    (7, "common common common"),          # stop-ish term, df-cut target
+    (8, "common alpha"),
+]
+
+
+def test_cosine_pairs_match_python_reference(spark):
+    from cherry_pipelines_spark.operators.relevance import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(PAIR_DOCS, "doc_id long, text string")
+    exp = _py_cosine_pairs(PAIR_DOCS, max_df_ratio=0.5, threshold=0.1)
+    got = {
+        (r["doc_a"], r["doc_b"]): float(r["cos"])
+        for r in tfidf_cosine_pairs(df, threshold=0.1, max_df_ratio=0.5).collect()
+    }
+    assert got == exp
+    # structure sanity: the fixture produces a MIX of similarities
+    assert got[(1, 2)] == 1.0
+    assert 0.1 < got[(1, 3)] < 1.0
+    assert (1, 4) not in got  # disjoint vocab never pairs
+
+
+def test_cosine_pairs_df_cut_is_part_of_the_contract(spark):
+    """Terms above max_df_ratio contribute nothing: doc 7 (only a
+    corpus-wide term after the cut at a low ratio) pairs with nobody,
+    and the (7, 8) pair via 'common' disappears."""
+    from cherry_pipelines_spark.operators.relevance import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(PAIR_DOCS, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in tfidf_cosine_pairs(df, threshold=0.01, max_df_ratio=0.2).collect()
+    }
+    assert all(7 not in p for p in got), got
+
+
+def test_cosine_pairs_plan_equi_joins_only(spark):
+    from cherry_pipelines_spark.operators.relevance import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(PAIR_DOCS, "doc_id long, text string")
+    out = tfidf_cosine_pairs(df, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the weighted index is checkpoint-shared (the deliberate 1-row
+    # n_docs broadcast lives in that prefix); the posting self-join and
+    # the norm joins must all be equi-joins and nothing is driver-side
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cosine_pairs_ratio_validation(spark):
+    from cherry_pipelines_spark.operators.relevance import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(PAIR_DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs(df, max_df_ratio=0.0)
