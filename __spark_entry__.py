@@ -940,6 +940,67 @@ SELECT node AS doc_id, min(root) AS cluster_id FROM walk GROUP BY node
 )
 
 
+def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-duplicate suppression (applyInPandasWithState
+    over LSH band buckets, `streaming/stateful.py:
+    streaming_band_claims`): each (band, key) bucket holds one boolean
+    state cell; a document survives iff it was first into ALL its
+    buckets.  Buckets are claimed even by dropped near-dups (the
+    Bloom-style posture), which makes the single-batch replay a pure
+    min-per-bucket SQL — the oracle below.  The fixture file arrives
+    as one micro-batch, so within-batch order (doc_id ascending) fully
+    determines the claims; cross-batch state carry is pinned by the
+    multi-batch pytest."""
+    import hashlib as _hl
+    import tempfile as _tf
+
+    from cherry_pipelines_spark.streaming.stateful import streaming_near_dedup_claims
+
+    _session_confs(spark)
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    shim = os.path.join(
+        _tf.gettempdir(),
+        "cherry_docstream_" + _hl.sha256(src_file.encode()).hexdigest()[:12],
+    )
+    os.makedirs(shim, exist_ok=True)
+    link = os.path.join(shim, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    schema = spark.read.parquet(src_file).schema
+    stream = spark.readStream.schema(schema).parquet(shim).select("doc_id", "text")
+    claims = streaming_near_dedup_claims(stream, k=8, bands=4)
+    q = (
+        claims.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_near_dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = spark.table("stream_near_dedup_out")
+    return (
+        t.groupBy("doc_id")
+        .agg(F.min(F.col("fresh").cast("int")).alias("all_fresh"))
+        .filter(F.col("all_fresh") == 1)
+        .select("doc_id")
+    )
+
+
+ORACLE_STREAM_NEAR_DEDUP = (
+    _LSH_HEAD
+    + """, bucket_first AS (
+  SELECT band, key, min(doc_id) AS first_id FROM banded GROUP BY 1, 2
+)
+SELECT b.doc_id
+FROM banded b JOIN bucket_first f ON b.band = f.band AND b.key = f.key
+GROUP BY b.doc_id
+HAVING min(CASE WHEN b.doc_id = f.first_id THEN 1 ELSE 0 END) = 1
+"""
+)
+
+
 def q_dedup_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup DEPLOYMENT CHAIN as one correctness surface:
     minhash-LSH candidates -> connected components -> canonical doc per
@@ -7230,6 +7291,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_topk": q_ivf_pq_topk,
     "bloom_filter": q_bloom_filter,
     "tfidf_doc_pairs": q_tfidf_doc_pairs,
+    "stream_near_dedup": q_stream_near_dedup,
     "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
@@ -7411,6 +7473,7 @@ _ORACLES: dict[str, str] = {
     "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
     "bloom_filter": ORACLE_BLOOM_FILTER,
     "tfidf_doc_pairs": ORACLE_TFIDF_DOC_PAIRS,
+    "stream_near_dedup": ORACLE_STREAM_NEAR_DEDUP,
     "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,

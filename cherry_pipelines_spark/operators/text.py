@@ -61,6 +61,11 @@ def fan_out(df: DataFrame) -> DataFrame:
     Sort/...), so a Repartition buried below a shuffle — or the word
     appearing inside a string literal mid-line — no longer counts
     (round-7 advice)."""
+    if df.isStreaming:
+        # fan-out exists for one-file BATCH fixtures; a stream's
+        # parallelism comes from the source/trigger, and inputFiles()
+        # is not defined for streaming plans
+        return df
     spark = df.sparkSession
     try:
         target = spark.sparkContext.defaultParallelism

@@ -312,3 +312,78 @@ def streaming_topk(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_band_claims(banded: DataFrame) -> DataFrame:
+    """Stateful LSH-bucket claims for streaming near-duplicate
+    suppression: input is the ``(doc_id, band, key)`` band-rows frame
+    (``dedup._banded`` works on streaming frames — shingling and
+    minhashing are map-only), output is ``(doc_id, band, fresh)``.
+
+    Each (band, key) bucket holds ONE boolean state cell ("claimed").
+    The first document to reach an unclaimed bucket gets ``fresh=true``
+    for that band; every later arrival — same micro-batch (higher
+    doc_id; within-batch order is pinned to doc_id ascending) or any
+    later batch — gets ``fresh=false``.  Buckets are claimed by every
+    document INCLUDING ones that turn out to be duplicates (the
+    Bloom-style posture: a dropped near-dup's other buckets belong to
+    its near-identical twin anyway), which is what makes the decision
+    expressible as a pure min-per-bucket replay in SQL.
+
+    A document survives iff ALL its bands are fresh — aggregate
+    ``min(fresh)`` per doc_id over the collected claims (done
+    downstream; a post-stateful streaming groupBy needs its own
+    output-mode story, and the claims stream is already append-clean).
+
+    Scale shape: state is one boolean per DISTINCT bucket ever seen —
+    strictly smaller than the O(distinct keys) of exact streaming
+    dedup whenever near-dups exist; the shuffle key is the band hash,
+    the same key the batch LSH join uses.  For bounded-staleness
+    windows swap NoTimeout for an event-time timeout."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("fresh", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("claimed", T.BooleanType())])
+
+    def claim(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        ids: list[int] = []
+        bands_: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+            bands_.extend(int(x) for x in pdf["band"])
+        if not ids:
+            return
+        fresh = [False] * len(ids)
+        if not state.exists:
+            fresh[min(range(len(ids)), key=lambda i: ids[i])] = True
+            state.update((True,))
+        yield pd.DataFrame({"doc_id": ids, "band": bands_, "fresh": fresh})
+
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        claim,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_near_dedup_claims(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash-LSH band claims over a (streaming) documents frame —
+    compose: ``claims -> collect -> groupBy doc_id having min(fresh)``
+    for the survivor set.  See :func:`streaming_band_claims`."""
+    from cherry_pipelines_spark.operators.dedup import _banded
+
+    return streaming_band_claims(_banded(df, text_col, k, bands, ngram))

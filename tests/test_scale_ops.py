@@ -417,3 +417,50 @@ def test_streaming_topk_admission_log_across_batches(spark, tmp_path):
     assert set(got) == {1, 2, 3, 5, 7}
     assert got[5] == ("a", 0, 9.0)
     assert got[7] == ("a", 3600, 2.0)
+
+
+def test_streaming_near_dedup_state_carries_across_batches(spark, tmp_path):
+    """LSH bucket claims persist across micro-batches: an exact dup of
+    a batch-1 document must lose ALL its buckets in batch 2 (even
+    though its doc_id is lower than the batch-1 claimant's), while a
+    genuinely novel batch-2 document survives.  Also pins the
+    Bloom-style posture: buckets are claimed by dropped near-dups
+    too."""
+    from cherry_pipelines_spark.streaming.stateful import (
+        streaming_near_dedup_claims,
+    )
+
+    src = str(tmp_path / "nd_src")
+    os.makedirs(src)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel = "one two three four five six seven eight nine ten"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    # batch 1: doc 10 (base) and doc 11 (exact dup of base, same batch)
+    mk([(10, base), (11, base)]).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_near_dedup_claims(stream, k=8, bands=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nd_out")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: doc 5 is an exact dup from batch 1 with a LOWER id —
+        # arrival order (not id order) must win; doc 20 is novel
+        mk([(5, base), (20, novel)]).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        claims = spark.table("nd_out").collect()
+    finally:
+        q.stop()
+    fresh_by_doc = {}
+    for r in claims:
+        fresh_by_doc.setdefault(r["doc_id"], []).append(r["fresh"])
+    survivors = {d for d, fl in fresh_by_doc.items() if all(fl)}
+    assert len(fresh_by_doc[10]) == 4  # one claim row per band
+    assert survivors == {10, 20}
+    # 11 lost within batch 1 (id order); 5 lost to batch-1 state
+    assert not any(fresh_by_doc[11]) and not any(fresh_by_doc[5])
