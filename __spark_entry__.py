@@ -958,16 +958,26 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _session_confs(spark)
     src_file = os.path.join(sf_dir, "documents.parquet")
-    shim = os.path.join(
-        _tf.gettempdir(),
-        "cherry_docstream_" + _hl.sha256(src_file.encode()).hexdigest()[:12],
-    )
-    os.makedirs(shim, exist_ok=True)
-    link = os.path.join(shim, "documents.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
+    if os.path.isdir(src_file):
+        # multi-file fixture (e.g. the scaling ladder's synthesized
+        # dirs): the file source consumes the directory itself — a
+        # symlink shim would nest it one level too deep and the source
+        # (non-recursive) would list zero files
+        stream_dir = src_file
+    else:
+        shim = os.path.join(
+            _tf.gettempdir(),
+            "cherry_docstream_" + _hl.sha256(src_file.encode()).hexdigest()[:12],
+        )
+        os.makedirs(shim, exist_ok=True)
+        link = os.path.join(shim, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(src_file, link)
+        stream_dir = shim
     schema = spark.read.parquet(src_file).schema
-    stream = spark.readStream.schema(schema).parquet(shim).select("doc_id", "text")
+    stream = (
+        spark.readStream.schema(schema).parquet(stream_dir).select("doc_id", "text")
+    )
     claims = streaming_near_dedup_claims(stream, k=8, bands=4)
     q = (
         claims.writeStream.outputMode("append")
@@ -7193,6 +7203,47 @@ def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_IVF_PQ_TOPK = _pq_oracle(cells=(2, 0.5, 1))
 
 
+def q_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the IVF-PQ index against exact squared-L2 ground
+    truth — the acceptance gate for the coarse-cell + ADC composition.
+    Separates the two loss sources the quality dial controls: cell
+    pruning (radius-1 probe misses neighbors >1 lattice step away) on
+    top of pq_recall's quantization loss."""
+    from cherry_pipelines_spark.operators.similarity import (
+        ann_recall,
+        ivf_pq_topk,
+        l2_topk,
+    )
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") % 100 == 0)
+    exact = l2_topk(em, q, k=3)
+    approx = ivf_pq_topk(
+        em, k=3, m=8, dim=64, ksub=16, n_components=2, grid=0.5,
+        probe_radius=1, exclude_self=True,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    return ann_recall(exact, approx, k=3)
+
+
+ORACLE_IVF_PQ_RECALL = f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+exq AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id % 100 = 0),
+exd AS (SELECT q.query_id, e.vec_id AS neighbor_id, {_SQ_FOLD_SQL} AS d
+        FROM pts e, exq q WHERE e.vec_id <> q.query_id),
+ex AS (SELECT query_id, neighbor_id FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, neighbor_id) AS rn FROM exd)
+       WHERE rn <= 3),
+ap AS (SELECT query_id, vec_id AS neighbor_id
+       FROM ({_pq_oracle(exclude_self=True, cells=(2, 0.5, 1))})),
+h AS (SELECT e.query_id, count(a.neighbor_id)::BIGINT AS hits
+      FROM ex e LEFT JOIN ap a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id)
+SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
+"""
+
+
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership screen — the membership member of the
     sketch family (`operators/sketches.py:bloom_build/bloom_probe`).
@@ -7292,6 +7343,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_filter": q_bloom_filter,
     "tfidf_doc_pairs": q_tfidf_doc_pairs,
     "stream_near_dedup": q_stream_near_dedup,
+    "ivf_pq_recall": q_ivf_pq_recall,
     "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
@@ -7474,6 +7526,7 @@ _ORACLES: dict[str, str] = {
     "bloom_filter": ORACLE_BLOOM_FILTER,
     "tfidf_doc_pairs": ORACLE_TFIDF_DOC_PAIRS,
     "stream_near_dedup": ORACLE_STREAM_NEAR_DEDUP,
+    "ivf_pq_recall": ORACLE_IVF_PQ_RECALL,
     "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,

@@ -175,6 +175,7 @@ def tfidf_cosine_pairs(
     id_col: str = "doc_id",
     max_df_ratio: float = 0.5,
     scale: int = 6,
+    max_df_count: int | None = None,
 ) -> DataFrame:
     """All-pairs sparse TF-IDF cosine similarity over the inverted
     index — the text-side counterpart to the dense embedding near-dup:
@@ -192,6 +193,15 @@ def tfidf_cosine_pairs(
     included, so the result is deterministic and the SQL mirror applies
     the identical cut.
 
+    ``max_df_count`` additionally caps df as an ABSOLUTE count — the
+    100 TB knob.  The ratio cut is corpus-relative: on a growing corpus
+    whose head vocabulary fragments (sources with disjoint jargon), a
+    term can sit under any ratio while its posting list still pairs
+    C(df, 2) documents.  An absolute cap bounds per-term join work at
+    C(max_df_count, 2) regardless of corpus size, which is what keeps
+    the self-join linear in the number of terms (measured on the
+    scaling ladder as ``tfidf_doc_pairs_capped``).
+
     Exactness: weights are ``round(tf·idf, scale)`` DECIMAL(18,6); dot
     products and squared norms are decimal sums of decimal products —
     order-independent, engine-portable.  Floats appear only in the
@@ -203,13 +213,18 @@ def tfidf_cosine_pairs(
     norm joins.  Every join is an equi-join; nothing driver-side."""
     if not 0 < max_df_ratio <= 1:
         raise ValueError("max_df_ratio must be in (0, 1]")
+    if max_df_count is not None and max_df_count < 1:
+        raise ValueError("max_df_count must be >= 1")
     terms = _doc_terms(df, id_col, text_col)
     n_docs = df.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    df_cut = F.col("df") <= F.col("n_docs") * F.lit(max_df_ratio)
+    if max_df_count is not None:
+        df_cut = df_cut & (F.col("df") <= max_df_count)
     keep = (
         terms.groupBy("term")
         .agg(F.count("*").cast("long").alias("df"))
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") <= F.col("n_docs") * F.lit(max_df_ratio))
+        .filter(df_cut)
         .select(
             "term",
             (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1).alias("idf"),

@@ -189,6 +189,76 @@ def main() -> None:
             "engine": "pil" if _pil_available() else "pure-numpy",
         }
 
+        # streaming near-dedup throughput: an N-doc corpus with ~25%
+        # near-dup families arrives as 4 micro-batches
+        # (maxFilesPerTrigger=1); the full shingle→minhash→band→claim
+        # stateful path is timed across all batches.  Survivor count is
+        # reported so a semantics regression shows up next to the rate.
+        from cherry_pipelines_spark.streaming.stateful import (
+            streaming_near_dedup_claims,
+        )
+
+        n_docs = n_slots
+        words = [f"w{j}" for j in range(50)]
+        doc_text = F.concat_ws(
+            " ",
+            *[
+                F.element_at(
+                    F.array(*[F.lit(w) for w in words]),
+                    ((F.col("base") * (j + 7) + j * j) % 50 + 1).cast("int"),
+                )
+                for j in range(30)
+            ],
+        )
+        nd_src = os.path.join(work, "nd_docs")
+        for part in range(4):
+            lo, hi = part * n_docs // 4, (part + 1) * n_docs // 4
+            (
+                spark.range(lo, hi)
+                .select(
+                    F.col("id").alias("doc_id"),
+                    # ~4 docs share each base -> near-dup families
+                    (F.col("id") / 4).cast("long").alias("base"),
+                )
+                .select("doc_id", doc_text.alias("text"))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(nd_src)
+            )
+        nd_schema = spark.read.parquet(nd_src).schema
+        nd_stream = (
+            spark.readStream.schema(nd_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(nd_src)
+        )
+        claims = streaming_near_dedup_claims(nd_stream, k=8, bands=4)
+        t0 = time.monotonic()
+        q = (
+            claims.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("pipebench_nd")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        el = time.monotonic() - t0
+        t = spark.table("pipebench_nd")
+        survivors = (
+            t.groupBy("doc_id")
+            .agg(F.min(F.col("fresh").cast("int")).alias("af"))
+            .filter("af = 1")
+            .count()
+        )
+        results["stream_near_dedup"] = {
+            "sec": round(el, 2),
+            "docs": n_docs,
+            "micro_batches": 4,
+            "survivors": survivors,
+            "docs_per_sec": round(n_docs / el),
+        }
+
         payload = {
             "n_slots": n_slots,
             "gen_sec": round(gen_s, 1),

@@ -122,6 +122,11 @@ DEFAULT_QUERIES = [
     # composed-path rows: the chains a curation deployment actually runs
     "dedup_endgame",
     "docs_curation_v3",
+    "bloom_filter",
+    "ivf_pq_topk",
+    "ivf_pq_topk_fixedq",
+    "tfidf_doc_pairs_capped",
+    "stream_near_dedup",
 ]
 
 
@@ -243,12 +248,69 @@ def _pq_topk_fixedq(spark, sf_dir: str):
     )
 
 
+def _ivf_pq_topk_fixedq(spark, sf_dir: str):
+    """Corpus-scaling twin of the registry ``ivf_pq_topk``: queries
+    pinned to copy-0 rows.  The registry query's set grows with the
+    corpus AND the synthesis model's 1e-4 embedding nudge keeps every
+    copy in (nearly) the same coarse lattice cells — cell POPULATION
+    grows ~K while the cell count stays flat, so |Q|·cell-pop is
+    super-linear BY CONSTRUCTION under this harness.  Deployment
+    posture: fixed query workload, growing corpus → per-query cost
+    grows with the probed cells' population only, and a real corpus
+    grows its CELL COUNT too (new content occupies new cells), which
+    this synthesis model deliberately does not."""
+    from cherry_pipelines_spark.operators.similarity import ivf_pq_topk
+
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_pq_topk(
+        em,
+        k=3,
+        m=8,
+        ksub=16,
+        dim=64,
+        n_components=2,
+        grid=0.5,
+        probe_radius=1,
+        query_filter=(F.col("vec_id") % 100 == 0) & (F.col("vec_id") < KEY_OFFSET),
+    )
+
+
+def _tfidf_doc_pairs_capped(spark, sf_dir: str):
+    """Scaling form of the registry ``tfidf_doc_pairs``: the ABSOLUTE
+    df cap (max_df_count=2500) replaces the corpus-relative ratio cut
+    as the binding constraint.  At x1 (5000 docs) the two cuts
+    coincide (0.5 · 5000 = 2500).  The ratio cut alone is NOT
+    ladder-safe under the growth model: per-copy ``~k`` suffixes give
+    every copy its own head vocabulary, so at 4x a term with df 3500
+    sits under ratio 0.5 of 20000 docs and its posting list self-joins
+    C(3500, 2) pairs per term — the absolute cap bounds per-term join
+    work at C(cap, 2) regardless of corpus size, the 100 TB posture."""
+    from cherry_pipelines_spark.operators.relevance import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return tfidf_cosine_pairs(
+        docs, threshold=0.5, max_df_ratio=1.0, max_df_count=2500
+    )
+
+
+def _stream_near_dedup(spark, sf_dir: str):
+    """Registry ``stream_near_dedup`` pointed at the scaled documents
+    dir (the registry function handles directory fixtures through its
+    symlink shim)."""
+    import __spark_entry__ as _entry
+
+    return _entry.q_stream_near_dedup(spark, sf_dir)
+
+
 EXTRA_WORKLOADS = {
     "pq_topk_fixedq": _pq_topk_fixedq,
     "quantized_topk_fixedq": _quantized_topk_fixedq,
     "semantic_dedup_scaledk": _semantic_dedup_scaledk,
     "srp_near_dups_scaledplanes": _srp_near_dups_scaledplanes,
     "dedup_endgame": _dedup_endgame,
+    "ivf_pq_topk_fixedq": _ivf_pq_topk_fixedq,
+    "tfidf_doc_pairs_capped": _tfidf_doc_pairs_capped,
+    "stream_near_dedup": _stream_near_dedup,
 }
 
 # super-linear BY CONSTRUCTION under this harness (documented on the
@@ -267,6 +329,10 @@ EXPECTED_SUPERLINEAR = {
     # with it), so the ADC join owes |Q|·|corpus| work by construction;
     # pq_topk_fixedq is the deployment twin
     "pq_topk",
+    # registry ivf_pq_topk: |Q| grows with the corpus and the synthesis
+    # nudge keeps copies in the same coarse cells (population grows,
+    # count doesn't) — ivf_pq_topk_fixedq is the deployment twin
+    "ivf_pq_topk",
 }
 
 

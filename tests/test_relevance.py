@@ -313,3 +313,31 @@ def test_cosine_pairs_ratio_validation(spark):
     df = spark.createDataFrame(PAIR_DOCS, "doc_id long, text string")
     with pytest.raises(ValueError):
         tfidf_cosine_pairs(df, max_df_ratio=0.0)
+
+
+def test_cosine_pairs_absolute_df_cap(spark):
+    """max_df_count composes with the ratio cut: non-binding cap leaves
+    results identical; a binding cap removes the capped term's pairs
+    exactly like the python mirror with the same vocabulary cut."""
+    from cherry_pipelines_spark.operators.relevance import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(PAIR_DOCS, "doc_id long, text string")
+    base = sorted(
+        tuple(r)
+        for r in tfidf_cosine_pairs(df, threshold=0.1, max_df_ratio=0.5).collect()
+    )
+    uncapped = sorted(
+        tuple(r)
+        for r in tfidf_cosine_pairs(
+            df, threshold=0.1, max_df_ratio=0.5, max_df_count=10**6
+        ).collect()
+    )
+    assert base == uncapped
+    # cap at df<=1: only corpus-unique terms remain -> no doc shares a
+    # kept term except none (every pairing term in the fixture has df>=2)
+    capped = tfidf_cosine_pairs(
+        df, threshold=0.01, max_df_ratio=1.0, max_df_count=1
+    ).collect()
+    assert capped == []
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs(df, max_df_count=0)
