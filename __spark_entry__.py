@@ -7244,6 +7244,61 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 """
 
 
+def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embeddings corpus
+    (`operators/clustering.py:kcenter_select`) — the diverse-subset
+    picker for eval-set construction: seed at min id, then 3 rounds of
+    farthest-point traversal.  Each round is ONE corpus scan + a 1-row
+    max_by; no pair join.  The oracle unrolls the 4 greedy steps in
+    CTEs with the identical 6-dp-rounded fold and id-asc tie-break."""
+    from cherry_pipelines_spark.operators.clustering import kcenter_select
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    return kcenter_select(em, k=4)
+
+
+_KC_SQ = (
+    "round(list_sum([({a}[j] - {b}[j]) * ({a}[j] - {b}[j])"
+    " for j in generate_series(1, len({a}))]), 6)"
+)
+
+
+def _kcenter_oracle(k: int = 4) -> str:
+    """DuckDB mirror of kcenter_select: unroll k greedy steps."""
+    parts = [
+        "WITH pts AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),",
+        "seed AS (SELECT id, v FROM pts ORDER BY id LIMIT 1),",
+        "d0 AS (SELECT p.id, p.v, "
+        + _KC_SQ.format(a="p.v", b="s.v")
+        + " AS d FROM pts p, seed s),",
+    ]
+    selects = [
+        "SELECT 0::BIGINT AS rank, (SELECT id FROM seed)::BIGINT AS vec_id,"
+        " 0.0::DOUBLE AS gap"
+    ]
+    for r in range(1, k):
+        prev = f"d{r - 1}"
+        parts.append(
+            f"p{r} AS (SELECT id, v, d FROM {prev}"
+            f" ORDER BY d DESC, id ASC LIMIT 1),"
+        )
+        parts.append(
+            f"d{r} AS (SELECT b.id, b.v, least(b.d, "
+            + _KC_SQ.format(a="b.v", b=f"p{r}.v")
+            + f") AS d FROM {prev} b, p{r}),"
+        )
+        selects.append(
+            f"SELECT {r}::BIGINT, (SELECT id FROM p{r})::BIGINT,"
+            f" (SELECT CAST(d AS DOUBLE) FROM p{r})"
+        )
+    head = "\n".join(parts).rstrip(",")
+    # the last d{k-1} CTE is unused; DuckDB tolerates unused CTEs
+    return head + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLE_KCENTER = _kcenter_oracle(4)
+
+
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership screen — the membership member of the
     sketch family (`operators/sketches.py:bloom_build/bloom_probe`).
@@ -7344,6 +7399,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_doc_pairs": q_tfidf_doc_pairs,
     "stream_near_dedup": q_stream_near_dedup,
     "ivf_pq_recall": q_ivf_pq_recall,
+    "kcenter_coreset": q_kcenter_coreset,
     "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
@@ -7527,6 +7583,7 @@ _ORACLES: dict[str, str] = {
     "tfidf_doc_pairs": ORACLE_TFIDF_DOC_PAIRS,
     "stream_near_dedup": ORACLE_STREAM_NEAR_DEDUP,
     "ivf_pq_recall": ORACLE_IVF_PQ_RECALL,
+    "kcenter_coreset": ORACLE_KCENTER,
     "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,

@@ -379,3 +379,71 @@ def semantic_dedup(
             F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal) —
+    the diverse-subset picker for eval-set construction and coverage
+    sampling: pick the lowest-id point, then repeatedly the point
+    farthest from everything picked so far.  The classic
+    2-approximation of the k-center objective.  Returns
+    ``(rank, id, gap)``: ``rank`` is selection order (0-based), ``gap``
+    is the pick's squared-L2 distance to the previously-selected set —
+    the coverage radius it reduces (0.0 for the seed; gaps are
+    non-increasing, the stopping signal a caller watches).
+
+    Deterministic and engine-replayable: distances are the shared
+    6-dp-rounded ``_sqdist`` fold, argmax ties break on id ascending,
+    the seed is the min id.  NULL/ragged vectors have NULL distances
+    and are never selected (NULL never wins ``max_by``).
+
+    Scale shape: k − 1 rounds, each ONE corpus scan — the running
+    min-distance column updates map-side against the new center (a
+    driver-held literal, the same bounded 1-row-per-round collect
+    posture as BPE's per-merge argmax), and the argmax is a 1-row
+    ``max_by`` aggregate.  No pair join ever materializes (the naive
+    form shuffles O(n·k) pairs; this is O(n) map work per round).  The
+    running frame is localCheckpoint-ed per round so round j never
+    replays rounds 0..j−1."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = df.sparkSession
+    pts = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seed = pts.orderBy("_id").limit(1).collect()[0]
+    sel = [(0, seed["_id"], 0.0)]
+    run = pts.select(
+        "_id",
+        "_v",
+        _sqdist(F.col("_v"), F.array(*[F.lit(float(x)) for x in seed["_v"]])).alias(
+            "_d"
+        ),
+    ).localCheckpoint(eager=False)
+    for rank in range(1, k):
+        far = (
+            run.agg(
+                F.max_by(
+                    F.struct("_id", "_v", "_d"),
+                    F.struct(F.col("_d"), -F.col("_id")),
+                ).alias("_m")
+            )
+            .select(
+                F.col("_m._id").alias("i"),
+                F.col("_m._v").alias("v"),
+                F.col("_m._d").alias("d"),
+            )
+            .collect()[0]
+        )
+        sel.append((rank, far["i"], float(far["d"])))
+        nv = F.array(*[F.lit(float(x)) for x in far["v"]])
+        run = run.select(
+            "_id", "_v", F.least(F.col("_d"), _sqdist(F.col("_v"), nv)).alias("_d")
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(sel, f"rank long, {id_col} long, gap double")

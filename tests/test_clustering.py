@@ -425,3 +425,65 @@ def test_assignment_auto_selects_by_k(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan_big
+
+
+# --- kcenter_select ----------------------------------------------------------
+
+
+def _py_kcenter(rows, k):
+    """Plain-python farthest-point traversal with the exact spec:
+    6-dp-rounded distances, id-asc argmax ties, min-id seed."""
+    pts = dict(rows)
+    ids = sorted(pts)
+    sel = [(0, ids[0], 0.0)]
+    dist = {
+        i: round(sum((a - b) * (a - b) for a, b in zip(pts[i], pts[ids[0]])), 6)
+        for i in ids
+    }
+    for r in range(1, k):
+        far = max(ids, key=lambda i: (dist[i], -i))
+        sel.append((r, far, dist[far]))
+        for i in ids:
+            d = round(sum((a - b) * (a - b) for a, b in zip(pts[i], pts[far])), 6)
+            dist[i] = min(dist[i], d)
+    return sel
+
+
+def test_kcenter_matches_python_reference(spark):
+    import math
+
+    from cherry_pipelines_spark.operators.clustering import kcenter_select
+
+    rows = [
+        (i, [math.sin(i * 0.7 + j) * (1 + (i % 5)) for j in range(6)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["rank"], r["vec_id"], r["gap"])
+        for r in kcenter_select(df, k=5).orderBy("rank").collect()
+    ]
+    exp = _py_kcenter(rows, 5)
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in exp]
+    for (_, _, g), (_, _, e) in zip(got, exp):
+        assert g == pytest.approx(e, abs=1e-9)
+    # gaps are non-increasing after the seed (the coverage-radius signal)
+    gaps = [g for _, _, g in got[1:]]
+    assert gaps == sorted(gaps, reverse=True)
+
+
+def test_kcenter_null_vectors_never_selected(spark):
+    from cherry_pipelines_spark.operators.clustering import kcenter_select
+
+    rows = [(1, [0.0, 0.0]), (2, [9.0, 9.0]), (3, None), (4, [5.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [r["vec_id"] for r in kcenter_select(df, k=3).orderBy("rank").collect()]
+    assert got == [1, 2, 4]  # NULL vec (id 3) never wins the argmax
+
+
+def test_kcenter_validation(spark):
+    from cherry_pipelines_spark.operators.clustering import kcenter_select
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError):
+        kcenter_select(df, k=0)
