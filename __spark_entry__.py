@@ -7244,6 +7244,49 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 """
 
 
+def q_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated word-trigram LM fluency score
+    (`operators/text.py:trigram_lm_scores`) — the KenLM-shaped filter
+    one step up from `bigram_lm_score`.  Every count derives from the
+    trigram event stream (the pinned self-consistent contract), model
+    log-probs round at 6 dp model-side, one explode feeds both model
+    and score."""
+    from cherry_pipelines_spark.operators.text import trigram_lm_scores
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return trigram_lm_scores(d)
+
+
+ORACLE_TRIGRAM_LM = """
+WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents),
+ev0 AS (SELECT doc_id,
+               unnest([{'w1': t[i], 'w2': t[i+1], 'w3': t[i+2]}
+                       for i in generate_series(1, len(t) - 2)]) AS g
+        FROM w WHERE len(t) >= 3),
+ev AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3, count(*)::BIGINT AS k
+       FROM ev0 GROUP BY 1, 2, 3, 4),
+c3 AS (SELECT w1, w2, w3, sum(k)::BIGINT AS c3 FROM ev GROUP BY 1, 2, 3),
+ctx2 AS (SELECT w1, w2, sum(c3)::BIGINT AS ctx2 FROM c3 GROUP BY 1, 2),
+c2 AS (SELECT w2, w3, sum(c3)::BIGINT AS c2 FROM c3 GROUP BY 1, 2),
+ctx1 AS (SELECT w2, sum(c3)::BIGINT AS ctx1 FROM c3 GROUP BY 1),
+c1 AS (SELECT w3, sum(c3)::BIGINT AS c1 FROM c3 GROUP BY 1),
+tot AS (SELECT sum(c3)::DOUBLE AS t FROM c3),
+model AS (
+  SELECT c3.w1, c3.w2, c3.w3,
+         round(ln(0.6 * c3.c3 / ctx2.ctx2
+                  + 0.3 * c2.c2 / ctx1.ctx1
+                  + 0.1 * c1.c1 / tot.t), 6)::DECIMAL(18,6) AS lp
+  FROM c3
+  JOIN ctx2 USING (w1, w2)
+  JOIN c2 USING (w2, w3)
+  JOIN ctx1 USING (w2)
+  JOIN c1 USING (w3), tot)
+SELECT doc_id, sum(k)::BIGINT AS n_trigrams,
+       round(CAST(sum(k * lp) AS DOUBLE) / sum(k), 6) AS lm_score
+FROM ev JOIN model USING (w1, w2, w3) GROUP BY doc_id
+"""
+
+
 def q_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset selection over the embeddings corpus
     (`operators/clustering.py:kcenter_select`) — the diverse-subset
@@ -7400,6 +7443,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_near_dedup": q_stream_near_dedup,
     "ivf_pq_recall": q_ivf_pq_recall,
     "kcenter_coreset": q_kcenter_coreset,
+    "trigram_lm_score": q_trigram_lm_score,
     "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
@@ -7584,6 +7628,7 @@ _ORACLES: dict[str, str] = {
     "stream_near_dedup": ORACLE_STREAM_NEAR_DEDUP,
     "ivf_pq_recall": ORACLE_IVF_PQ_RECALL,
     "kcenter_coreset": ORACLE_KCENTER,
+    "trigram_lm_score": ORACLE_TRIGRAM_LM,
     "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,

@@ -824,3 +824,99 @@ def chunks_reassemble(
             ).alias("text"),
         )
     )
+
+
+def trigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    l3: float = 0.6,
+    l2: float = 0.3,
+    l1: float = 0.1,
+) -> DataFrame:
+    """Interpolated word-trigram language-model score — the
+    KenLM-shaped fluency filter one step up from ``bigram_lm_scores``:
+    train MLE trigram/bigram/unigram models on the corpus itself and
+    score every document by the average log of the interpolated
+    probability  λ3·P(w3|w1w2) + λ2·P(w3|w2) + λ1·P(w3).
+
+    Contract (pinned so an independent engine replays it): every count
+    derives from the TRIGRAM EVENT STREAM (token positions 3..n) —
+    c3(w1w2w3); ctx2(w1w2)=Σ_w3 c3; c2(w2w3)=Σ_w1 c3; ctx1(w2)=Σ_w1w3
+    c3; c1(w3)=Σ_w1w2 c3; T=Σ c3 — so the three MLE models are
+    self-consistent and no boundary convention leaks in.  Per-trigram
+    log-probs are rounded at 6 dp in the MODEL (before the per-doc
+    weighted average), ties and ordering never matter.  Documents with
+    fewer than 3 tokens have no events and no row.
+
+    Output: ``(id, n_trigrams, lm_score)``.
+
+    Scale shape: ONE explode collapses immediately to per-(doc,
+    trigram) counts (map-side combine bounds rows at |doc| × distinct
+    trigrams); the persisted compressed frame feeds BOTH the model
+    (re-aggregations of it — the bigram_lm lesson: never explode
+    twice) and the score join.  Model enrichment joins are
+    model-side-only (distinct trigrams), the doc side joins once on
+    the trigram key.  No UDFs anywhere."""
+    from pyspark.storagelevel import StorageLevel
+
+    if abs(l3 + l2 + l1 - 1.0) > 1e-9:
+        raise ValueError("interpolation weights must sum to 1")
+    w = F.split(F.col(text_col), r"\s+")
+    n = F.size(w)
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice(w, 1, n - 2),
+            F.slice(w, 2, n - 2),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        F.slice(w, 3, n - 2),
+        lambda ab, c: F.struct(
+            ab["w1"].alias("w1"), ab["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+    events = (
+        df.filter(F.size(F.split(F.col(text_col), r"\s+")) >= 3)
+        .select(F.col(id_col), F.explode(tri).alias("t"))
+        .select(id_col, F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"),
+                F.col("t.w3").alias("w3"))
+        .groupBy(id_col, "w1", "w2", "w3")
+        .agg(F.count("*").cast("long").alias("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c3 = events.groupBy("w1", "w2", "w3").agg(F.sum("k").cast("long").alias("c3"))
+    ctx2 = c3.groupBy("w1", "w2").agg(F.sum("c3").cast("long").alias("ctx2"))
+    c2 = c3.groupBy("w2", "w3").agg(F.sum("c3").cast("long").alias("c2"))
+    ctx1 = c3.groupBy("w2").agg(F.sum("c3").cast("long").alias("ctx1"))
+    c1 = c3.groupBy("w3").agg(F.sum("c3").cast("long").alias("c1"))
+    total = c3.agg(F.sum("c3").cast("double").alias("t"))
+    p = (
+        F.lit(l3) * F.col("c3").cast("double") / F.col("ctx2")
+        + F.lit(l2) * F.col("c2").cast("double") / F.col("ctx1")
+        + F.lit(l1) * F.col("c1").cast("double") / F.col("t")
+    )
+    model = (
+        c3.join(ctx2, ["w1", "w2"])
+        .join(c2, ["w2", "w3"])
+        .join(ctx1, ["w2"])
+        .join(c1, ["w3"])
+        .crossJoin(F.broadcast(total))
+        # DECIMAL(18,6): the 6-dp-rounded log-prob is exactly
+        # representable, so the per-doc weighted sum below is decimal
+        # addition — order-independent.  (The double form mismatched
+        # the oracle on 21/5000 docs at sf0.1 purely on sum order.)
+        .select(
+            "w1", "w2", "w3",
+            F.round(F.log(p), 6).cast("decimal(18,6)").alias("lp"),
+        )
+    )
+    return (
+        events.join(model, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("k").cast("long").alias("n_trigrams"),
+            F.round(
+                F.sum(F.col("k") * F.col("lp")).cast("double") / F.sum("k"), 6
+            ).alias("lm_score"),
+        )
+    )

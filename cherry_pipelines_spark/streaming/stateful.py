@@ -386,4 +386,17 @@ def streaming_near_dedup_claims(
     for the survivor set.  See :func:`streaming_band_claims`."""
     from cherry_pipelines_spark.operators.dedup import _banded
 
+    if df.isStreaming:
+        # fan_out deliberately skips streams, but the CPU-bound
+        # shingle+minhash mapInPandas still runs on the SOURCE's input
+        # partitions — one core for a single-file micro-batch.  Spread
+        # before the map stage; the stateful (band, key) shuffle after
+        # it is unchanged.
+        try:
+            target = df.sparkSession.sparkContext.defaultParallelism
+        except Exception:  # pragma: no cover - Spark Connect
+            target = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            )
+        df = df.repartition(target)
     return streaming_band_claims(_banded(df, text_col, k, bands, ngram))

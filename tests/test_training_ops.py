@@ -626,3 +626,62 @@ def test_round_half_up_np_matches_spark_round(spark):
     got = round_half_up_np(np.array(vals, dtype=np.float64), 6)
     for v, e, g in zip(vals, expect, got):
         assert g == e, (v, e, g)
+
+
+def test_trigram_lm_matches_python_reference(spark):
+    """Differential vs a Counter-based mirror of the pinned contract:
+    all counts from the trigram event stream, model log-probs rounded
+    6 dp, exact-decimal weighted per-doc average."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pytest
+
+    from cherry_pipelines_spark.operators.text import trigram_lm_scores
+
+    docs = [
+        (1, "a b c a b c a b"),
+        (2, "a b c d e f"),
+        (3, "x x x x"),
+        (4, "a b"),          # < 3 tokens -> no row
+        (5, "q r s q r s"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trigrams"], float(r["lm_score"]))
+        for r in trigram_lm_scores(df).collect()
+    }
+    ev = {}
+    for i, t in docs:
+        ws = t.split()
+        ev[i] = Counter(zip(ws, ws[1:], ws[2:]))
+    c3 = Counter()
+    for c in ev.values():
+        c3.update(c)
+    ctx2, c2, ctx1, c1, tot = Counter(), Counter(), Counter(), Counter(), 0
+    for (w1, w2, w3), n in c3.items():
+        ctx2[(w1, w2)] += n
+        c2[(w2, w3)] += n
+        ctx1[w2] += n
+        c1[w3] += n
+        tot += n
+    def r6(x):
+        return Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    exp = {}
+    for i, c in ev.items():
+        if not c:
+            continue
+        num = Decimal(0)
+        den = 0
+        for (w1, w2, w3), k in c.items():
+            p = (0.6 * c3[(w1, w2, w3)] / ctx2[(w1, w2)]
+                 + 0.3 * c2[(w2, w3)] / ctx1[w2]
+                 + 0.1 * c1[w3] / tot)
+            num += k * r6(math.log(p))
+            den += k
+        exp[i] = (den, float(r6(float(num) / den)))
+    assert set(got) == {1, 2, 3, 5}
+    for i, (n, s) in exp.items():
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(s, abs=1e-6), i
