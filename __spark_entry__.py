@@ -7244,6 +7244,51 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 """
 
 
+def q_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group pruning audit (`operators/zorder.py:rowgroup_stats/
+    pruning_report`) — the measurement half of the layout family:
+    write lineitem range-clustered on l_orderkey into 8 files under a
+    fixed scratch path, read the parquet footer fences back
+    (metadata-only, distributed one file per task), and report how
+    many row groups / rows a BETWEEN 1000 AND 2000 predicate skips.
+    The oracle reads THE SAME files through DuckDB's
+    parquet_metadata() — byte-level footer agreement, not a logic
+    replay.  NULL fences count unskippable (conservative read)."""
+    import shutil as _sh
+
+    from cherry_pipelines_spark.operators.zorder import (
+        pruning_report,
+        rowgroup_stats,
+    )
+
+    (l,) = _load(spark, sf_dir, "lineitem")
+    out = "/tmp/cherry_scan_audit"
+    _sh.rmtree(out, ignore_errors=True)
+    (
+        l.select("l_orderkey", "l_partkey", "l_quantity")
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    stats = rowgroup_stats(spark, out, "l_orderkey")
+    return pruning_report(stats, 1000, 2000)
+
+
+ORACLE_SCAN_PRUNING = """
+SELECT count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN CAST(stats_max_value AS BIGINT) < 1000
+                  OR CAST(stats_min_value AS BIGINT) > 2000
+                THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+       sum(row_group_num_rows)::BIGINT AS rows_total,
+       sum(CASE WHEN CAST(stats_max_value AS BIGINT) < 1000
+                  OR CAST(stats_min_value AS BIGINT) > 2000
+                THEN row_group_num_rows ELSE 0 END)::BIGINT AS rows_skipped
+FROM parquet_metadata('/tmp/cherry_scan_audit/*.parquet')
+WHERE path_in_schema = 'l_orderkey'
+"""
+
+
 def q_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated word-trigram LM fluency score
     (`operators/text.py:trigram_lm_scores`) — the KenLM-shaped filter
@@ -7444,6 +7489,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_recall": q_ivf_pq_recall,
     "kcenter_coreset": q_kcenter_coreset,
     "trigram_lm_score": q_trigram_lm_score,
+    "scan_pruning": q_scan_pruning,
     "dedup_endgame": q_dedup_endgame,
     "tfidf_keywords": q_tfidf_keywords,
     "bm25_slice": q_bm25_slice,
@@ -7629,6 +7675,7 @@ _ORACLES: dict[str, str] = {
     "ivf_pq_recall": ORACLE_IVF_PQ_RECALL,
     "kcenter_coreset": ORACLE_KCENTER,
     "trigram_lm_score": ORACLE_TRIGRAM_LM,
+    "scan_pruning": ORACLE_SCAN_PRUNING,
     "dedup_endgame": ORACLE_DEDUP_ENDGAME,
     "tfidf_keywords": ORACLE_TFIDF,
     "bm25_slice": ORACLE_BM25,

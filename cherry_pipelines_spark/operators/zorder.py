@@ -94,3 +94,87 @@ def zorder_write_layout(
         else keyed.repartitionByRange("_zkey")
     )
     return parts.sortWithinPartitions("_zkey").drop("_zkey")
+
+
+def rowgroup_stats(spark, path: str, column: str) -> "DataFrame":
+    """Parquet footer statistics per row group for one column:
+    ``(file, row_group, n_rows, stat_min, stat_max)`` with min/max as
+    LONG (the audit targets integer layout keys; widen caller-side for
+    other types).
+
+    This is the MEASUREMENT half of the layout story: ``zorder_key`` /
+    ``zorder_write_layout`` / ``compact_partitions`` shape files so
+    row-group min/max fences prune I/O — this reads the fences back so
+    a pipeline can AUDIT whether its layout actually prunes before
+    shipping a 100 TB backfill.  Footer reads are metadata-only (no
+    data pages touched) and distribute one file per task via
+    ``mapInPandas`` over the file list — the driver never opens a
+    footer."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    files = sorted(
+        _os.path.join(path, f)
+        for f in _os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        raise ValueError(f"no parquet files under {path}")
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), 32)
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("row_group", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("stat_min", T.LongType()),
+            T.StructField("stat_max", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                ci = md.schema.names.index(column)
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    st = g.column(ci).statistics
+                    rows.append(
+                        (
+                            f,
+                            rg,
+                            g.num_rows,
+                            None if st is None else int(st.min),
+                            None if st is None else int(st.max),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["file", "row_group", "n_rows", "stat_min", "stat_max"]
+            )
+
+    return fdf.mapInPandas(gen, out_schema)
+
+
+def pruning_report(stats: "DataFrame", lo: int, hi: int) -> "DataFrame":
+    """One-row audit of how much a ``BETWEEN lo AND hi`` predicate can
+    skip using the footer fences from :func:`rowgroup_stats`: a row
+    group is skippable iff ``stat_max < lo OR stat_min > hi`` (NULL
+    stats are never skippable — the conservative read posture).
+    Returns ``(n_groups, n_skipped, rows_total, rows_skipped)`` —
+    ``rows_skipped / rows_total`` is the I/O the layout saves."""
+    skippable = F.when(
+        (F.col("stat_max") < lo) | (F.col("stat_min") > hi), 1
+    ).otherwise(0)
+    return stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(skippable).cast("long").alias("n_skipped"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.col("n_rows") * skippable).cast("long").alias("rows_skipped"),
+    )
