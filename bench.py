@@ -29,6 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entry_mod
 from cherry_pipelines_spark.session import get_spark
 
+BUILD_TIME_QUERIES = getattr(entry_mod, "BUILD_TIME_QUERIES", set())
+
 # single-JVM timing is noisy (JIT/codegen warmup, GC, AQE): time each
 # query up to three times and keep the best run — steady-state
 # throughput is the number that predicts cluster behavior, not
@@ -93,25 +95,51 @@ def main() -> None:
     errors = 0
     for name in bench_queries:
         try:
-            df = qs[name](spark, sf_dir)
+            # Two timing modes (round-10 fix): declarative queries are
+            # timed on the noop write of a pre-built frame (steady-state
+            # execution, plan/codegen amortized — the number that
+            # predicts cluster behavior); queries in the registry's
+            # BUILD_TIME_QUERIES set do their work while the function
+            # runs (streaming micro-batches in processAllAvailable,
+            # upsert/rollup/layout writes) and are timed on the full
+            # call path — the old returned-frame-only timer recorded
+            # the 0.3 s tail of a ~3 s streaming pass.  The set is
+            # EXPLICIT: a time-ratio heuristic misclassified queries
+            # whose plan-BUILD is genuinely 5x their execution
+            # (srp_near_dups' wide literal tree).
+            df = None
 
-            def _run_once() -> float:
+            def _run_full() -> float:
+                nonlocal df
+                t0 = time.monotonic()
+                df = qs[name](spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                return time.monotonic() - t0
+
+            def _run_exec() -> float:
                 t0 = time.monotonic()
                 df.write.mode("overwrite").format("noop").save()
                 return time.monotonic() - t0
 
-            first = _run_once()
+            build_time_worker = name in BUILD_TIME_QUERIES
+            if build_time_worker:
+                first = _run_full()
+                run_once = _run_full
+            else:
+                df = qs[name](spark, sf_dir)  # build outside the timer
+                first = _run_exec()
+                run_once = _run_exec
             best = first
             if first >= FAST_CUTOFF:
                 runs = 3 if first > THIRD_RUN_TRIGGER else 2
                 for _ in range(runs - 1):
-                    best = min(best, _run_once())
-            p = prev.get(name)
-            if p is not None and best >= FAST_CUTOFF:
-                for _ in range(2):
-                    if best <= p * RETIME_RATIO:
-                        break
-                    best = min(best, _run_once())
+                    best = min(best, run_once())
+                p = prev.get(name)
+                if p is not None and best >= FAST_CUTOFF:
+                    for _ in range(2):
+                        if best <= p * RETIME_RATIO:
+                            break
+                        best = min(best, run_once())
             timings[name] = round(best, 3)
         except Exception as ex:
             timings[name] = {"err": f"{type(ex).__name__}: {ex}"[:300]}
