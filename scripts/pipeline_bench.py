@@ -200,12 +200,26 @@ def main() -> None:
 
         n_docs = n_slots
         words = [f"w{j}" for j in range(50)]
+        # Mixed corpus: ODD families draw every word from a shared
+        # 50-word vocabulary, so they collapse into ~50 near-dup
+        # super-groups (the merge path — a purely mod-V text measured
+        # 28 survivors of 100k docs); EVEN families salt each word with
+        # their base, giving them fully private shingle sets (the
+        # distinct path — bucket STATE scales with families instead of
+        # sitting at ~200 cells).  Both halves of the operator's cost
+        # model are exercised: heavy collision merging AND wide state.
+        salt = F.when(
+            F.col("base") % 2 == 0, F.concat(F.lit("x"), F.col("base").cast("string"))
+        ).otherwise(F.lit(""))
         doc_text = F.concat_ws(
             " ",
             *[
-                F.element_at(
-                    F.array(*[F.lit(w) for w in words]),
-                    ((F.col("base") * (j + 7) + j * j) % 50 + 1).cast("int"),
+                F.concat(
+                    F.element_at(
+                        F.array(*[F.lit(w) for w in words]),
+                        ((F.col("base") * (j + 7) + j * j) % 50 + 1).cast("int"),
+                    ),
+                    salt,
                 )
                 for j in range(30)
             ],
