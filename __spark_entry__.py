@@ -7387,6 +7387,91 @@ def _kcenter_oracle(k: int = 4) -> str:
 ORACLE_KCENTER = _kcenter_oracle(4)
 
 
+def q_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-index leg of the IVF-PQ story: train + encode once,
+    persist ``(sub, code, id)`` cell-PARTITIONED under a scratch path
+    (the layout `ivf_pq_topk`'s docstring promises a deployment
+    writes), then answer the query set from the stored index — the
+    scan's partition columns ARE the coarse cells, so a probe is
+    directory pruning, not a data-page filter.  Results must be
+    IDENTICAL to the inline `ivf_pq_topk` — the oracle is reused
+    verbatim, so the driver certifies the storage round-trip changes
+    nothing."""
+    import shutil as _sh
+
+    from cherry_pipelines_spark.operators.similarity import (
+        _cell_components,
+        _pq_partial,
+        _pq_subrows,
+        pq_encode,
+        pq_train,
+    )
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    m, dim, ksub, grid, radius, k = 8, 64, 16, 0.5, 1, 3
+    comp_names = ["c0", "c1"]
+    codebooks = pq_train(em, "embedding", "vec_id", m, dim, ksub, 2).localCheckpoint(
+        eager=False
+    )
+    cells = em.select(
+        "vec_id",
+        *[
+            c.alias(n)
+            for c, n in zip(_cell_components(F.col("embedding"), 2, grid), comp_names)
+        ],
+    )
+    index_path = "/tmp/cherry_ivfpq_index"
+    _sh.rmtree(index_path, ignore_errors=True)
+    (
+        pq_encode(em, codebooks, "embedding", "vec_id", m, dim)
+        .join(cells, "vec_id")
+        .write.partitionBy(*comp_names)
+        .parquet(index_path)
+    )
+    index = spark.read.parquet(index_path)
+    qf = F.col("vec_id") % 100 == 0
+    qsubs = _pq_subrows(em.filter(qf), "embedding", "vec_id", m, dim).select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("_v").alias("_q")
+    )
+    lut = qsubs.join(codebooks, "sub").select(
+        "query_id",
+        "sub",
+        F.col("cluster_id").alias("code"),
+        _pq_partial(F.col("_q"), F.col("centroid")).alias("partial"),
+    )
+    qcells = em.filter(qf).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            c.alias(n)
+            for c, n in zip(_cell_components(F.col("embedding"), 2, grid), comp_names)
+        ],
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-radius, radius + 1)
+            for dy in range(-radius, radius + 1)
+        ]
+    )
+    qcells = qcells.withColumn("_off", F.explode(offsets)).select(
+        "query_id",
+        (F.col("c0") + F.col("_off.dx")).alias("c0"),
+        (F.col("c1") + F.col("_off.dy")).alias("c1"),
+    )
+    lutc = lut.join(qcells, "query_id")
+    dists = (
+        index.join(F.broadcast(lutc), ["sub", "code", *comp_names])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("partial").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col("vec_id").asc())
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc_dist", "rank")
+    )
+
+
 def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership screen — the membership member of the
     sketch family (`operators/sketches.py:bloom_build/bloom_probe`).
@@ -7483,6 +7568,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pq_topk": q_pq_topk,
     "pq_recall": q_pq_recall,
     "ivf_pq_topk": q_ivf_pq_topk,
+    "ivf_pq_stored": q_ivf_pq_stored,
     "bloom_filter": q_bloom_filter,
     "tfidf_doc_pairs": q_tfidf_doc_pairs,
     "stream_near_dedup": q_stream_near_dedup,
@@ -7669,6 +7755,9 @@ _ORACLES: dict[str, str] = {
     "pq_topk": ORACLE_PQ_TOPK,
     "pq_recall": ORACLE_PQ_RECALL,
     "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
+    # the stored-index leg must produce IDENTICAL results to the inline
+    # form — same oracle, so the round-trip is certified value-exact
+    "ivf_pq_stored": ORACLE_IVF_PQ_TOPK,
     "bloom_filter": ORACLE_BLOOM_FILTER,
     "tfidf_doc_pairs": ORACLE_TFIDF_DOC_PAIRS,
     "stream_near_dedup": ORACLE_STREAM_NEAR_DEDUP,
@@ -7867,6 +7956,7 @@ BUILD_TIME_QUERIES = {
     "scan_pruning",
     "upsert_merge",
     "incremental_rollup",
+    "ivf_pq_stored",
 }
 
 

@@ -906,3 +906,16 @@ def test_cpi_pairing_keyed_join_no_cartesian(spark, sf_dir, queries):
     # materialized frame feeds both branches), so the query plan itself
     # contains no Window node at all
     assert s.get("Window", 0) == 0
+
+
+def test_ivf_pq_stored_prunes_partitions_dynamically(spark, sf_dir, queries):
+    """The stored IVF-PQ index is cell-partitioned; probing it joins on
+    the partition columns, and Spark's dynamic partition pruning must
+    fire — the scan carries a dynamicpruningexpression over the cell
+    dirs, so a probe reads only the probed cells' directories (the
+    100 TB posture: I/O proportional to probed cells, not the index)."""
+    plan = plan_of(queries["ivf_pq_stored"](spark, sf_dir))
+    assert "PartitionFilters" in plan
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
