@@ -127,6 +127,10 @@ DEFAULT_QUERIES = [
     "ivf_pq_topk_fixedq",
     "tfidf_doc_pairs_capped",
     "stream_near_dedup",
+    "ivf_pq_stored",
+    "kcenter_coreset",
+    "trigram_lm_score",
+    "scan_pruning",
 ]
 
 
