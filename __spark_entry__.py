@@ -971,7 +971,15 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         os.makedirs(shim, exist_ok=True)
         link = os.path.join(shim, "documents.parquet")
-        if not os.path.exists(link):
+        # lexists, not exists: exists() follows the link, so a stale
+        # shim pointing at a deleted fixture reads False and the
+        # symlink() below would raise FileExistsError forever; re-point
+        # the link whenever its target differs from src_file
+        if os.path.lexists(link):
+            if os.path.realpath(link) != os.path.realpath(src_file):
+                os.unlink(link)
+                os.symlink(src_file, link)
+        else:
             os.symlink(src_file, link)
         stream_dir = shim
     schema = spark.read.parquet(src_file).schema
@@ -7358,7 +7366,7 @@ def _kcenter_oracle(k: int = 4) -> str:
         "seed AS (SELECT id, v FROM pts ORDER BY id LIMIT 1),",
         "d0 AS (SELECT p.id, p.v, "
         + _KC_SQ.format(a="p.v", b="s.v")
-        + " AS d FROM pts p, seed s),",
+        + " AS d FROM pts p, seed s WHERE p.id <> s.id),",
     ]
     selects = [
         "SELECT 0::BIGINT AS rank, (SELECT id FROM seed)::BIGINT AS vec_id,"
@@ -7373,7 +7381,7 @@ def _kcenter_oracle(k: int = 4) -> str:
         parts.append(
             f"d{r} AS (SELECT b.id, b.v, least(b.d, "
             + _KC_SQ.format(a="b.v", b=f"p{r}.v")
-            + f") AS d FROM {prev} b, p{r}),"
+            + f") AS d FROM {prev} b, p{r} WHERE b.id <> p{r}.id),"
         )
         selects.append(
             f"SELECT {r}::BIGINT, (SELECT id FROM p{r})::BIGINT,"
@@ -7957,6 +7965,13 @@ BUILD_TIME_QUERIES = {
     "upsert_merge",
     "incremental_rollup",
     "ivf_pq_stored",
+    # the LM scorers materialize eagerly inside the operator (the
+    # round-10 cache-lifetime fix: compute, checkpoint the doc-level
+    # result, release the corpus-scale cache) — so their work happens
+    # at call time and must be timed on the full call path
+    "bigram_lm_score",
+    "trigram_lm_score",
+    "docs_curation_v3",
 }
 
 

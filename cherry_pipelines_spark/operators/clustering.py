@@ -399,8 +399,12 @@ def kcenter_select(
 
     Deterministic and engine-replayable: distances are the shared
     6-dp-rounded ``_sqdist`` fold, argmax ties break on id ascending,
-    the seed is the min id.  NULL/ragged vectors have NULL distances
-    and are never selected (NULL never wins ``max_by``).
+    the seed is the min id among rows with a usable vector (non-NULL,
+    no NULL elements — a NULL/ragged vector can never anchor the
+    distance column; such rows keep NULL distances downstream and are
+    never selected, NULL never wins ``max_by``).  Selected ids leave
+    the candidate frame, so ``k`` larger than the distinct usable
+    point count stops early instead of re-selecting with gap 0.
 
     Scale shape: k − 1 rounds, each ONE corpus scan — the running
     min-distance column updates map-side against the new center (a
@@ -417,15 +421,33 @@ def kcenter_select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    seed = pts.orderBy("_id").limit(1).collect()[0]
+    seed_rows = (
+        pts.filter(
+            F.col("_v").isNotNull()
+            & ~F.exists(F.col("_v"), lambda x: x.isNull())
+        )
+        .orderBy("_id")
+        .limit(1)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError(
+            "kcenter_select: no row has a usable vector (every candidate "
+            "is NULL or contains NULL elements)"
+        )
+    seed = seed_rows[0]
     sel = [(0, seed["_id"], 0.0)]
-    run = pts.select(
-        "_id",
-        "_v",
-        _sqdist(F.col("_v"), F.array(*[F.lit(float(x)) for x in seed["_v"]])).alias(
-            "_d"
-        ),
-    ).localCheckpoint(eager=False)
+    run = (
+        pts.filter(F.col("_id") != F.lit(seed["_id"]))
+        .select(
+            "_id",
+            "_v",
+            _sqdist(
+                F.col("_v"), F.array(*[F.lit(float(x)) for x in seed["_v"]])
+            ).alias("_d"),
+        )
+        .localCheckpoint(eager=False)
+    )
     for rank in range(1, k):
         far = (
             run.agg(
@@ -441,9 +463,17 @@ def kcenter_select(
             )
             .collect()[0]
         )
+        if far["i"] is None or far["d"] is None:
+            # candidates exhausted (k > usable point count) or only
+            # NULL-distance rows remain — stop instead of re-selecting
+            break
         sel.append((rank, far["i"], float(far["d"])))
         nv = F.array(*[F.lit(float(x)) for x in far["v"]])
-        run = run.select(
-            "_id", "_v", F.least(F.col("_d"), _sqdist(F.col("_v"), nv)).alias("_d")
-        ).localCheckpoint(eager=False)
+        run = (
+            run.filter(F.col("_id") != F.lit(far["i"]))
+            .select(
+                "_id", "_v", F.least(F.col("_d"), _sqdist(F.col("_v"), nv)).alias("_d")
+            )
+            .localCheckpoint(eager=False)
+        )
     return spark.createDataFrame(sel, f"rank long, {id_col} long, gap double")

@@ -419,6 +419,11 @@ def bloom_probe(
         id_col,
         F.expr("(shiftright(coalesce(word, CAST(0 AS BIGINT)), bit) & 1)").alias("hit"),
     )
+    # coalesce: a NULL key hashes to NULL positions, so every hit is
+    # NULL and min(hit) is NULL — the boolean contract column must not
+    # leak NULL into downstream filters.  A NULL key was never inserted
+    # (build hashes it to NULL positions, setting no bits), so False is
+    # the semantically correct verdict, not just a type fix.
     return checked.groupBy(id_col).agg(
-        (F.min("hit") == 1).alias("maybe_present")
+        F.coalesce(F.min("hit") == 1, F.lit(False)).alias("maybe_present")
     )

@@ -473,7 +473,10 @@ def inverted_index(
 
 
 def bigram_lm_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Character-bigram language-model quality score — the classic
     cheap LLM-data gibberish filter: train an MLE char-bigram model on
@@ -521,9 +524,7 @@ def bigram_lm_scores(
     # lineage must keep, and at 256× that pinned storage starved the
     # downstream score aggregation into AGGREGATE_OUT_OF_MEMORY; the
     # SQL columnar cache is compressed (~10× smaller here) and
-    # evictable-to-disk, so execution memory always wins.  Lifetime:
-    # released by spark.catalog.clearCache() or when the plan is
-    # re-derived — same contract as pagerank's materialize="cache".
+    # evictable-to-disk, so execution memory always wins.
     from pyspark.storagelevel import StorageLevel
 
     pairs = (
@@ -533,7 +534,7 @@ def bigram_lm_scores(
     )
     model = pairs.groupBy("bigram").agg(F.sum("k").cast("long").alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("t"))
-    return (
+    out = (
         pairs.join(F.broadcast(model), "bigram")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
@@ -548,6 +549,18 @@ def bigram_lm_scores(
             ).alias("lm_score"),
         )
     )
+    # cache lifetime is scoped to THIS call (default): the returned
+    # frame is doc-level (|docs| rows, 3 scalar cols — trivially
+    # holdable), so materialize it eagerly and release the corpus-scale
+    # cache before returning.  Without this, every invocation in a
+    # long-lived session (the 175-query bench, a pipeline runner)
+    # accumulated cached bigram partitions until LRU pressure
+    # (round-10 verdict).  ``materialize=False`` returns the lazy plan
+    # and the CALLER owns the cache lifetime (clearCache / unpersist).
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        pairs.unpersist()
+    return out
 
 
 def _bpe_merge_word(tokens: list, a: str, b: str, merged: str) -> list:
@@ -833,6 +846,7 @@ def trigram_lm_scores(
     l3: float = 0.6,
     l2: float = 0.3,
     l1: float = 0.1,
+    materialize: bool = True,
 ) -> DataFrame:
     """Interpolated word-trigram language-model score — the
     KenLM-shaped fluency filter one step up from ``bigram_lm_scores``:
@@ -910,7 +924,7 @@ def trigram_lm_scores(
             F.round(F.log(p), 6).cast("decimal(18,6)").alias("lp"),
         )
     )
-    return (
+    out = (
         events.join(model, ["w1", "w2", "w3"])
         .groupBy(id_col)
         .agg(
@@ -920,3 +934,9 @@ def trigram_lm_scores(
             ).alias("lm_score"),
         )
     )
+    # scope the corpus-scale cache to this call (see bigram_lm_scores);
+    # materialize=False returns the lazy plan, caller owns the cache
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        events.unpersist()
+    return out

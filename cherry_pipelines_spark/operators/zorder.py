@@ -109,7 +109,18 @@ def rowgroup_stats(spark, path: str, column: str) -> "DataFrame":
     shipping a 100 TB backfill.  Footer reads are metadata-only (no
     data pages touched) and distribute one file per task via
     ``mapInPandas`` over the file list — the driver never opens a
-    footer."""
+    footer.
+
+    A column chunk without min/max statistics (``has_min_max`` false —
+    e.g. an all-NULL chunk) yields NULL fences, which
+    :func:`pruning_report` already treats as unskippable.
+
+    Path contract: the file LISTING runs on the driver via
+    ``os.listdir`` and executors open plain paths through pyarrow, so
+    this audit targets locally-mounted filesystems (local disk, NFS,
+    FUSE mounts of object stores).  For raw ``s3://``/``hdfs://`` URIs
+    list via the Hadoop FS API and hand pyarrow a filesystem handle —
+    the per-row-group logic is unchanged."""
     import os as _os
 
     from pyspark.sql import types as T
@@ -146,13 +157,14 @@ def rowgroup_stats(spark, path: str, column: str) -> "DataFrame":
                 for rg in range(md.num_row_groups):
                     g = md.row_group(rg)
                     st = g.column(ci).statistics
+                    has = st is not None and st.has_min_max
                     rows.append(
                         (
                             f,
                             rg,
                             g.num_rows,
-                            None if st is None else int(st.min),
-                            None if st is None else int(st.max),
+                            int(st.min) if has else None,
+                            int(st.max) if has else None,
                         )
                     )
             yield pd.DataFrame(

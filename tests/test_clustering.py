@@ -487,3 +487,36 @@ def test_kcenter_validation(spark):
     df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         kcenter_select(df, k=0)
+
+
+def test_kcenter_null_lowest_id_seed_skipped(spark):
+    # round-10 advice: a NULL (or NULL-element) vector on the LOWEST id
+    # must not be seeded — the seed is the min id with a USABLE vector
+    from cherry_pipelines_spark.operators.clustering import kcenter_select
+
+    rows = [(1, None), (2, [1.0, None]), (3, [0.0, 0.0]), (4, [9.0, 9.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [r["vec_id"] for r in kcenter_select(df, k=2).orderBy("rank").collect()]
+    assert got == [3, 4]
+
+
+def test_kcenter_all_null_raises(spark):
+    from cherry_pipelines_spark.operators.clustering import kcenter_select
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="usable vector"):
+        kcenter_select(df, k=2)
+
+
+def test_kcenter_k_exceeds_points_stops_early(spark):
+    # k > usable point count stops after exhausting candidates instead
+    # of re-selecting already-picked points with gap 0.0
+    from cherry_pipelines_spark.operators.clustering import kcenter_select
+
+    rows = [(1, [0.0, 0.0]), (2, [3.0, 4.0]), (3, [6.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kcenter_select(df, k=10).orderBy("rank").collect()
+    assert [r["vec_id"] for r in got] == [1, 3, 2]
+    assert len(got) == 3  # stopped at the point count, not k

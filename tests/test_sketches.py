@@ -215,6 +215,26 @@ def test_bloom_no_false_negatives_and_bounded_size(spark):
     assert not all(got[f"absent{i}"] for i in range(200))
 
 
+def test_bloom_probe_null_key_is_false_not_null(spark):
+    # round-10 advice: a NULL key hashes to NULL positions, so the
+    # min(hit) aggregate is NULL — the boolean contract column must
+    # coalesce to False (a NULL key was never inserted by build)
+    bloom = bloom_build(
+        _keys(spark, ["present"]), F.col("k"), n_bits=512, n_hashes=3
+    )
+    probes = spark.createDataFrame(
+        [("a", "present"), ("b", None)], "pid string, k string"
+    )
+    got = {
+        r["pid"]: r["maybe_present"]
+        for r in bloom_probe(
+            probes, bloom, F.col("k"), id_col="pid", n_bits=512, n_hashes=3
+        ).collect()
+    }
+    assert got["a"] is True
+    assert got["b"] is False  # not None
+
+
 def test_bloom_shard_merge_equals_whole(spark):
     a = [f"a{i}" for i in range(80)]
     b = [f"b{i}" for i in range(80)]

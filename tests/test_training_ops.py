@@ -450,7 +450,14 @@ def test_bigram_lm_plan_broadcasts_model(spark):
     from cherry_pipelines_spark.operators.text import bigram_lm_scores
 
     df = spark.createDataFrame([(1, "abcabc")], "doc_id long, text string")
-    plan = bigram_lm_scores(df)._jdf.queryExecution().executedPlan().toString()
+    # materialize=False: gate the LAZY plan (the default eagerly
+    # checkpoints the doc-level result, whose plan is just an RDD scan)
+    plan = (
+        bigram_lm_scores(df, materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
