@@ -219,3 +219,112 @@ def test_ivf_pq_plan_broadcast_lut_no_bnlj(spark, pq_df):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+# ------------------------- trained coarse + residual IVF-PQ (round 11)
+
+
+def _clustered(n, dim, n_clusters=4, fam=0.25, jit=0.01):
+    """Clustered pseudo-vectors with near-dup FAMILIES (the regime a
+    trained coarse quantizer + residual codes exist for): cluster =
+    i % n_clusters, families of 4 within each cluster share a
+    direction at ``fam`` scale, members jitter at ``jit`` scale — the
+    exact top-3 of any member is its 3 family mates."""
+    out = []
+    for i in range(n):
+        c = i % n_clusters
+        f = (i // n_clusters) // 4
+        anchor = [2.0 * math.sin(1 + c * 0.9 + j * 0.53) for j in range(dim)]
+        head = [fam * math.sin(3 + (c * 97 + f) * 0.61 + j * 0.29) for j in range(dim)]
+        jitter = [jit * math.sin(7 + i * 0.37 + j * 0.11) for j in range(dim)]
+        out.append((i, [a + h + e for a, h, e in zip(anchor, head, jitter)]))
+    return out
+
+
+def test_trained_ivf_pq_beats_lattice_on_clustered_corpus(spark):
+    """The round-10 acceptance property: on a clustered corpus, trained
+    k-means cells + residual codes recover the exact top-k far better
+    than lattice cells + raw-vector codes at identical m/ksub."""
+    from cherry_pipelines_spark.operators.similarity import (
+        ann_recall,
+        ivf_pq_topk,
+        ivf_pq_topk_trained,
+        l2_topk,
+    )
+
+    dim, m, ksub, k = 8, 4, 4, 3
+    df = spark.createDataFrame(
+        _clustered(64, dim), "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+    qf = F.col("vec_id") % 10 == 0
+    exact = l2_topk(df, df.filter(qf), k=k)
+    trained = ivf_pq_topk_trained(
+        df, k=k, m=m, dim=dim, ksub=ksub, n_cells=4, nprobe=1,
+        query_filter=qf, exclude_self=True,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    lattice = ivf_pq_topk(
+        df, k=k, m=m, dim=dim, ksub=ksub, query_filter=qf,
+        n_components=2, grid=0.5, probe_radius=1, exclude_self=True,
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    r_t = [r["recall"] for r in ann_recall(exact, trained, k=k).collect()]
+    r_l = [r["recall"] for r in ann_recall(exact, lattice, k=k).collect()]
+    mean_t = sum(map(float, r_t)) / len(r_t)
+    mean_l = sum(map(float, r_l)) / len(r_l)
+    assert mean_t >= 0.8, (mean_t, r_t)
+    assert mean_t > mean_l, (mean_t, mean_l)
+
+
+def test_trained_ivf_pq_neighbors_share_probed_cell(spark):
+    """nprobe=1 invariant: every returned neighbor sits in the query's
+    single probed (trained) cell — the sub-linear scan-cost contract."""
+    from cherry_pipelines_spark.operators.clustering import (
+        _lloyd,
+        assign_clusters,
+    )
+    from cherry_pipelines_spark.operators.similarity import ivf_pq_topk_trained
+
+    dim, m, ksub = 8, 4, 4
+    df = spark.createDataFrame(
+        _clustered(64, dim), "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+    out = ivf_pq_topk_trained(
+        df, k=3, m=m, dim=dim, ksub=ksub, n_cells=4, nprobe=1,
+        query_filter=F.col("vec_id") % 10 == 0,
+    ).collect()
+    _, cents = _lloyd(df, "embedding", "vec_id", 4, 2)
+    cell = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(df, cents, "embedding", "vec_id", k_hint=4).collect()
+    }
+    assert out, "fixture must produce neighbors"
+    for r in out:
+        assert cell[r["query_id"]] == cell[r["vec_id"]], r
+
+
+def test_trained_ivf_pq_plan_broadcast_lut_no_python(spark):
+    from cherry_pipelines_spark.operators.similarity import ivf_pq_topk_trained
+
+    df = spark.createDataFrame(
+        _clustered(64, 8), "vec_id long, embedding array<double>"
+    )
+    out = ivf_pq_topk_trained(
+        df, k=2, m=4, dim=8, ksub=4, n_cells=4, nprobe=2,
+        query_filter=F.col("vec_id") % 10 == 0,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    # the only nested-loop is the query x 1-row-centroid-list crossJoin
+    # (the repo-wide accepted broadcast-1-row pattern); there must be
+    # no cartesian product and no Python in the plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_trained_ivf_pq_validation(spark):
+    from cherry_pipelines_spark.operators.similarity import ivf_pq_topk_trained
+
+    df = spark.createDataFrame(
+        _clustered(16, 8), "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="nprobe"):
+        ivf_pq_topk_trained(df, m=4, dim=8, ksub=4, nprobe=0)
