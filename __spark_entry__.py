@@ -7408,75 +7408,27 @@ def q_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _sh
 
     from cherry_pipelines_spark.operators.similarity import (
-        _cell_components,
-        _pq_partial,
-        _pq_subrows,
-        pq_encode,
-        pq_train,
+        build_stored_ivfpq_index,
+        query_stored_ivfpq_index,
     )
 
     (em,) = _load(spark, sf_dir, "embeddings")
-    m, dim, ksub, grid, radius, k = 8, 64, 16, 0.5, 1, 3
-    comp_names = ["c0", "c1"]
-    codebooks = pq_train(em, "embedding", "vec_id", m, dim, ksub, 2).localCheckpoint(
-        eager=False
-    )
-    cells = em.select(
-        "vec_id",
-        *[
-            c.alias(n)
-            for c, n in zip(_cell_components(F.col("embedding"), 2, grid), comp_names)
-        ],
-    )
     index_path = "/tmp/cherry_ivfpq_index"
     _sh.rmtree(index_path, ignore_errors=True)
-    (
-        pq_encode(em, codebooks, "embedding", "vec_id", m, dim)
-        .join(cells, "vec_id")
-        .write.partitionBy(*comp_names)
-        .parquet(index_path)
+    codebooks = build_stored_ivfpq_index(
+        em, index_path, m=8, dim=64, ksub=16, iters=2, n_components=2, grid=0.5
     )
-    index = spark.read.parquet(index_path)
-    qf = F.col("vec_id") % 100 == 0
-    qsubs = _pq_subrows(em.filter(qf), "embedding", "vec_id", m, dim).select(
-        F.col("vec_id").alias("query_id"), "sub", F.col("_v").alias("_q")
-    )
-    lut = qsubs.join(codebooks, "sub").select(
-        "query_id",
-        "sub",
-        F.col("cluster_id").alias("code"),
-        _pq_partial(F.col("_q"), F.col("centroid")).alias("partial"),
-    )
-    qcells = em.filter(qf).select(
-        F.col("vec_id").alias("query_id"),
-        *[
-            c.alias(n)
-            for c, n in zip(_cell_components(F.col("embedding"), 2, grid), comp_names)
-        ],
-    )
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in range(-radius, radius + 1)
-            for dy in range(-radius, radius + 1)
-        ]
-    )
-    qcells = qcells.withColumn("_off", F.explode(offsets)).select(
-        "query_id",
-        (F.col("c0") + F.col("_off.dx")).alias("c0"),
-        (F.col("c1") + F.col("_off.dy")).alias("c1"),
-    )
-    lutc = lut.join(qcells, "query_id")
-    dists = (
-        index.join(F.broadcast(lutc), ["sub", "code", *comp_names])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("partial").cast("double").alias("adc_dist"))
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col("vec_id").asc())
-    return (
-        dists.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "adc_dist", "rank")
+    return query_stored_ivfpq_index(
+        spark,
+        index_path,
+        codebooks,
+        em.filter(F.col("vec_id") % 100 == 0),
+        k=3,
+        m=8,
+        dim=64,
+        n_components=2,
+        grid=0.5,
+        probe_radius=1,
     )
 
 

@@ -1010,6 +1010,128 @@ def _pq_partial(q: Column, cent: Column) -> Column:
     ).cast("decimal(18,6)")
 
 
+def build_stored_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    dim: int = 64,
+    ksub: int = 16,
+    iters: int = 2,
+    n_components: int = 2,
+    grid: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train PQ codebooks and PERSIST the IVF-PQ index cell-PARTITIONED
+    at ``path`` — the encode-once layout `ivf_pq_topk`'s docstring
+    promises a deployment writes: rows are ``(id, sub, code)`` under
+    partition directories ``c0=…/c1=…`` (the lattice cell coordinates),
+    so a query probe is DIRECTORY pruning, not a data-page filter.
+    Returns the codebooks frame (m·ksub rows — the whole index
+    metadata) for :func:`query_stored_ivfpq_index`."""
+    comp_names = [f"c{i}" for i in range(n_components)]
+    codebooks = pq_train(df, vec_col, id_col, m, dim, ksub, iters).localCheckpoint(
+        eager=False
+    )
+    cells = df.select(
+        F.col(id_col),
+        *[
+            c.alias(n)
+            for c, n in zip(
+                _cell_components(F.col(vec_col), n_components, grid), comp_names
+            )
+        ],
+    )
+    (
+        pq_encode(df, codebooks, vec_col, id_col, m, dim)
+        .join(cells, id_col)
+        .write.partitionBy(*comp_names)
+        .parquet(path)
+    )
+    return codebooks
+
+
+def query_stored_ivfpq_index(
+    spark,
+    path: str,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    dim: int = 64,
+    n_components: int = 2,
+    grid: float = 0.5,
+    probe_radius: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Answer a query set from a :func:`build_stored_ivfpq_index`
+    layout: the probe's cell coordinates join the scan's PARTITION
+    columns against a broadcast LUT, so Spark inserts a dynamic-
+    partition-pruning filter and the scan reads only the probed cells'
+    directories (``numFiles < staticFilesNum`` in the scan metrics —
+    gated in tests/test_plan_shapes.py).  Results are bit-identical to
+    the inline :func:`ivf_pq_topk` (driver-certified by the reused
+    oracle)."""
+    import itertools
+
+    comp_names = [f"c{i}" for i in range(n_components)]
+    index = spark.read.parquet(path)
+    qsubs = _pq_subrows(queries, vec_col, id_col, m, dim).select(
+        F.col(id_col).alias("query_id"), "sub", F.col("_v").alias("_q")
+    )
+    # codebooks are m·ksub rows — ALWAYS broadcast.  Beyond the obvious
+    # join-shape win, this keeps the LUT subtree shuffle-free, which is
+    # what lets AQE reuse the lutc broadcast for the scan's dynamic
+    # partition pruning (a SortMergeJoin stage here made
+    # PlanAdaptiveDynamicPruningFilters degenerate the pruning filter
+    # to `true` — a silent full-index scan, caught by the
+    # test_plan_shapes metrics gate)
+    lut = qsubs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cluster_id").alias("code"),
+        _pq_partial(F.col("_q"), F.col("centroid")).alias("partial"),
+    )
+    qcells = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            c.alias(n)
+            for c, n in zip(
+                _cell_components(F.col(vec_col), n_components, grid), comp_names
+            )
+        ],
+    )
+    if probe_radius > 0:
+        offsets = F.array(
+            *[
+                F.struct(*[F.lit(d).alias(f"d{i}") for i, d in enumerate(combo)])
+                for combo in itertools.product(
+                    range(-probe_radius, probe_radius + 1), repeat=n_components
+                )
+            ]
+        )
+        qcells = qcells.withColumn("_off", F.explode(offsets)).select(
+            "query_id",
+            *[
+                (F.col(n) + F.col(f"_off.d{i}")).alias(n)
+                for i, n in enumerate(comp_names)
+            ],
+        )
+    lutc = lut.join(qcells, "query_id")
+    dists = (
+        index.join(F.broadcast(lutc), ["sub", "code", *comp_names])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("partial").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col).asc())
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_dist", "rank")
+    )
+
+
 def ivf_pq_topk_trained(
     df: DataFrame,
     k: int = 5,

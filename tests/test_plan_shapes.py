@@ -919,3 +919,101 @@ def test_ivf_pq_stored_prunes_partitions_dynamically(spark, sf_dir, queries):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------- stored IVF-PQ index: dynamic partition pruning gate
+
+
+def _scan_metrics(df, col_fragments):
+    """Runtime metrics of FileSourceScans whose output schema carries
+    all ``col_fragments``, from the EXECUTED plan (AQE final plans +
+    query stages + DPP subqueries all traversed).  Matching on columns,
+    not the path: FileSourceScanExec.toString truncates long locations
+    (pytest tmp paths never match)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    stack, out = [plan], []
+    while stack:
+        n = stack.pop()
+        nm = n.getClass().getSimpleName()
+        if "FileSourceScan" in nm and all(
+            f in n.toString() for f in col_fragments
+        ):
+            m, it, vals = n.metrics(), None, {}
+            it = m.iterator()
+            while it.hasNext():
+                kv = it.next()
+                vals[kv._1()] = kv._2().value()
+            out.append(vals)
+        if nm == "AdaptiveSparkPlanExec":
+            stack.append(n.executedPlan())
+        elif nm.endswith("QueryStageExec"):
+            stack.append(n.plan())
+        it = n.children().iterator()
+        while it.hasNext():
+            stack.append(it.next())
+        try:
+            it = n.subqueries().iterator()
+            while it.hasNext():
+                stack.append(it.next())
+        except Exception:
+            pass
+    return out
+
+
+def test_stored_ivfpq_probe_prunes_partitions(spark, tmp_path):
+    """The claim the stored layout exists to make (round-10 verdict #3):
+    a probe against the cell-partitioned index must read ONLY the
+    probed cells' directories.  Fixture: 64 distinct lattice cells,
+    one query, radius-1 probe (<= 9 cells) — the scan's runtime
+    numFiles must be far below staticFilesNum (the pre-DPP file
+    count), and the partition filter must carry a dynamicpruning
+    expression.  Fails if the probe ever degrades to a full-index
+    scan."""
+    from pyspark.sql import functions as F
+
+    from cherry_pipelines_spark.operators.similarity import (
+        build_stored_ivfpq_index,
+        query_stored_ivfpq_index,
+    )
+
+    dim = 8
+    rows = [
+        (
+            i,
+            [2.0 * (i % 8), 2.0 * ((i // 8) % 8)]
+            + [0.01 * ((i * 7 + j) % 5) for j in range(dim - 2)],
+        )
+        for i in range(128)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "ivfpq_gate_index")
+    books = build_stored_ivfpq_index(
+        df, path, m=2, dim=dim, ksub=4, iters=1, n_components=2, grid=0.5
+    )
+    out = query_stored_ivfpq_index(
+        spark,
+        path,
+        books,
+        df.filter(F.col("vec_id") == 0),
+        k=3,
+        m=2,
+        dim=dim,
+        n_components=2,
+        grid=0.5,
+        probe_radius=1,
+    )
+    # collect() (not count()) so THIS frame's QueryExecution runs and
+    # its scan metrics populate — count() executes a separate plan
+    assert len(out.collect()) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "probe scan lost its DPP filter"
+    metrics = _scan_metrics(out, ("code#", "c0#", "c1#"))
+    assert metrics, "index scan not found in executed plan"
+    m0 = metrics[0]
+    static_files = m0.get("staticFilesNum", 0)
+    read_files = m0.get("numFiles", 0)
+    # 64 cells on disk; a radius-1 probe touches at most 9 — anything
+    # close to the static count means the probe scanned the whole index
+    assert static_files >= 32, m0
+    assert read_files <= 9, m0
+    assert read_files < static_files / 3, m0
