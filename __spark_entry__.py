@@ -1019,6 +1019,75 @@ HAVING min(CASE WHEN b.doc_id = f.first_id THEN 1 ELSE 0 END) = 1
 )
 
 
+def q_stream_near_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED, RESTARTABLE near-dedup chain (round-10 verdict
+    #6): the claims job runs with a real checkpointLocation into a
+    parquet sink, processes the lower-id half of the corpus, is
+    STOPPED, and a brand-new query object resumes from the checkpoint
+    to process the upper half — then the stateless survivor view
+    (`stateful.near_dedup_survivors`) aggregates the collected claims.
+    Because batch-1 ids all precede batch-2 ids, arrival order equals
+    id order and the single-shot min-per-bucket oracle applies
+    unchanged — the driver row certifies that bucket state SURVIVES
+    the restart (a batch-2 near-dup of a batch-1 doc still loses) and
+    that the file sink does not double-write batch-1 claims on
+    resume.  Survivor aggregation is deliberately a batch view:
+    chained applyInPandasWithState stages are unsupported
+    (`near_dedup_survivors` docstring)."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from cherry_pipelines_spark.streaming.stateful import (
+        near_dedup_survivors,
+        streaming_near_dedup_claims,
+    )
+
+    _session_confs(spark)
+    root = os.path.join(
+        _tf.gettempdir(),
+        "cherry_nd_e2e_" + _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    _sh.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    sink = os.path.join(root, "claims")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    thr = (int(lo) + int(hi)) // 2
+    schema = docs.schema
+
+    def run_until_idle():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_near_dedup_claims(stream, k=8, bands=4)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # the "kill": this query object is discarded
+
+    docs.filter(F.col("doc_id") <= thr).write.mode("append").parquet(src)
+    run_until_idle()
+    docs.filter(F.col("doc_id") > thr).write.mode("append").parquet(src)
+    run_until_idle()  # a NEW query resumes from the checkpoint
+    return near_dedup_survivors(spark.read.parquet(sink))
+
+
+# identical replay to ORACLE_STREAM_NEAR_DEDUP: batch-1 ids precede
+# batch-2 ids, so first-by-arrival == first-by-id and the one-shot
+# min-per-bucket SQL is the exact semantics of the restarted run
+ORACLE_STREAM_NEAR_DEDUP_E2E = ORACLE_STREAM_NEAR_DEDUP
+
+
 def q_dedup_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup DEPLOYMENT CHAIN as one correctness surface:
     minhash-LSH candidates -> connected components -> canonical doc per
@@ -7786,6 +7855,7 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_trained_topk": q_ivf_pq_trained_topk,
     "ivf_pq_trained_recall": q_ivf_pq_trained_recall,
+    "stream_near_dedup_e2e": q_stream_near_dedup_e2e,
     "pq_topk": q_pq_topk,
     "pq_recall": q_pq_recall,
     "ivf_pq_topk": q_ivf_pq_topk,
@@ -7985,6 +8055,7 @@ _ORACLES: dict[str, str] = {
     "ivf_pq_recall": ORACLE_IVF_PQ_RECALL,
     "ivf_pq_trained_topk": ORACLE_IVF_PQ_TRAINED_TOPK,
     "ivf_pq_trained_recall": ORACLE_IVF_PQ_TRAINED_RECALL,
+    "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
     "kcenter_coreset": ORACLE_KCENTER,
     "trigram_lm_score": ORACLE_TRIGRAM_LM,
     "scan_pruning": ORACLE_SCAN_PRUNING,
@@ -8176,6 +8247,7 @@ BUILD_TIME_QUERIES = {
     "stream_ewma",
     "stream_topk",
     "stream_near_dedup",
+    "stream_near_dedup_e2e",
     "scan_pruning",
     "upsert_merge",
     "incremental_rollup",

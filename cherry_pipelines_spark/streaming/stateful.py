@@ -20,6 +20,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -371,6 +372,28 @@ def streaming_band_claims(banded: DataFrame) -> DataFrame:
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dedup_survivors(claims: DataFrame) -> DataFrame:
+    """The stateless SURVIVOR view over a collected band-claims table:
+    a document survives iff it was first into ALL its buckets —
+    ``groupBy doc_id having min(fresh)``.  Returns ``(doc_id)``.
+
+    This is the second half of the near-dedup composition and it is
+    deliberately NOT a second stateful streaming operator: Spark
+    rejects chained ``applyInPandasWithState`` stages in one query
+    ("Multiple applyInPandasWithStates are not supported"), and none
+    is needed — the claims stream is append-clean and exactly-once
+    into a file sink, so the survivor verdict is a deterministic
+    stateless view over the claims table, re-runnable at any time and
+    automatically correct across restarts (the restart story is the
+    CLAIMS job's checkpoint; pinned by the kill/resume pytest)."""
+    return (
+        claims.groupBy("doc_id")
+        .agg(F.min(F.col("fresh").cast("int")).alias("_all_fresh"))
+        .filter(F.col("_all_fresh") == 1)
+        .select("doc_id")
     )
 
 

@@ -464,3 +464,78 @@ def test_streaming_near_dedup_state_carries_across_batches(spark, tmp_path):
     assert survivors == {10, 20}
     # 11 lost within batch 1 (id order); 5 lost to batch-1 state
     assert not any(fresh_by_doc[11]) and not any(fresh_by_doc[5])
+
+
+def test_streaming_near_dedup_kill_resume_matches_batch_oracle(spark, tmp_path):
+    """End-to-end restart story (round-10 verdict #6): the claims job
+    runs with a REAL checkpointLocation into a parquet sink, is killed
+    after batch 1, and a NEW query object resumes from the checkpoint
+    to process batch 2.  The survivor view over the collected claims
+    must equal the single-shot batch LSH replay over the full corpus —
+    i.e. bucket state survives the restart (a batch-2 dup of a batch-1
+    doc still loses) and the file sink does not double-write batch-1
+    claims on resume."""
+    from cherry_pipelines_spark.operators.dedup import _banded
+    from cherry_pipelines_spark.streaming.stateful import (
+        near_dedup_survivors,
+        streaming_near_dedup_claims,
+    )
+
+    src = str(tmp_path / "e2e_src")
+    sink = str(tmp_path / "e2e_claims")
+    ckpt = str(tmp_path / "e2e_ckpt")
+    os.makedirs(src)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel = "one two three four five six seven eight nine ten"
+    other = "red orange yellow green blue indigo violet black white gray"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    schema = mk([(0, "x")]).schema
+
+    def run_until_idle():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_near_dedup_claims(stream, k=8, bands=4)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()  # the "kill": the query object is discarded
+
+    # batch 1: two docs + an exact in-batch dup
+    mk([(10, base), (11, base), (12, other)]).write.mode("append").parquet(src)
+    run_until_idle()
+    # batch 2 arrives while no query is running; resume from checkpoint
+    mk([(5, base), (20, novel)]).write.mode("append").parquet(src)
+    run_until_idle()
+
+    got = sorted(
+        r["doc_id"]
+        for r in near_dedup_survivors(spark.read.parquet(sink)).collect()
+    )
+    # batch replay over the full corpus: first into EVERY bucket
+    # survives, where "first" is ARRIVAL order (batch order, then
+    # doc_id within a batch) — doc 5 arrived AFTER doc 10 claimed its
+    # buckets, so the replay must rank by arrival, not raw id
+    arrival = {10: 0, 11: 1, 12: 2, 5: 3, 20: 4}
+    banded = _banded(
+        mk([(10, base), (11, base), (12, other), (5, base), (20, novel)]),
+        "text", 8, 4, 3,
+    ).collect()
+    first = {}
+    for r in sorted(banded, key=lambda r: arrival[r["doc_id"]]):
+        first.setdefault((r["band"], r["key"]), r["doc_id"])
+    losers = {
+        r["doc_id"]
+        for r in banded
+        if first[(r["band"], r["key"])] != r["doc_id"]
+    }
+    expected = sorted({r["doc_id"] for r in banded} - losers)
+    assert got == expected == [10, 12, 20]
+    # restart did not double-write batch-1 claims: one row per (doc, band)
+    claims = spark.read.parquet(sink)
+    assert claims.count() == claims.select("doc_id", "band").distinct().count()
