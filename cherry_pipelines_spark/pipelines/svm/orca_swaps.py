@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from cherry_pipelines_spark.engine.pipeline import Pipeline
 from cherry_pipelines_spark.engine.step import PyStep, TableBundle
 from cherry_pipelines_spark.functions import borsh as B
-from cherry_pipelines_spark.functions.borsh import decode_instructions_df
 from cherry_pipelines_spark.functions.crypto import anchor_discriminator, base58_decode
 from cherry_pipelines_spark.pipelines.svm import common as C
 from cherry_pipelines_spark.sinks.parquet import ParquetSink
@@ -183,55 +182,48 @@ def _directional(swaps: DataFrame) -> DataFrame:
     )
 
 
-def split_step(bundle: TableBundle, ctx) -> TableBundle:
-    """Memo-filter → positional index → discriminator dispatch
-    (orca_swaps.py:223-265)."""
-    out = dict(bundle)
-    # four discriminator branches filter the same windowed subtree —
-    # cache it for the batch (released by the runner after the write)
-    ins = ctx.batch_cache(
-        C.indexed_instructions(
-            bundle["instructions"],
-            (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V1))
-            & (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V2)),
-        )
-    )
-    is_orca = F.col("program_id") == F.lit(PROGRAM_ID)
-    is_token = C.program_in(C.TOKEN_PROGRAM_ID, C.TOKEN_2022_PROGRAM_ID)
-    out["swaps_v1"] = ins.filter(is_orca & C.starts_with(F.col("data"), DISCRIMINATOR_V1))
-    out["swaps_v2"] = ins.filter(is_orca & C.starts_with(F.col("data"), DISCRIMINATOR_V2))
-    out["transfers"] = ins.filter(
-        is_token & C.starts_with(F.col("data"), C.TOKEN_TRANSFER_DISCRIMINATOR)
-    )
-    out["checked_transfers"] = ins.filter(
-        is_token & C.starts_with(F.col("data"), C.TOKEN_TRANSFER_CHECKED_DISCRIMINATOR)
-    )
-    del out["instructions"]
-    return out
+# fused dispatch spec (orca_swaps.py:223-265): two swap shapes + two
+# transfer shapes through ONE Arrow boundary.  remaining_accounts_info
+# (the one variable-width v2 param) is decoded then dropped by the
+# reference too — skipping it keeps v2 on the vectorized fixed-width
+# fast path (drop_params slot of the kind tuple)
+_MULTI_KINDS = [
+    ("swaps_v1", (PROGRAM_ID,), SIGNATURE_V1),
+    ("swaps_v2", (PROGRAM_ID,), SIGNATURE_V2, ("remaining_accounts_info",)),
+    (
+        "transfers",
+        (C.TOKEN_PROGRAM_ID, C.TOKEN_2022_PROGRAM_ID),
+        C.TOKEN_TRANSFER_SIGNATURE,
+    ),
+    (
+        "checked_transfers",
+        (C.TOKEN_PROGRAM_ID, C.TOKEN_2022_PROGRAM_ID),
+        C.TOKEN_TRANSFER_CHECKED_SIGNATURE,
+    ),
+]
 
 
 def decode_step(bundle: TableBundle, ctx) -> TableBundle:
+    """Memo-filter → positional index → discriminator dispatch →
+    decode, fused into one mapInPandas boundary (see
+    raydium_swaps.decode_step); the decoded union is cached per batch
+    and the four branches are JVM projections over the cache."""
+    from cherry_pipelines_spark.functions.borsh import (
+        decode_instructions_multi,
+        split_decoded,
+    )
+
     out = dict(bundle)
-    out["swaps_v1"] = decode_instructions_df(
-        bundle["swaps_v1"], SIGNATURE_V1, passthrough=C.DECODE_PASSTHROUGH
+    ins = C.indexed_instructions(
+        bundle["instructions"],
+        (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V1))
+        & (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V2)),
     )
-    # remaining_accounts_info (the one variable-width param) is decoded
-    # then dropped by the reference too — skip it at the source so the
-    # v2 decode stays on the vectorized fixed-width fast path
-    out["swaps_v2"] = decode_instructions_df(
-        bundle["swaps_v2"],
-        SIGNATURE_V2,
-        passthrough=C.DECODE_PASSTHROUGH,
-        drop_params=("remaining_accounts_info",),
+    fused = ctx.batch_cache(
+        decode_instructions_multi(ins, _MULTI_KINDS, passthrough=C.DECODE_PASSTHROUGH)
     )
-    out["transfers"] = decode_instructions_df(
-        bundle["transfers"], C.TOKEN_TRANSFER_SIGNATURE, passthrough=C.DECODE_PASSTHROUGH
-    )
-    out["checked_transfers"] = decode_instructions_df(
-        bundle["checked_transfers"],
-        C.TOKEN_TRANSFER_CHECKED_SIGNATURE,
-        passthrough=C.DECODE_PASSTHROUGH,
-    )
+    out.update(split_decoded(fused, _MULTI_KINDS, passthrough=C.DECODE_PASSTHROUGH))
+    del out["instructions"]
     return out
 
 
@@ -276,7 +268,7 @@ def build_pipeline(
         },
     )
     steps = [
-        PyStep(split_step, name="split_instructions"),
+        # split + decode fused into one Arrow boundary (see decode_step)
         PyStep(decode_step, name="svm_decode_instructions"),
         PyStep(process_step, name="process_data"),
     ]

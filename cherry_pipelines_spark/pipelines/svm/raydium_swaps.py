@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from cherry_pipelines_spark.engine.pipeline import Pipeline
 from cherry_pipelines_spark.engine.step import PyStep, TableBundle
 from cherry_pipelines_spark.functions import borsh as B
-from cherry_pipelines_spark.functions.borsh import decode_instructions_df
 from cherry_pipelines_spark.functions.crypto import anchor_discriminator, base58_decode
 from cherry_pipelines_spark.pipelines.svm import common as C
 from cherry_pipelines_spark.sinks.parquet import ParquetSink
@@ -241,45 +240,51 @@ def _normalize(bundle: TableBundle) -> DataFrame:
     return out
 
 
-def split_step(bundle: TableBundle, ctx) -> TableBundle:
-    """raydium_swaps.py:309-374: memo-filter → index → 8-way dispatch."""
-    out = dict(bundle)
-    # eight kind branches + two transfer branches filter the same
-    # windowed subtree — cache it for the batch
-    ins = ctx.batch_cache(
-        C.indexed_instructions(
-            bundle["instructions"],
-            (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V1))
-            & (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V2)),
-        )
-    )
-    for key, program, disc, _sig in _KINDS:
-        out[key] = ins.filter(
-            (F.col("program_id") == F.lit(program)) & C.starts_with(F.col("data"), disc)
-        )
-    is_token = C.program_in(C.TOKEN_PROGRAM_ID, C.TOKEN_2022_PROGRAM_ID)
-    out["transfers"] = ins.filter(
-        is_token & C.starts_with(F.col("data"), C.TOKEN_TRANSFER_DISCRIMINATOR)
-    )
-    out["checked_transfers"] = ins.filter(
-        is_token & C.starts_with(F.col("data"), C.TOKEN_TRANSFER_CHECKED_DISCRIMINATOR)
-    )
-    del out["instructions"]
-    return out
+# the fused dispatch spec: eight kind branches + two transfer branches,
+# decoded through ONE Arrow boundary (functions/borsh.py:
+# decode_instructions_multi) instead of ten — the round-10 PIPEBENCH
+# gap between raydium (44k instr/s, 10 boundaries) and meteora
+# (152k instr/s, 2 boundaries) attributed to exactly this
+_MULTI_KINDS = [
+    (key, (program,), sig) for key, program, _disc, sig in _KINDS
+] + [
+    (
+        "transfers",
+        (C.TOKEN_PROGRAM_ID, C.TOKEN_2022_PROGRAM_ID),
+        C.TOKEN_TRANSFER_SIGNATURE,
+    ),
+    (
+        "checked_transfers",
+        (C.TOKEN_PROGRAM_ID, C.TOKEN_2022_PROGRAM_ID),
+        C.TOKEN_TRANSFER_CHECKED_SIGNATURE,
+    ),
+]
 
 
 def decode_step(bundle: TableBundle, ctx) -> TableBundle:
+    """raydium_swaps.py:309-374: memo-filter → index → 8-way dispatch →
+    decode, fused: the discriminator dispatch happens INSIDE one
+    mapInPandas batch (per-sub-batch vectorized kernels), the decoded
+    union is cached per batch, and the ten branch frames are pure JVM
+    projections over the cache.  Per-kind results are schema- and
+    value-identical to the per-branch decode_instructions_df chain
+    (pinned by the differential pytest)."""
+    from cherry_pipelines_spark.functions.borsh import (
+        decode_instructions_multi,
+        split_decoded,
+    )
+
     out = dict(bundle)
-    for key, _program, _disc, sig in _KINDS:
-        out[key] = decode_instructions_df(bundle[key], sig, passthrough=C.DECODE_PASSTHROUGH)
-    out["transfers"] = decode_instructions_df(
-        bundle["transfers"], C.TOKEN_TRANSFER_SIGNATURE, passthrough=C.DECODE_PASSTHROUGH
+    ins = C.indexed_instructions(
+        bundle["instructions"],
+        (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V1))
+        & (F.col("program_id") != F.lit(C.MEMO_PROGRAM_ID_V2)),
     )
-    out["checked_transfers"] = decode_instructions_df(
-        bundle["checked_transfers"],
-        C.TOKEN_TRANSFER_CHECKED_SIGNATURE,
-        passthrough=C.DECODE_PASSTHROUGH,
+    fused = ctx.batch_cache(
+        decode_instructions_multi(ins, _MULTI_KINDS, passthrough=C.DECODE_PASSTHROUGH)
     )
+    out.update(split_decoded(fused, _MULTI_KINDS, passthrough=C.DECODE_PASSTHROUGH))
+    del out["instructions"]
     return out
 
 
@@ -319,7 +324,8 @@ def build_pipeline(
         },
     )
     steps = [
-        PyStep(split_step, name="split_instructions"),
+        # split + decode are FUSED into one step (one Arrow boundary
+        # for all ten discriminator branches — see decode_step)
         PyStep(decode_step, name="svm_decode_instructions"),
         PyStep(process_step, name="process_data"),
     ]

@@ -279,6 +279,95 @@ def _ivf_pq_topk_fixedq(spark, sf_dir: str):
     )
 
 
+def _ivf_pq_stored_fixedq(spark, sf_dir: str):
+    """Corpus-scaling twin of the registry ``ivf_pq_stored``: the
+    stored-index build (train + encode + cell-partitioned WRITE) scales
+    with the corpus, but the query workload is pinned to copy-0 rows —
+    the registry query's |Q| grows with the corpus (vec_id % 100) and
+    the synthesis nudge keeps copies in the same coarse cells, so the
+    registry row is super-linear BY CONSTRUCTION (same rationale as
+    ``ivf_pq_topk_fixedq``; deployment posture = fixed query workload,
+    growing corpus)."""
+    import shutil as _sh
+
+    from cherry_pipelines_spark.operators.similarity import (
+        build_stored_ivfpq_index,
+        query_stored_ivfpq_index,
+    )
+
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    index_path = os.path.join(sf_dir, "_ivfpq_fixedq_index")
+    _sh.rmtree(index_path, ignore_errors=True)
+    codebooks = build_stored_ivfpq_index(
+        em, index_path, m=8, dim=64, ksub=16, iters=2, n_components=2, grid=0.5
+    )
+    queries = em.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < KEY_OFFSET)
+    )
+    return query_stored_ivfpq_index(
+        spark, index_path, codebooks, queries,
+        k=3, m=8, dim=64, n_components=2, grid=0.5, probe_radius=1,
+    )
+
+
+def _bloom_filter_wide(spark, sf_dir: str):
+    """Production-width Bloom (round-10 verdict #7): n_bits=2^27 (16 MB
+    of words — the width a 100 TB ingest-dedup filter actually runs),
+    built through the SHARD-MERGE path (two half-corpus builds union →
+    BIT_OR per word) over the scaled lineitem facts, probed by the
+    part keys plus a shifted guaranteed-absent set.  Returns the same
+    confusion-count row as the registry ``bloom_filter`` so the
+    measured FP rate lands in the artifact; the (1-e^{-kn/m})^k
+    prediction is recorded next to it in SCALE.md."""
+    from cherry_pipelines_spark.operators.sketches import bloom_build, bloom_probe
+
+    n_bits, n_hashes = 1 << 27, 4
+    l = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    p = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    members = l.filter(F.col("l_quantity") <= 2).select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    shard_a = bloom_build(
+        members.filter(F.col("k").cast("long") % 2 == 0),
+        F.col("k"), n_bits=n_bits, n_hashes=n_hashes,
+    )
+    shard_b = bloom_build(
+        members.filter(F.col("k").cast("long") % 2 != 0),
+        F.col("k"), n_bits=n_bits, n_hashes=n_hashes,
+    )
+    bloom = (
+        shard_a.unionAll(shard_b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    probes = p.select(
+        F.col("p_partkey").alias("pid"),
+        F.col("p_partkey").cast("string").alias("k"),
+    ).unionAll(
+        p.select(
+            (F.col("p_partkey") + 1000000000).alias("pid"),
+            (F.col("p_partkey") + 1000000000).cast("string").alias("k"),
+        )
+    )
+    probed = bloom_probe(
+        probes, bloom, F.col("k"), id_col="pid", n_bits=n_bits, n_hashes=n_hashes
+    )
+    exact = probes.join(
+        members.distinct().withColumnRenamed("k", "mk"),
+        F.col("k") == F.col("mk"),
+        "left",
+    ).select("pid", F.col("mk").isNotNull().alias("present"))
+    return probed.join(exact, "pid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("maybe_present"), 1).otherwise(0)).cast("long").alias("n_maybe"),
+        F.sum(F.when(F.col("present"), 1).otherwise(0)).cast("long").alias("n_present"),
+        F.sum(F.when(F.col("maybe_present") & ~F.col("present"), 1).otherwise(0))
+        .cast("long").alias("n_false_positives"),
+        F.sum(F.when(~F.col("maybe_present") & F.col("present"), 1).otherwise(0))
+        .cast("long").alias("n_false_negatives"),
+    )
+
+
 def _tfidf_doc_pairs_capped(spark, sf_dir: str):
     """Scaling form of the registry ``tfidf_doc_pairs``: the ABSOLUTE
     df cap (max_df_count=2500) replaces the corpus-relative ratio cut

@@ -265,3 +265,84 @@ def test_drop_params_suffix_skip(spark):
     assert len(full) == 1 and full[0]["amount"] == 42
     with pytest.raises(ValueError):
         B.decode_instructions_df(df, sig, drop_params=("amount",))
+
+
+def test_multi_decode_matches_per_branch(spark):
+    """Differential gate for the fused dispatch (round-11): every kind
+    of decode_instructions_multi + split_decoded must be row- and
+    value-identical to filter-then-decode_instructions_df, including
+    the variable-width fallback path, drop_params trimming, the
+    malformed-row drop, and program-set routing."""
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    progA, progB = b"PROG_A" + b"\x00" * 26, b"PROG_B" + b"\x00" * 26
+    discX, discY = anchor_discriminator("x"), b"\x07"
+    sigX = B.InstructionSignature(
+        discriminator=discX,
+        params=(B.ParamInput("amount", B.U64()), B.ParamInput("flag", B.Bool())),
+        accounts_names=("auth", "pool"),
+    )
+    # variable-width param (falls back to the per-row reader) + a
+    # droppable suffix
+    sigY = B.InstructionSignature(
+        discriminator=discY,
+        params=(
+            B.ParamInput("n", B.U32()),
+            B.ParamInput("blob", B.Array(B.U8())),
+        ),
+        accounts_names=("src", "dst"),
+    )
+    mkx = lambda a, f: discX + _s.pack("<Q?", a, f)
+    mky = lambda n, s: discY + _s.pack("<I", n) + _s.pack("<I", len(s)) + s
+    rows = [
+        (1, 0, [0], b"a", b"b", progA, mkx(10, True)),
+        (1, 1, [0], b"c", b"d", progA, mkx(20, False)),
+        (1, 2, [0], b"e", b"f", progB, mky(7, b"hi")),
+        (1, 3, [0], b"g", b"h", progB, mky(9, b"yo")),
+        (1, 4, [0], b"i", b"j", progA, b"\xff\xff"),  # wrong disc -> no kind
+        (1, 5, [0], b"k", b"l", progB, discY + b"\x01"),  # malformed -> dropped
+        (1, 6, [0], b"m", b"n", progB, mkx(30, True)),  # wrong program for X
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("block_slot", T.LongType()),
+            T.StructField("transaction_index", T.LongType()),
+            T.StructField("instruction_address", T.ArrayType(T.IntegerType())),
+            T.StructField("a0", T.BinaryType()),
+            T.StructField("a1", T.BinaryType()),
+            T.StructField("program_id", T.BinaryType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    pt = ("block_slot", "transaction_index", "instruction_address")
+    kinds = [("kx", (progA,), sigX), ("ky", (progB,), sigY)]
+    fused = B.decode_instructions_multi(df, kinds, passthrough=pt)
+    split = B.split_decoded(fused, kinds, passthrough=pt)
+    for key, progs, sig in kinds:
+        branch = df.filter(
+            F.col("program_id").isin([*progs])
+            & F.col("data").startswith(F.lit(sig.discriminator))
+        )
+        want = B.decode_instructions_df(branch, sig, passthrough=pt)
+        got = split[key]
+        assert got.columns == want.columns, (key, got.columns, want.columns)
+        w = sorted(map(tuple, want.collect()))
+        g = sorted(map(tuple, got.collect()))
+        assert g == w, (key, g, w)
+    # drop_params parity through the kind tuple's 4th slot
+    kinds_dp = [("ky", (progB,), sigY, ("blob",))]
+    got = B.split_decoded(
+        B.decode_instructions_multi(df, kinds_dp, passthrough=pt),
+        kinds_dp,
+        passthrough=pt,
+    )["ky"]
+    want = B.decode_instructions_df(
+        df.filter(F.col("program_id") == F.lit(progB)),
+        sigY,
+        passthrough=pt,
+        drop_params=("blob",),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
