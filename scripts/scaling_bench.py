@@ -288,7 +288,9 @@ def _ivf_pq_stored_fixedq(spark, sf_dir: str):
     registry row is super-linear BY CONSTRUCTION (same rationale as
     ``ivf_pq_topk_fixedq``; deployment posture = fixed query workload,
     growing corpus)."""
+    import hashlib as _hl
     import shutil as _sh
+    import tempfile as _tf
 
     from cherry_pipelines_spark.operators.similarity import (
         build_stored_ivfpq_index,
@@ -296,7 +298,12 @@ def _ivf_pq_stored_fixedq(spark, sf_dir: str):
     )
 
     em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    index_path = os.path.join(sf_dir, "_ivfpq_fixedq_index")
+    # scratch under tempdir, NEVER inside sf_dir (fixture dirs are
+    # read-only by contract)
+    index_path = os.path.join(
+        _tf.gettempdir(),
+        "cherry_ivfpq_fixedq_" + _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
     _sh.rmtree(index_path, ignore_errors=True)
     codebooks = build_stored_ivfpq_index(
         em, index_path, m=8, dim=64, ksub=16, iters=2, n_components=2, grid=0.5
@@ -402,6 +409,8 @@ EXTRA_WORKLOADS = {
     "srp_near_dups_scaledplanes": _srp_near_dups_scaledplanes,
     "dedup_endgame": _dedup_endgame,
     "ivf_pq_topk_fixedq": _ivf_pq_topk_fixedq,
+    "ivf_pq_stored_fixedq": _ivf_pq_stored_fixedq,
+    "bloom_filter_wide": _bloom_filter_wide,
     "tfidf_doc_pairs_capped": _tfidf_doc_pairs_capped,
     "stream_near_dedup": _stream_near_dedup,
 }
@@ -426,6 +435,9 @@ EXPECTED_SUPERLINEAR = {
     # nudge keeps copies in the same coarse cells (population grows,
     # count doesn't) — ivf_pq_topk_fixedq is the deployment twin
     "ivf_pq_topk",
+    # registry ivf_pq_stored: same |Q|-grows + same-cells construction
+    # as ivf_pq_topk — ivf_pq_stored_fixedq is the deployment twin
+    "ivf_pq_stored",
 }
 
 
