@@ -7856,56 +7856,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_trained_topk": q_ivf_pq_trained_topk,
     "ivf_pq_trained_recall": q_ivf_pq_trained_recall,
     "stream_near_dedup_e2e": q_stream_near_dedup_e2e,
-    "pq_topk": q_pq_topk,
-    "pq_recall": q_pq_recall,
-    "ivf_pq_topk": q_ivf_pq_topk,
-    "ivf_pq_stored": q_ivf_pq_stored,
-    "bloom_filter": q_bloom_filter,
-    "tfidf_doc_pairs": q_tfidf_doc_pairs,
-    "stream_near_dedup": q_stream_near_dedup,
-    "ivf_pq_recall": q_ivf_pq_recall,
     "kcenter_coreset": q_kcenter_coreset,
+    "ivf_pq_stored": q_ivf_pq_stored,
+    "bigram_lm_score": q_bigram_lm_score,
     "trigram_lm_score": q_trigram_lm_score,
+    "docs_curation_v3": q_docs_curation_v3,
+    "stream_near_dedup": q_stream_near_dedup,
+    "bloom_filter": q_bloom_filter,
     "scan_pruning": q_scan_pruning,
-    "dedup_endgame": q_dedup_endgame,
-    "tfidf_keywords": q_tfidf_keywords,
-    "bm25_slice": q_bm25_slice,
-    "uint256_sum_exact": q_uint256_sum_exact,
-    "min_cost_supplier": q_min_cost_supplier,
-    "important_part_values": q_important_part_values,
-    "priority_shipmodes": q_priority_shipmodes,
-    "pii_scrub": q_pii_scrub,
-    "repetition_stats": q_repetition_stats,
-    "pricing_summary": q_pricing_summary,
-    "topk_revenue": q_topk_revenue,
-    "local_supplier_volume": q_local_supplier_volume,
-    "left_join_null": q_left_join_null,
-    "semi_anti": q_semi_anti,
-    "correlated_subquery": q_correlated_subquery,
-    "rollup_revenue": q_rollup_revenue,
-    "distinct_agg": q_distinct_agg,
-    "percentile_value": q_percentile_value,
-    "positional_adjacency": q_positional_adjacency,
-    "asof_join": q_asof_join,
-    "asof_join_nearest": q_asof_join_nearest,
-    "interval_join": q_interval_join,
-    "overlap_join": q_overlap_join,
-    "trailing_window": q_trailing_window,
-    "union_typed_null": q_union_typed_null,
-    "range_const_frames": q_range_const_frames,
-    "window_rownum_topk": q_window_rownum_topk,
-    "boolean_split_swap": q_boolean_split_swap,
-    "minmax_checkpoint": q_minmax_checkpoint,
-    "borsh_decode": q_borsh_decode,
-    "dedup_exact": q_dedup_exact,
-    "dedup_minhash_lsh": q_dedup_minhash_lsh,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_simhash": q_dedup_simhash,
-    "ngram_jaccard": q_ngram_jaccard,
-    "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
-    "similarity_ivf_topk": q_similarity_ivf_topk,
-    "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
-    "embedding_near_dup": q_embedding_near_dup,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "token_stats": q_token_stats,
@@ -7959,7 +7917,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decimal_price_ladder": q_decimal_price_ladder,
     "kmeans_embeddings": q_kmeans,
     "profile_table": q_profile_table,
-    "bigram_lm_score": q_bigram_lm_score,
     "weighted_sample": q_weighted_sample,
     "pattern_absence": q_pattern_absence,
     "containment": q_containment,
@@ -7985,7 +7942,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_png": q_multimodal_decode_png,
     "lsh_recall": q_lsh_recall,
     "docs_curation": q_docs_curation,
-    "docs_curation_v3": q_docs_curation_v3,
     "evm_decode": q_evm_decode,
     "evm_decode_overflow": q_evm_decode_overflow,
     "evm_decode_batch": q_evm_decode_batch,
@@ -8039,68 +7995,67 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sole_late_supplier": q_sole_late_supplier,
     "disjunctive_pushdown": q_disjunctive_pushdown,
     "idle_rich_customers": q_idle_rich_customers,
+    "pq_topk": q_pq_topk,
+    "pq_recall": q_pq_recall,
+    "ivf_pq_topk": q_ivf_pq_topk,
+    "tfidf_doc_pairs": q_tfidf_doc_pairs,
+    "ivf_pq_recall": q_ivf_pq_recall,
+    "dedup_endgame": q_dedup_endgame,
+    "tfidf_keywords": q_tfidf_keywords,
+    "bm25_slice": q_bm25_slice,
+    "uint256_sum_exact": q_uint256_sum_exact,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_part_values": q_important_part_values,
+    "priority_shipmodes": q_priority_shipmodes,
+    "pii_scrub": q_pii_scrub,
+    "repetition_stats": q_repetition_stats,
+    "pricing_summary": q_pricing_summary,
+    "topk_revenue": q_topk_revenue,
+    "local_supplier_volume": q_local_supplier_volume,
+    "left_join_null": q_left_join_null,
+    "semi_anti": q_semi_anti,
+    "correlated_subquery": q_correlated_subquery,
+    "rollup_revenue": q_rollup_revenue,
+    "distinct_agg": q_distinct_agg,
+    "percentile_value": q_percentile_value,
+    "positional_adjacency": q_positional_adjacency,
+    "asof_join": q_asof_join,
+    "asof_join_nearest": q_asof_join_nearest,
+    "interval_join": q_interval_join,
+    "overlap_join": q_overlap_join,
+    "trailing_window": q_trailing_window,
+    "union_typed_null": q_union_typed_null,
+    "range_const_frames": q_range_const_frames,
+    "window_rownum_topk": q_window_rownum_topk,
+    "boolean_split_swap": q_boolean_split_swap,
+    "minmax_checkpoint": q_minmax_checkpoint,
+    "borsh_decode": q_borsh_decode,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_simhash": q_dedup_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ngram_jaccard_lsh": q_ngram_jaccard_lsh,
+    "similarity_ivf_topk": q_similarity_ivf_topk,
+    "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
+    "embedding_near_dup": q_embedding_near_dup,
 }
 
 
 _ORACLES: dict[str, str] = {
-    "pq_topk": ORACLE_PQ_TOPK,
-    "pq_recall": ORACLE_PQ_RECALL,
-    "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
-    # the stored-index leg must produce IDENTICAL results to the inline
-    # form — same oracle, so the round-trip is certified value-exact
-    "ivf_pq_stored": ORACLE_IVF_PQ_TOPK,
-    "bloom_filter": ORACLE_BLOOM_FILTER,
-    "tfidf_doc_pairs": ORACLE_TFIDF_DOC_PAIRS,
-    "stream_near_dedup": ORACLE_STREAM_NEAR_DEDUP,
-    "ivf_pq_recall": ORACLE_IVF_PQ_RECALL,
     "ivf_pq_trained_topk": ORACLE_IVF_PQ_TRAINED_TOPK,
     "ivf_pq_trained_recall": ORACLE_IVF_PQ_TRAINED_RECALL,
     "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
     "kcenter_coreset": ORACLE_KCENTER,
+    # the stored-index leg must produce IDENTICAL results to the inline
+    # form — same oracle, so the round-trip is certified value-exact
+    "ivf_pq_stored": ORACLE_IVF_PQ_TOPK,
+    "bigram_lm_score": ORACLE_BIGRAM_LM,
     "trigram_lm_score": ORACLE_TRIGRAM_LM,
+    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
+    "stream_near_dedup": ORACLE_STREAM_NEAR_DEDUP,
+    "bloom_filter": ORACLE_BLOOM_FILTER,
     "scan_pruning": ORACLE_SCAN_PRUNING,
-    "dedup_endgame": ORACLE_DEDUP_ENDGAME,
-    "tfidf_keywords": ORACLE_TFIDF,
-    "bm25_slice": ORACLE_BM25,
-    "uint256_sum_exact": ORACLE_UINT256_SUM,
-    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
-    "important_part_values": ORACLE_IMPORTANT_PARTS,
-    "priority_shipmodes": ORACLE_PRIORITY_SHIPMODES,
-    "pii_scrub": ORACLE_PII,
-    "repetition_stats": ORACLE_REPETITION,
-    "pricing_summary": ORACLE_PRICING,
-    "topk_revenue": ORACLE_TOPK,
-    "local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
-    "left_join_null": ORACLE_LEFT_JOIN,
-    "semi_anti": ORACLE_SEMI_ANTI,
-    "correlated_subquery": ORACLE_CORRELATED,
-    "rollup_revenue": ORACLE_ROLLUP,
-    "distinct_agg": ORACLE_DISTINCT_AGG,
-    "percentile_value": ORACLE_PERCENTILE,
-    "positional_adjacency": ORACLE_ADJACENCY,
-    "asof_join": ORACLE_ASOF,
-    "asof_join_nearest": ORACLE_ASOF_NEAREST,
-    "interval_join": ORACLE_INTERVAL_JOIN,
-    "overlap_join": ORACLE_OVERLAP_JOIN,
-    "trailing_window": ORACLE_TRAILING,
-    "union_typed_null": ORACLE_UNION,
-    "range_const_frames": ORACLE_RANGE_CONST,
-    "window_rownum_topk": ORACLE_ROWNUM,
-    "boolean_split_swap": ORACLE_BOOL_SPLIT,
-    "minmax_checkpoint": ORACLE_MINMAX,
-    "borsh_decode": ORACLE_BORSH_DECODE,
-    "dedup_exact": ORACLE_DEDUP_EXACT,
-    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
-    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
-    "dedup_simhash": ORACLE_SIMHASH,
-    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
-    # the LSH-prefiltered path verifies candidates with EXACT jaccard;
-    # with bands=k it reproduces the exact result on the fixture, so the
-    # exact SQL is its oracle too (verified hash-matching at sf0.01)
-    "ngram_jaccard_lsh": ORACLE_NGRAM_JACCARD,
-    "similarity_ivf_topk": ORACLE_IVF_TOPK,
-    "similarity_ivf_multiprobe": ORACLE_IVF_MULTIPROBE,
-    "embedding_near_dup": ORACLE_NEAR_DUP,
     "text_langid": ORACLE_LANGID,
     "text_quality": ORACLE_QUALITY,
     "token_stats": ORACLE_TOKEN_STATS,
@@ -8154,7 +8109,6 @@ _ORACLES: dict[str, str] = {
     "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
     "kmeans_embeddings": ORACLE_KMEANS,
     "profile_table": ORACLE_PROFILE_TABLE,
-    "bigram_lm_score": ORACLE_BIGRAM_LM,
     "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
     "pattern_absence": ORACLE_PATTERN_ABSENCE,
     "containment": ORACLE_CONTAINMENT,
@@ -8180,7 +8134,6 @@ _ORACLES: dict[str, str] = {
     "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
     "lsh_recall": ORACLE_LSH_RECALL,
     "docs_curation": ORACLE_DOCS_CURATION,
-    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
     "evm_decode": ORACLE_EVM_DECODE,
     "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
     "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
@@ -8226,6 +8179,53 @@ _ORACLES: dict[str, str] = {
     "sole_late_supplier": ORACLE_SOLE_LATE,
     "disjunctive_pushdown": ORACLE_DISJUNCTIVE,
     "idle_rich_customers": ORACLE_IDLE_RICH,
+    "pq_topk": ORACLE_PQ_TOPK,
+    "pq_recall": ORACLE_PQ_RECALL,
+    "ivf_pq_topk": ORACLE_IVF_PQ_TOPK,
+    "tfidf_doc_pairs": ORACLE_TFIDF_DOC_PAIRS,
+    "ivf_pq_recall": ORACLE_IVF_PQ_RECALL,
+    "dedup_endgame": ORACLE_DEDUP_ENDGAME,
+    "tfidf_keywords": ORACLE_TFIDF,
+    "bm25_slice": ORACLE_BM25,
+    "uint256_sum_exact": ORACLE_UINT256_SUM,
+    "min_cost_supplier": ORACLE_MIN_COST_SUPPLIER,
+    "important_part_values": ORACLE_IMPORTANT_PARTS,
+    "priority_shipmodes": ORACLE_PRIORITY_SHIPMODES,
+    "pii_scrub": ORACLE_PII,
+    "repetition_stats": ORACLE_REPETITION,
+    "pricing_summary": ORACLE_PRICING,
+    "topk_revenue": ORACLE_TOPK,
+    "local_supplier_volume": ORACLE_LOCAL_SUPPLIER,
+    "left_join_null": ORACLE_LEFT_JOIN,
+    "semi_anti": ORACLE_SEMI_ANTI,
+    "correlated_subquery": ORACLE_CORRELATED,
+    "rollup_revenue": ORACLE_ROLLUP,
+    "distinct_agg": ORACLE_DISTINCT_AGG,
+    "percentile_value": ORACLE_PERCENTILE,
+    "positional_adjacency": ORACLE_ADJACENCY,
+    "asof_join": ORACLE_ASOF,
+    "asof_join_nearest": ORACLE_ASOF_NEAREST,
+    "interval_join": ORACLE_INTERVAL_JOIN,
+    "overlap_join": ORACLE_OVERLAP_JOIN,
+    "trailing_window": ORACLE_TRAILING,
+    "union_typed_null": ORACLE_UNION,
+    "range_const_frames": ORACLE_RANGE_CONST,
+    "window_rownum_topk": ORACLE_ROWNUM,
+    "boolean_split_swap": ORACLE_BOOL_SPLIT,
+    "minmax_checkpoint": ORACLE_MINMAX,
+    "borsh_decode": ORACLE_BORSH_DECODE,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": ORACLE_MINHASH_LSH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_simhash": ORACLE_SIMHASH,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    # the LSH-prefiltered path verifies candidates with EXACT jaccard;
+    # with bands=k it reproduces the exact result on the fixture, so the
+    # exact SQL is its oracle too (verified hash-matching at sf0.01)
+    "ngram_jaccard_lsh": ORACLE_NGRAM_JACCARD,
+    "similarity_ivf_topk": ORACLE_IVF_TOPK,
+    "similarity_ivf_multiprobe": ORACLE_IVF_MULTIPROBE,
+    "embedding_near_dup": ORACLE_NEAR_DUP,
 }
 
 
