@@ -7593,6 +7593,82 @@ FROM final
 """
 
 
+def q_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC shortlist + exact re-rank (`similarity.pq_refine_topk` —
+    Faiss' refine layout): m-byte codes scan the corpus for a top-64
+    candidate list, then exactly 64 raw vectors per query are re-ranked
+    by exact squared-L2.  The oracle replays the FULL chain: the
+    generated PQ unroll at k=64 feeding an exact-distance re-rank."""
+    from cherry_pipelines_spark.operators.similarity import pq_refine_topk
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    return pq_refine_topk(
+        em, k=3, candidates=64, m=8, dim=64, ksub=16, iters=2,
+        exclude_self=True,
+    )
+
+
+ORACLE_PQ_REFINE_TOPK = f"""
+WITH cands AS (SELECT query_id, vec_id AS neighbor_id
+               FROM ({_pq_oracle(k=64, exclude_self=True)})),
+pts2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv2 AS (SELECT vec_id AS query_id, v AS qv FROM pts2 WHERE vec_id % 100 = 0),
+rd AS (SELECT c.query_id, c.neighbor_id,
+              round(list_sum([(q.qv[j] - e.v[j]) * (q.qv[j] - e.v[j])
+                              for j in generate_series(1, len(q.qv))]), 6) AS dist
+       FROM cands c
+       JOIN pts2 e ON e.vec_id = c.neighbor_id
+       JOIN qv2 q ON q.query_id = c.query_id),
+rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist, neighbor_id)::BIGINT AS rank
+       FROM rd)
+SELECT query_id, neighbor_id, dist, rank FROM rr WHERE rank <= 3
+"""
+
+
+def q_pq_refine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of PQ + 64-candidate exact refine vs exact squared-L2
+    ground truth on the RAW near-random embeddings — the adversarial
+    corpus where raw ADC recall saturates at 0.40 (`pq_recall`):
+    refine doubles it (0.80 at sf0.01) at a FIXED per-query budget of
+    64 exact distances, constant in corpus size.  Together with
+    `ivf_pq_trained_recall` (1.00 on the clustered family corpus) this
+    brackets the quality story: trained+residual for corpora with
+    structure, +refine when the geometry is adversarial."""
+    from cherry_pipelines_spark.operators.similarity import (
+        ann_recall,
+        l2_topk,
+        pq_refine_topk,
+    )
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") % 100 == 0)
+    exact = l2_topk(em, q, k=3)
+    approx = pq_refine_topk(
+        em, k=3, candidates=64, m=8, dim=64, ksub=16, iters=2,
+        exclude_self=True,
+    ).select("query_id", "neighbor_id")
+    return ann_recall(exact, approx, k=3)
+
+
+ORACLE_PQ_REFINE_RECALL = f"""
+WITH pts AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+exq AS (SELECT vec_id AS query_id, v AS qv FROM pts WHERE vec_id % 100 = 0),
+exd AS (SELECT q.query_id, e.vec_id AS neighbor_id, {_SQ_FOLD_SQL} AS d
+        FROM pts e, exq q WHERE e.vec_id <> q.query_id),
+ex AS (SELECT query_id, neighbor_id FROM
+        (SELECT *, row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d, neighbor_id) AS rn FROM exd)
+       WHERE rn <= 3),
+ap AS (SELECT query_id, neighbor_id FROM ({ORACLE_PQ_REFINE_TOPK})),
+h AS (SELECT e.query_id, count(a.neighbor_id)::BIGINT AS hits
+      FROM ex e LEFT JOIN ap a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY e.query_id)
+SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
+"""
+
+
 def _family_corpus(em: DataFrame) -> DataFrame:
     """Clustered-embeddings fixture (round-10 verdict: the raw
     embeddings table is near-random — PQ's provable worst case, which
@@ -7702,6 +7778,46 @@ def q_ivf_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_iters=1, nprobe=1, exclude_self=True,
     ).select("query_id", F.col("vec_id").alias("neighbor_id"))
     return ann_recall(exact, approx, k=3)
+
+
+def q_ivf_pq_trained_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED leg of the TRAINED IVF-PQ (the full production
+    layout, composing this round's two halves): train k-means cells +
+    residual PQ once, persist ``(id, sub, code)`` partitioned by the
+    single ``cell`` column, answer the query set from the stored
+    index — trained cells make the directory layout BALANCED
+    (~|corpus|/16 rows per dir; the lattice layout collapses to 4
+    unevenly-probed cells on the unit-norm fixture), so an nprobe=1
+    probe dynamic-partition-prunes to |Q| of 16 directories.  Results
+    must be IDENTICAL to the inline `ivf_pq_topk_trained` — the oracle
+    is reused verbatim (and the two legs share their cell/residual/LUT
+    helpers, so parity is by construction, then certified anyway)."""
+    import shutil as _sh
+
+    from cherry_pipelines_spark.operators.similarity import (
+        build_stored_ivfpq_trained_index,
+        query_stored_ivfpq_trained_index,
+    )
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    fam = _family_corpus(em)
+    index_path = "/tmp/cherry_ivfpq_trained_index"
+    _sh.rmtree(index_path, ignore_errors=True)
+    codebooks, cents = build_stored_ivfpq_trained_index(
+        fam, index_path, m=8, dim=64, ksub=16, iters=2, n_cells=16,
+        coarse_iters=1,
+    )
+    return query_stored_ivfpq_trained_index(
+        spark,
+        index_path,
+        codebooks,
+        cents,
+        fam.filter(F.col("vec_id") % 100 == 0),
+        k=3,
+        m=8,
+        dim=64,
+        nprobe=1,
+    )
 
 
 def _trained_ivfpq_oracle(
@@ -7853,6 +7969,9 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pq_refine_topk": q_pq_refine_topk,
+    "pq_refine_recall": q_pq_refine_recall,
+    "ivf_pq_trained_stored": q_ivf_pq_trained_stored,
     "ivf_pq_trained_topk": q_ivf_pq_trained_topk,
     "ivf_pq_trained_recall": q_ivf_pq_trained_recall,
     "stream_near_dedup_e2e": q_stream_near_dedup_e2e,
@@ -8043,6 +8162,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
 _ORACLES: dict[str, str] = {
+    "pq_refine_topk": ORACLE_PQ_REFINE_TOPK,
+    "pq_refine_recall": ORACLE_PQ_REFINE_RECALL,
+    # reused verbatim: the stored round-trip must change nothing
+    "ivf_pq_trained_stored": ORACLE_IVF_PQ_TRAINED_TOPK,
     "ivf_pq_trained_topk": ORACLE_IVF_PQ_TRAINED_TOPK,
     "ivf_pq_trained_recall": ORACLE_IVF_PQ_TRAINED_RECALL,
     "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
@@ -8252,6 +8375,7 @@ BUILD_TIME_QUERIES = {
     "upsert_merge",
     "incremental_rollup",
     "ivf_pq_stored",
+    "ivf_pq_trained_stored",
     # the LM scorers materialize eagerly inside the operator (the
     # round-10 cache-lifetime fix: compute, checkpoint the doc-level
     # result, release the corpus-scale cache) — so their work happens

@@ -1132,6 +1132,217 @@ def query_stored_ivfpq_index(
     )
 
 
+def _trained_cells_and_residuals(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells: int,
+    coarse_iters: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared head of the trained-IVF-PQ family: k-means cells
+    (deterministic Lloyd, final-centroid assignment) + exact-float
+    residuals.  Returns ``(cents, resid)`` with ``cents =
+    (cluster_id, centroid)`` checkpointed and ``resid = (id, cell,
+    _r)`` checkpointed."""
+    from cherry_pipelines_spark.operators.clustering import (
+        _lloyd,
+        assign_clusters,
+    )
+
+    _, cents = _lloyd(df, vec_col, id_col, n_cells, coarse_iters)
+    cents = cents.localCheckpoint(eager=False)
+    assigned = assign_clusters(df, cents, vec_col, id_col, k_hint=n_cells)
+    cent_cols = cents.select(
+        F.col("cluster_id").alias("cell"), F.col("centroid").alias("_cent")
+    )
+    resid = (
+        assigned.join(
+            F.broadcast(cent_cols), assigned["cluster_id"] == cent_cols["cell"]
+        )
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(F.col("_v"), F.col("_cent"), lambda a, b: a - b).alias("_r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return cents, resid
+
+
+def _trained_probe_lut(
+    queries: DataFrame,
+    cents: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    dim: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared query side of the trained-IVF-PQ family: assign each
+    query its ``nprobe`` nearest cells (6-dp-rounded distance, ties to
+    the lower cell id) and build the per-(query, cell) residual ADC
+    LUT.  Returns ``(query_id, cell, sub, code, partial)``.  All joins
+    broadcast (cents = n_cells rows, codebooks = m·ksub rows) so the
+    subtree stays shuffle-free — the property that keeps the lutc
+    broadcast reusable for the stored leg's dynamic partition
+    pruning."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+    )
+    cent_row = cents.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cluster_id"), F.col("centroid")))
+        ).alias("cents")
+    )
+
+    # nprobe nearest cells selected MAP-SIDE: score every centroid in
+    # the broadcast array, array_sort on (rounded distance, cell) —
+    # struct order gives the same (d asc, cell asc) verdict as a
+    # row_number window — and slice the first nprobe.  Deliberately
+    # not a window: a window puts a shuffle in the LUT subtree, and a
+    # shuffle stage below the lutc broadcast makes AQE degenerate the
+    # stored leg's dynamic-partition-pruning filter to `true` (the
+    # same failure mode the codebook broadcast fix closed — caught
+    # again by the trained-stored metrics gate).
+    def cell_dist(c: Column) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_q"), c["centroid"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            cell_dist(c).alias("_d"),
+            c["cluster_id"].alias("cell"),
+            c["centroid"].alias("_cent"),
+        ),
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_row))
+        .select(
+            "query_id",
+            "_q",
+            F.explode(F.slice(F.array_sort(scored), 1, nprobe)).alias("_p"),
+        )
+        .select(
+            "query_id",
+            F.col("_p.cell").alias("cell"),
+            F.zip_with(
+                F.col("_q"), F.col("_p._cent"), lambda a, b: a - b
+            ).alias("_rq"),
+        )
+    )
+    sd = dim // m
+    qsubs = probes.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).cast("long").alias("sub"),
+                        F.slice("_rq", s * sd + 1, sd).alias("_qs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select(
+        "query_id", "cell", F.col("x.sub").alias("sub"), F.col("x._qs").alias("_qs")
+    )
+    return qsubs.join(F.broadcast(codebooks), "sub").select(
+        "query_id",
+        "cell",
+        "sub",
+        F.col("cluster_id").alias("code"),
+        _pq_partial(F.col("_qs"), F.col("centroid")).alias("partial"),
+    )
+
+
+def build_stored_ivfpq_trained_index(
+    df: DataFrame,
+    path: str,
+    m: int = 8,
+    dim: int = 64,
+    ksub: int = 16,
+    iters: int = 2,
+    n_cells: int = 16,
+    coarse_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Persist the TRAINED-cell residual IVF-PQ index: rows
+    ``(id, sub, code)`` under ``cell=…`` partition directories —
+    trained k-means cells instead of lattice coordinates, residual
+    codes instead of raw-vector codes (see :func:`ivf_pq_topk_trained`
+    for why both matter).  Because trained cells follow the data, the
+    directory layout is BALANCED (~|corpus|/n_cells rows per dir) and
+    an nprobe probe reads exactly nprobe of n_cells directories — the
+    lattice layout's selectivity depends on where the corpus happens
+    to fall on the grid (the unit-norm fixture collapses to 4 cells).
+    Returns ``(codebooks, cents)`` — together m·ksub + n_cells rows,
+    the whole index metadata, both broadcastable."""
+    cents, resid = _trained_cells_and_residuals(
+        df, vec_col, id_col, n_cells, coarse_iters
+    )
+    codebooks = pq_train(resid, "_r", id_col, m, dim, ksub, iters).localCheckpoint(
+        eager=False
+    )
+    codes = pq_encode(resid, codebooks, "_r", id_col, m, dim)
+    (
+        codes.join(resid.select(id_col, "cell"), id_col)
+        .write.partitionBy("cell")
+        .parquet(path)
+    )
+    return codebooks, cents
+
+
+def query_stored_ivfpq_trained_index(
+    spark,
+    path: str,
+    codebooks: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 8,
+    dim: int = 64,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Answer queries from a :func:`build_stored_ivfpq_trained_index`
+    layout: the probe's nprobe nearest cells join the scan's ``cell``
+    partition column against a broadcast LUT, so dynamic partition
+    pruning reads exactly the probed directories (runtime-metrics
+    gated in tests/test_plan_shapes.py, like the lattice stored leg).
+    Results are bit-identical to the inline
+    :func:`ivf_pq_topk_trained`."""
+    index = spark.read.parquet(path)
+    lut = _trained_probe_lut(
+        queries, cents, codebooks, vec_col, id_col, m, dim, nprobe
+    )
+    dists = (
+        index.join(F.broadcast(lut), ["cell", "sub", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("partial").cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col).asc())
+    return (
+        dists.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adc_dist", "rank")
+    )
+
+
 def ivf_pq_topk_trained(
     df: DataFrame,
     k: int = 5,
@@ -1182,105 +1393,25 @@ def ivf_pq_topk_trained(
     Per-query cost tracks the probed cells' population — |corpus|/n_cells
     per probe in expectation, and n_cells scales with the corpus (the
     standard sqrt(n) rule) at 100 TB."""
-    from cherry_pipelines_spark.operators.clustering import (
-        _lloyd,
-        assign_clusters,
-    )
-
     if query_filter is None:
         query_filter = F.col(id_col) % 100 == 0
     if nprobe < 1:
         raise ValueError("nprobe must be >= 1")
-    # --- coarse quantizer: k-means cells, final-centroid assignment ---
-    _, cents = _lloyd(df, vec_col, id_col, n_cells, coarse_iters)
-    cents = cents.localCheckpoint(eager=False)  # n_cells rows
-    assigned = assign_clusters(df, cents, vec_col, id_col, k_hint=n_cells)
-    cent_cols = cents.select(
-        F.col("cluster_id").alias("cell"), F.col("centroid").alias("_cent")
+    # coarse k-means cells + residuals, then PQ on residuals (the
+    # shared deterministic contract); the stored leg
+    # (build_stored_ivfpq_trained_index / query_stored_ivfpq_trained_
+    # index) reuses the SAME helpers, so inline and stored results are
+    # identical by construction
+    cents, resid = _trained_cells_and_residuals(
+        df, vec_col, id_col, n_cells, coarse_iters
     )
-    # --- residuals: v − centroid(cell), exact float subtraction ---
-    resid = (
-        assigned.join(F.broadcast(cent_cols), assigned["cluster_id"] == cent_cols["cell"])
-        .select(
-            F.col(id_col),
-            F.col("cell"),
-            F.zip_with(F.col("_v"), F.col("_cent"), lambda a, b: a - b).alias("_r"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    # --- PQ on residuals (shared deterministic contract) ---
     codebooks = pq_train(resid, "_r", id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False
     )
     codes = pq_encode(resid, codebooks, "_r", id_col, m, dim)
     indexed = codes.join(resid.select(id_col, "cell"), id_col)
-    # --- query probes: nprobe nearest cells by 6-dp-rounded distance ---
-    q = df.filter(query_filter).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_q"),
-    )
-    cent_row = cents.agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("cluster_id"), F.col("centroid")))
-        ).alias("cents")
-    )
-    qcell = (
-        q.crossJoin(F.broadcast(cent_row))
-        .select(
-            "query_id",
-            "_q",
-            F.explode("cents").alias("_c"),
-        )
-        .select(
-            "query_id",
-            "_q",
-            F.col("_c.cluster_id").alias("cell"),
-            F.col("_c.centroid").alias("_cent"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_q"), F.col("_c.centroid"), lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("_d"),
-        )
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(F.col("_d"), F.col("cell"))
-    probes = (
-        qcell.withColumn("_pr", F.row_number().over(wprobe))
-        .filter(F.col("_pr") <= nprobe)
-        .select(
-            "query_id",
-            "cell",
-            F.zip_with(F.col("_q"), F.col("_cent"), lambda a, b: a - b).alias("_rq"),
-        )
-    )
-    # --- per-(query, cell) LUT over the residual codebooks ---
-    sd = dim // m
-    qsubs = probes.select(
-        "query_id",
-        "cell",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).cast("long").alias("sub"),
-                        F.slice("_rq", s * sd + 1, sd).alias("_qs"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("x"),
-    ).select("query_id", "cell", F.col("x.sub").alias("sub"), F.col("x._qs").alias("_qs"))
-    lut = qsubs.join(codebooks, "sub").select(
-        "query_id",
-        "cell",
-        "sub",
-        F.col("cluster_id").alias("code"),
-        _pq_partial(F.col("_qs"), F.col("centroid")).alias("partial"),
+    lut = _trained_probe_lut(
+        df.filter(query_filter), cents, codebooks, vec_col, id_col, m, dim, nprobe
     )
     dists = (
         indexed.join(F.broadcast(lut), ["cell", "sub", "code"])
@@ -1294,6 +1425,80 @@ def ivf_pq_topk_trained(
         dists.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "adc_dist", "rank")
+    )
+
+
+def pq_refine_topk(
+    df: DataFrame,
+    k: int = 3,
+    candidates: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_filter: Column | None = None,
+    m: int = 8,
+    dim: int = 64,
+    ksub: int = 16,
+    iters: int = 2,
+    exclude_self: bool = False,
+    scale: int = 6,
+) -> DataFrame:
+    """PQ/ADC shortlist + EXACT re-rank (Faiss' IndexRefineFlat over a
+    PQ index): the m-byte codes scan the whole corpus and keep the top
+    ``candidates`` per query, then ONLY those ``candidates`` raw
+    vectors are read back for exact squared-L2 re-ranking.  The
+    standard answer when code-level recall saturates: on the
+    near-random adversarial fixture raw ADC recall@3 is 0.40 and no
+    amount of probing fixes it (quantization noise ~ neighbor-distance
+    spread), while refine at a FIXED budget of 64 exact distances per
+    query reaches 0.80 at sf0.01 — the budget is constant in corpus
+    size, so the refine stage stays O(|Q|·C) reads at 100 TB while the
+    scan stage keeps the 4·dim/m memory compression.
+
+    Plan shape: the candidate list (|Q|·C id pairs — scalars) and the
+    query vectors broadcast; the corpus is scanned once by the ADC
+    stage (codes only) and once more by a broadcast-semi-joined
+    vector fetch restricted to candidate ids (at deployment this is
+    the point lookup the id-keyed vector store exists for).  Exact
+    distances use the same 6-dp HALF_UP fold as :func:`l2_topk`; ties
+    break on neighbor id."""
+    if query_filter is None:
+        query_filter = F.col(id_col) % 100 == 0
+    cand = pq_topk(
+        df, k=candidates, vec_col=vec_col, id_col=id_col,
+        query_filter=query_filter, m=m, dim=dim, ksub=ksub, iters=iters,
+        exclude_self=exclude_self,
+    ).select("query_id", F.col(id_col).alias("neighbor_id"))
+    corp = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+    )
+    qv = df.filter(query_filter).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    scored = (
+        corp.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "dist",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_qv"), F.col("_nv"), lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                scale,
+            ),
+        )
+        .drop("_qv", "_nv")
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "dist", "rank")
     )
 
 

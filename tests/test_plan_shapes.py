@@ -1017,3 +1017,56 @@ def test_stored_ivfpq_probe_prunes_partitions(spark, tmp_path):
     assert static_files >= 32, m0
     assert read_files <= 9, m0
     assert read_files < static_files / 3, m0
+
+
+def test_stored_trained_ivfpq_probe_prunes_partitions(spark, tmp_path):
+    """Trained-cell stored layout: an nprobe=1 probe for one query must
+    read exactly ONE of the n_cells partition directories (runtime
+    numFiles metric), with a live dynamicpruning partition filter —
+    and trained cells guarantee the layout is balanced, so the gate is
+    sharper than the lattice leg's (whose cell count depends on where
+    the corpus falls on the grid)."""
+    from pyspark.sql import functions as F
+
+    from cherry_pipelines_spark.operators.similarity import (
+        build_stored_ivfpq_trained_index,
+        query_stored_ivfpq_trained_index,
+    )
+
+    import math
+
+    dim, n_cells = 8, 4
+    rows = [
+        (
+            i,
+            [
+                2.0 * math.sin(1 + (i % n_cells) * 0.9 + j * 0.53)
+                + 0.05 * math.sin(7 + i * 0.37 + j * 0.11)
+                for j in range(dim)
+            ],
+        )
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "trained_gate_index")
+    books, cents = build_stored_ivfpq_trained_index(
+        df, path, m=2, dim=dim, ksub=4, iters=1, n_cells=n_cells,
+        coarse_iters=1,
+    )
+    out = query_stored_ivfpq_trained_index(
+        spark, path, books, cents,
+        df.filter(F.col("vec_id") == 0),
+        k=3, m=2, dim=dim, nprobe=1,
+    )
+    assert len(out.collect()) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "probe scan lost its DPP filter"
+    metrics = _scan_metrics(out, ("code#", "cell#"))
+    assert metrics, "index scan not found in executed plan"
+    m0 = metrics[0]
+    static_files = m0.get("staticFilesNum", 0)
+    read_files = m0.get("numFiles", 0)
+    assert static_files >= n_cells, m0  # all cells materialized on disk
+    # one query, nprobe=1 -> exactly one cell directory read
+    assert read_files <= static_files // n_cells + 1, m0
+    assert read_files < static_files, m0

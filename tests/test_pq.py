@@ -328,3 +328,51 @@ def test_trained_ivf_pq_validation(spark):
     )
     with pytest.raises(ValueError, match="nprobe"):
         ivf_pq_topk_trained(df, m=4, dim=8, ksub=4, nprobe=0)
+
+
+def test_pq_refine_beats_raw_adc_recall(spark):
+    """The refine property: exact re-ranking of the ADC top-C shortlist
+    can only improve recall over ADC top-k, and the top-k it returns is
+    the exact-distance order WITHIN the shortlist."""
+    from cherry_pipelines_spark.operators.similarity import (
+        ann_recall,
+        l2_topk,
+        pq_refine_topk,
+        pq_topk,
+    )
+
+    df = spark.createDataFrame(
+        _vecs(80, DIM), "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+    qf = F.col("vec_id") % 10 == 0
+    exact = l2_topk(df, df.filter(qf), k=3)
+    raw = pq_topk(
+        df, k=3, m=M, dim=DIM, ksub=KSUB, query_filter=qf, exclude_self=True
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+    refined = pq_refine_topk(
+        df, k=3, candidates=20, m=M, dim=DIM, ksub=KSUB,
+        query_filter=qf, exclude_self=True,
+    ).select("query_id", "neighbor_id")
+    r_raw = [float(r["recall"]) for r in ann_recall(exact, raw, k=3).collect()]
+    r_ref = [float(r["recall"]) for r in ann_recall(exact, refined, k=3).collect()]
+    assert sum(r_ref) >= sum(r_raw), (r_ref, r_raw)
+    # exactness within the shortlist: with candidates == corpus the
+    # refine result IS the exact top-k
+    full = pq_refine_topk(
+        df, k=3, candidates=80, m=M, dim=DIM, ksub=KSUB,
+        query_filter=qf, exclude_self=True,
+    ).select("query_id", "neighbor_id")
+    ex_pairs = sorted((r["query_id"], r["neighbor_id"]) for r in exact.collect())
+    got_pairs = sorted((r["query_id"], r["neighbor_id"]) for r in full.collect())
+    assert got_pairs == ex_pairs
+
+
+def test_pq_refine_plan_broadcasts_shortlist(spark):
+    from cherry_pipelines_spark.operators.similarity import pq_refine_topk
+
+    df = spark.createDataFrame(_vecs(64, DIM), "vec_id long, embedding array<double>")
+    out = pq_refine_topk(df, k=2, candidates=8, m=M, dim=DIM, ksub=KSUB)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
