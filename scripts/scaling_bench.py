@@ -317,6 +317,41 @@ def _ivf_pq_stored_fixedq(spark, sf_dir: str):
     )
 
 
+def _pq_refine_fixedq(spark, sf_dir: str):
+    """Corpus-scaling twin of the registry ``pq_refine_topk``: fixed
+    copy-0 query workload over a growing corpus.  The ADC scan is
+    linear in the corpus; the refine stage is a CONSTANT |Q|·64 exact
+    distances regardless of scale — the property the operator's
+    docstring claims, measured here."""
+    from cherry_pipelines_spark.operators.similarity import pq_refine_topk
+
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return pq_refine_topk(
+        em, k=3, candidates=64, m=8, dim=64, ksub=16,
+        query_filter=(F.col("vec_id") % 100 == 0) & (F.col("vec_id") < KEY_OFFSET),
+        exclude_self=True,
+    )
+
+
+def _ivf_pq_trained_fixedq(spark, sf_dir: str):
+    """Corpus-scaling twin of the trained IVF-PQ path on the HARNESS
+    corpus (the registry queries run on the derived family fixture,
+    whose id-arithmetic construction does not survive the +k·1e12 key
+    offsets): k-means cells + residual PQ train/encode scale with the
+    corpus, the probe workload is pinned to copy-0 queries.  Expected
+    linear: every training pass is one scan + a tiny aggregate, and
+    per-probe cost is the probed cell's population (cells grow ~K/16
+    here since the trained centroids follow the data)."""
+    from cherry_pipelines_spark.operators.similarity import ivf_pq_topk_trained
+
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_pq_topk_trained(
+        em, k=3, m=8, dim=64, ksub=16, iters=2, n_cells=16, coarse_iters=1,
+        nprobe=1,
+        query_filter=(F.col("vec_id") % 100 == 0) & (F.col("vec_id") < KEY_OFFSET),
+    )
+
+
 def _bloom_filter_wide(spark, sf_dir: str):
     """Production-width Bloom (round-10 verdict #7): n_bits=2^27 (16 MB
     of words — the width a 100 TB ingest-dedup filter actually runs),
@@ -410,6 +445,8 @@ EXTRA_WORKLOADS = {
     "dedup_endgame": _dedup_endgame,
     "ivf_pq_topk_fixedq": _ivf_pq_topk_fixedq,
     "ivf_pq_stored_fixedq": _ivf_pq_stored_fixedq,
+    "pq_refine_fixedq": _pq_refine_fixedq,
+    "ivf_pq_trained_fixedq": _ivf_pq_trained_fixedq,
     "bloom_filter_wide": _bloom_filter_wide,
     "tfidf_doc_pairs_capped": _tfidf_doc_pairs_capped,
     "stream_near_dedup": _stream_near_dedup,
