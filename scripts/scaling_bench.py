@@ -680,14 +680,24 @@ def main() -> int:
         }
         print(f"{name:24s} {secs}  norm_hi={norm_hi}  {verdict}", flush=True)
 
-    # merge into an existing artifact when scales match, so a partial
-    # re-run (--queries x,y) updates rows instead of dropping the rest
+    # ALWAYS merge into an existing artifact, so a partial re-run
+    # (--queries x,y) updates rows instead of dropping the rest.
+    # The old scales-must-match guard silently REPLACED the whole
+    # artifact when a single query was re-laddered at different scales
+    # (round-11: a 3-scale ivf_pq_stored re-run clobbered 27 rows).
+    # A mismatched run keeps the artifact's header and tags its own
+    # rows with a per-row "scales" key — each row's sec dict is
+    # self-describing either way.
     artifact = {"scales": scales, "sf_src": args.sf_src, "queries": results}
     if os.path.exists(args.out):
         try:
             with open(args.out) as f:
                 prev = json.load(f)
-            if prev.get("scales") == scales:
+            if True:
+                if prev.get("scales") and prev["scales"] != scales:
+                    for r in results.values():
+                        r["scales"] = scales
+                    artifact["scales"] = prev["scales"]
                 merged = dict(prev.get("queries", {}))
                 merged.update(results)
                 artifact["queries"] = merged
