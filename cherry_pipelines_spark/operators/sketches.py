@@ -406,7 +406,13 @@ def bloom_probe(
     <= n_bits/32 rows by construction) and each item checks its
     ``n_hashes`` bits with one left join + one keyed aggregate — the
     probe side never shuffles the corpus that built the filter.
-    ``maybe_present`` is true iff ALL bits are set."""
+    ``maybe_present`` is true iff ALL bits are set.
+
+    Width boundary: the broadcast is ~16·n_bits/32 bytes — n_bits=2^27
+    (the measured production row in SCALE.md) broadcasts ~67 MB, well
+    inside executor memory; past ~2^33 bits drop the ``F.broadcast``
+    hint and let the word join shuffle (the probe side hashes on
+    word_idx, still one pass)."""
     ipos = items.select(
         F.col(id_col),
         F.explode(bloom_positions(key, n_bits, n_hashes)).alias("pos"),
