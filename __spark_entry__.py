@@ -7474,7 +7474,9 @@ def q_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL to the inline `ivf_pq_topk` — the oracle is reused
     verbatim, so the driver certifies the storage round-trip changes
     nothing."""
+    import hashlib as _hl
     import shutil as _sh
+    import tempfile as _tf
 
     from cherry_pipelines_spark.operators.similarity import (
         build_stored_ivfpq_index,
@@ -7482,7 +7484,13 @@ def q_ivf_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (em,) = _load(spark, sf_dir, "embeddings")
-    index_path = "/tmp/cherry_ivfpq_index"
+    # per-fixture hashed scratch: a fixed shared path would let two
+    # concurrent harness sessions (bench overlapping a verification
+    # run) rmtree each other's index mid-probe
+    index_path = os.path.join(
+        _tf.gettempdir(),
+        "cherry_ivfpq_index_" + _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
     _sh.rmtree(index_path, ignore_errors=True)
     codebooks = build_stored_ivfpq_index(
         em, index_path, m=8, dim=64, ksub=16, iters=2, n_components=2, grid=0.5
@@ -7615,7 +7623,8 @@ pts2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 qv2 AS (SELECT vec_id AS query_id, v AS qv FROM pts2 WHERE vec_id % 100 = 0),
 rd AS (SELECT c.query_id, c.neighbor_id,
               round(list_sum([(q.qv[j] - e.v[j]) * (q.qv[j] - e.v[j])
-                              for j in generate_series(1, len(q.qv))]), 6) AS dist
+                              for j in generate_series(1, len(q.qv))]), 6)
+                ::DECIMAL(18,6) AS dist
        FROM cands c
        JOIN pts2 e ON e.vec_id = c.neighbor_id
        JOIN qv2 q ON q.query_id = c.query_id),
@@ -7792,7 +7801,9 @@ def q_ivf_pq_trained_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be IDENTICAL to the inline `ivf_pq_topk_trained` — the oracle
     is reused verbatim (and the two legs share their cell/residual/LUT
     helpers, so parity is by construction, then certified anyway)."""
+    import hashlib as _hl
     import shutil as _sh
+    import tempfile as _tf
 
     from cherry_pipelines_spark.operators.similarity import (
         build_stored_ivfpq_trained_index,
@@ -7801,7 +7812,11 @@ def q_ivf_pq_trained_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (em,) = _load(spark, sf_dir, "embeddings")
     fam = _family_corpus(em)
-    index_path = "/tmp/cherry_ivfpq_trained_index"
+    # per-fixture hashed scratch (see q_ivf_pq_stored)
+    index_path = os.path.join(
+        _tf.gettempdir(),
+        "cherry_ivfpq_trained_" + _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
     _sh.rmtree(index_path, ignore_errors=True)
     codebooks, cents = build_stored_ivfpq_trained_index(
         fam, index_path, m=8, dim=64, ksub=16, iters=2, n_cells=16,

@@ -441,9 +441,12 @@ def decode_instructions_multi(
     the fused form of per-branch ``decode_instructions_df`` chains.
 
     ``kinds`` is a list of ``(key, programs, sig)`` or ``(key,
-    programs, sig, drop_params)`` tuples: a row belongs to the first
-    kind whose program set contains its ``program_id`` and whose
-    discriminator prefixes its data.  Output is the fused frame
+    programs, sig, drop_params)`` tuples: a row belongs to EVERY kind
+    whose program set contains its ``program_id`` and whose
+    discriminator prefixes its data — identical routing to the
+    independent per-branch filters it replaces (overlapping kinds,
+    e.g. one discriminator a prefix of another, decode the row under
+    both).  Output is the fused frame
     ``<passthrough> + a0..a9 + rest_of_accounts + _kind +
     <key>__<param> ...`` — feed it to :func:`split_decoded` (after a
     per-batch cache, so the Python stage executes once) for per-kind
@@ -462,6 +465,8 @@ def decode_instructions_multi(
     differential pytest."""
     from pyspark.sql import functions as F
 
+    if not kinds:
+        raise ValueError("decode_instructions_multi: kinds must be non-empty")
     norm = [
         (k[0], tuple(k[1]), _trim_sig(k[2], k[3] if len(k) > 3 else ()))
         for k in kinds
@@ -504,17 +509,22 @@ def decode_instructions_multi(
                 continue
             prog = pdf["program_id"].to_numpy()
             data = pdf[data_col].to_numpy()
-            claimed = np.zeros(n, dtype=bool)
             frames = []
             for key, progs, sig, layout, pnames in kind_meta:
                 disc = sig.discriminator
                 dl = len(disc)
+                # every kind sees every row, EXACTLY like the
+                # per-branch decode_instructions_df chain it replaces:
+                # a row whose (program, data) matches two kinds (one
+                # discriminator a prefix of another) decodes under
+                # BOTH — a first-match-wins claim here would silently
+                # drop rows from the later kind and break the
+                # fused-vs-per-branch parity contract (pinned by the
+                # overlapping-kinds differential test)
                 mask = np.fromiter(
                     (
-                        (not c)
-                        and (p in progs)
-                        and bytes(d[:dl]) == disc
-                        for c, p, d in zip(claimed, prog, data)
+                        (p in progs) and bytes(d[:dl]) == disc
+                        for p, d in zip(prog, data)
                     ),
                     bool,
                     count=n,
@@ -522,7 +532,6 @@ def decode_instructions_multi(
                 idx = np.nonzero(mask)[0]
                 if not len(idx):
                     continue
-                claimed[idx] = True  # first matching kind wins
                 sub = data[idx]
                 if layout is not None:
                     fw = sum(e[2] for e in layout)

@@ -989,6 +989,14 @@ def pq_topk(
         # recall-grading posture: rank only true neighbors, matching
         # l2_topk's self-exclusion
         dists = dists.filter(F.col("query_id") != F.col(id_col))
+    return _adc_topk(dists, k, id_col)
+
+
+def _adc_topk(dists: DataFrame, k: int, id_col: str) -> DataFrame:
+    """The shared ADC ranking tail: per-query top-k ordered by
+    (adc_dist asc, id asc).  One definition for the inline, trained,
+    and both stored legs — the bit-identical contracts between those
+    legs depend on this tail never diverging."""
     w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col).asc())
     return (
         dists.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1124,12 +1132,7 @@ def query_stored_ivfpq_index(
         .groupBy("query_id", id_col)
         .agg(F.sum("partial").cast("double").alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col).asc())
-    return (
-        dists.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "adc_dist", "rank")
-    )
+    return _adc_topk(dists, k, id_col)
 
 
 def _trained_cells_and_residuals(
@@ -1187,6 +1190,10 @@ def _trained_probe_lut(
     subtree stays shuffle-free — the property that keeps the lutc
     broadcast reusable for the stored leg's dynamic partition
     pruning."""
+    if dim % m != 0:
+        # same contract as _pq_subrows: an indivisible dim would
+        # silently truncate the residual tail in the slices below
+        raise ValueError(f"dim {dim} not divisible by m {m}")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_q"),
@@ -1276,7 +1283,7 @@ def build_stored_ivfpq_trained_index(
     ksub: int = 16,
     iters: int = 2,
     n_cells: int = 16,
-    coarse_iters: int = 1,
+    coarse_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> tuple[DataFrame, DataFrame]:
@@ -1290,7 +1297,11 @@ def build_stored_ivfpq_trained_index(
     lattice layout's selectivity depends on where the corpus happens
     to fall on the grid (the unit-norm fixture collapses to 4 cells).
     Returns ``(codebooks, cents)`` — together m·ksub + n_cells rows,
-    the whole index metadata, both broadcastable."""
+    the whole index metadata, both broadcastable.
+
+    Defaults mirror :func:`ivf_pq_topk_trained` parameter-for-parameter
+    so the stored/inline bit-identical contract holds under DEFAULT
+    arguments, not just when call sites pin everything."""
     cents, resid = _trained_cells_and_residuals(
         df, vec_col, id_col, n_cells, coarse_iters
     )
@@ -1335,12 +1346,7 @@ def query_stored_ivfpq_trained_index(
         .groupBy("query_id", id_col)
         .agg(F.sum("partial").cast("double").alias("adc_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col).asc())
-    return (
-        dists.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "adc_dist", "rank")
-    )
+    return _adc_topk(dists, k, id_col)
 
 
 def ivf_pq_topk_trained(
@@ -1420,12 +1426,7 @@ def ivf_pq_topk_trained(
     )
     if exclude_self:
         dists = dists.filter(F.col("query_id") != F.col(id_col))
-    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col).asc())
-    return (
-        dists.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "adc_dist", "rank")
-    )
+    return _adc_topk(dists, k, id_col)
 
 
 def pq_refine_topk(
@@ -1490,7 +1491,9 @@ def pq_refine_topk(
                     lambda acc, x: acc + x,
                 ),
                 scale,
-            ),
+            # decimal, exactly like l2_topk's dist — the two exact-
+            # distance operators must stay union/join-compatible
+            ).cast(f"decimal(18,{scale})"),
         )
         .drop("_qv", "_nv")
     )
@@ -1595,9 +1598,4 @@ def ivf_pq_topk(
     )
     if exclude_self:
         dists = dists.filter(F.col("query_id") != F.col(id_col))
-    w = Window.partitionBy("query_id").orderBy("adc_dist", F.col(id_col).asc())
-    return (
-        dists.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "adc_dist", "rank")
-    )
+    return _adc_topk(dists, k, id_col)

@@ -693,29 +693,28 @@ def main() -> int:
         try:
             with open(args.out) as f:
                 prev = json.load(f)
-            if True:
-                if prev.get("scales") and prev["scales"] != scales:
-                    for r in results.values():
-                        r["scales"] = scales
-                    artifact["scales"] = prev["scales"]
-                merged = dict(prev.get("queries", {}))
-                merged.update(results)
-                artifact["queries"] = merged
-                my_proto = (
-                    next(iter(results.values()))["protocol"] if results else None
+            if prev.get("scales") and prev["scales"] != scales:
+                for r in results.values():
+                    r["scales"] = scales
+                artifact["scales"] = prev["scales"]
+            merged = dict(prev.get("queries", {}))
+            merged.update(results)
+            artifact["queries"] = merged
+            my_proto = (
+                next(iter(results.values()))["protocol"] if results else None
+            )
+            mixed = [
+                n
+                for n, r in merged.items()
+                if results and n not in results and r.get("protocol") != my_proto
+            ]
+            if mixed:
+                print(
+                    "WARNING: merged artifact mixes measurement "
+                    f"protocols — rows {mixed} carry a different "
+                    f"(or no) protocol tag than this run's {my_proto}",
+                    flush=True,
                 )
-                mixed = [
-                    n
-                    for n, r in merged.items()
-                    if results and n not in results and r.get("protocol") != my_proto
-                ]
-                if mixed:
-                    print(
-                        "WARNING: merged artifact mixes measurement "
-                        f"protocols — rows {mixed} carry a different "
-                        f"(or no) protocol tag than this run's {my_proto}",
-                        flush=True,
-                    )
         except (json.JSONDecodeError, OSError):
             pass
     with open(args.out, "w") as f:

@@ -346,3 +346,68 @@ def test_multi_decode_matches_per_branch(spark):
         drop_params=("blob",),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_multi_decode_overlapping_kinds_decode_under_both(spark):
+    """Parity under OVERLAP: when one kind's discriminator is a prefix
+    of another's (same program), a matching row must decode under BOTH
+    kinds — exactly like the independent per-branch filters the fused
+    form replaces (a first-match-wins claim would silently drop rows
+    from the longer-discriminator kind)."""
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    prog = b"PROG_O" + b"\x00" * 26
+    sig_short = B.InstructionSignature(
+        discriminator=b"\x03",
+        params=(B.ParamInput("x", B.U64()),),
+        accounts_names=("a",),
+    )
+    sig_long = B.InstructionSignature(
+        discriminator=b"\x03\x01",
+        params=(B.ParamInput("y", B.U32()),),
+        accounts_names=("b",),
+    )
+    rows = [
+        # matches BOTH: starts \x03\x01, long enough for either layout
+        (1, 0, [0], b"A", prog, b"\x03\x01" + _s.pack("<I", 9) + b"\x00" * 3),
+        # matches only the short kind
+        (1, 1, [0], b"B", prog, b"\x03\x02" + b"\x00" * 7),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("block_slot", T.LongType()),
+            T.StructField("transaction_index", T.LongType()),
+            T.StructField("instruction_address", T.ArrayType(T.IntegerType())),
+            T.StructField("a0", T.BinaryType()),
+            T.StructField("program_id", T.BinaryType()),
+            T.StructField("data", T.BinaryType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    pt = ("block_slot", "transaction_index", "instruction_address")
+    kinds = [("short", (prog,), sig_short), ("long", (prog,), sig_long)]
+    split = B.split_decoded(
+        B.decode_instructions_multi(df, kinds, passthrough=pt), kinds, passthrough=pt
+    )
+    for key, progs, sig in kinds:
+        branch = df.filter(
+            F.col("program_id").isin([*progs])
+            & F.col("data").startswith(F.lit(sig.discriminator))
+        )
+        want = sorted(
+            map(tuple, B.decode_instructions_df(branch, sig, passthrough=pt).collect())
+        )
+        got = sorted(map(tuple, split[key].collect()))
+        assert got == want, (key, got, want)
+    assert split["short"].count() == 2  # both rows
+    assert split["long"].count() == 1  # the overlap row, not dropped
+
+
+def test_multi_decode_empty_kinds_raises(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, b"x", b"y")], "block_slot long, program_id binary, data binary")
+    with _pt.raises(ValueError, match="non-empty"):
+        B.decode_instructions_multi(df, [])
