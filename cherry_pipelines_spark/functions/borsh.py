@@ -467,6 +467,13 @@ def decode_instructions_multi(
 
     if not kinds:
         raise ValueError("decode_instructions_multi: kinds must be non-empty")
+    if len({k[0] for k in kinds}) != len(kinds):
+        # Duplicate keys would emit duplicate "<key>__<param>" schema
+        # fields; split_decoded's select on them would be ambiguous.
+        raise ValueError(
+            "decode_instructions_multi: kind keys must be unique, got "
+            + repr(sorted(k[0] for k in kinds))
+        )
     norm = [
         (k[0], tuple(k[1]), _trim_sig(k[2], k[3] if len(k) > 3 else ()))
         for k in kinds

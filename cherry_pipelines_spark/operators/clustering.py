@@ -406,6 +406,11 @@ def kcenter_select(
     the candidate frame, so ``k`` larger than the distinct usable
     point count stops early instead of re-selecting with gap 0.
 
+    NOTE the early stop is a row-count contract: the result has
+    ``min(k, usable_points)`` rows, NOT always k — callers that index
+    by rank must check the count (a ``UserWarning`` is emitted when
+    fewer than k rows are returned).
+
     Scale shape: k − 1 rounds, each ONE corpus scan — the running
     min-distance column updates map-side against the new center (a
     driver-held literal, the same bounded 1-row-per-round collect
@@ -466,6 +471,14 @@ def kcenter_select(
         if far["i"] is None or far["d"] is None:
             # candidates exhausted (k > usable point count) or only
             # NULL-distance rows remain — stop instead of re-selecting
+            import warnings
+
+            warnings.warn(
+                f"kcenter_select: stopped at {len(sel)} of k={k} rows "
+                "(candidates exhausted)",
+                UserWarning,
+                stacklevel=2,
+            )
             break
         sel.append((rank, far["i"], float(far["d"])))
         nv = F.array(*[F.lit(float(x)) for x in far["v"]])

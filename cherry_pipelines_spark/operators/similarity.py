@@ -1079,8 +1079,12 @@ def query_stored_ivfpq_index(
     partition-pruning filter and the scan reads only the probed cells'
     directories (``numFiles < staticFilesNum`` in the scan metrics —
     gated in tests/test_plan_shapes.py).  Results are bit-identical to
-    the inline :func:`ivf_pq_topk` (driver-certified by the reused
-    oracle)."""
+    the inline :func:`ivf_pq_topk` AT MATCHING PARAMETERS (this leg's
+    defaults — m=8/ksub=16/probe_radius=1, the production-width dial —
+    deliberately differ from the inline leg's m=2/ksub=4/radius=0
+    smoke defaults, so call sites must pin m/ksub/grid/radius on both
+    sides to invoke the equivalence; driver-certified by the reused
+    oracle at pinned parameters)."""
     import itertools
 
     comp_names = [f"c{i}" for i in range(n_components)]

@@ -478,8 +478,14 @@ def bigram_lm_scores(
     id_col: str = "doc_id",
     materialize: bool = True,
 ) -> DataFrame:
-    """Character-bigram language-model quality score — the classic
-    cheap LLM-data gibberish filter: train an MLE char-bigram model on
+    """Character-bigram language-model quality score.  EAGER BY
+    DEFAULT: with ``materialize=True`` this runs a Spark job AT CALL
+    TIME and returns a localCheckpoint-ed, lineage-free frame (it
+    cannot recompute after executor loss; pass ``materialize=False``
+    to compose it into a lazy plan and own the cache lifetime).
+
+    The classic cheap LLM-data gibberish filter: train an MLE
+    char-bigram model on
     the corpus itself, score every document by the average
     log-probability of its bigrams.  Low scores flag encoding garbage,
     random strings, and wrong-alphabet text; thresholding is the
@@ -848,8 +854,14 @@ def trigram_lm_scores(
     l1: float = 0.1,
     materialize: bool = True,
 ) -> DataFrame:
-    """Interpolated word-trigram language-model score — the
-    KenLM-shaped fluency filter one step up from ``bigram_lm_scores``:
+    """Interpolated word-trigram language-model score.  EAGER BY
+    DEFAULT: with ``materialize=True`` this runs a Spark job AT CALL
+    TIME and returns a localCheckpoint-ed, lineage-free frame (pass
+    ``materialize=False`` for the lazy plan; the caller then owns the
+    corpus-scale cache lifetime).
+
+    The KenLM-shaped fluency filter one step up from
+    ``bigram_lm_scores``:
     train MLE trigram/bigram/unigram models on the corpus itself and
     score every document by the average log of the interpolated
     probability  λ3·P(w3|w1w2) + λ2·P(w3|w2) + λ1·P(w3).

@@ -697,7 +697,18 @@ def main() -> int:
                 for r in results.values():
                     r["scales"] = scales
                 artifact["scales"] = prev["scales"]
+                # The header now describes the PREV run's rows, so its
+                # sf_src must travel with it — this run's rows carry
+                # their own scales tag (sf_src is shared per protocol).
+                if prev.get("sf_src"):
+                    artifact["sf_src"] = prev["sf_src"]
             merged = dict(prev.get("queries", {}))
+            if not prev.get("scales"):
+                # Pre-"scales"-key artifact: its rows' measurement
+                # scales are UNKNOWN — tag them None rather than let
+                # them inherit this run's header scales silently.
+                for r in merged.values():
+                    r.setdefault("scales", None)
             merged.update(results)
             artifact["queries"] = merged
             my_proto = (

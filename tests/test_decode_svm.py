@@ -411,3 +411,14 @@ def test_multi_decode_empty_kinds_raises(spark):
     df = spark.createDataFrame([(1, b"x", b"y")], "block_slot long, program_id binary, data binary")
     with _pt.raises(ValueError, match="non-empty"):
         B.decode_instructions_multi(df, [])
+
+
+def test_multi_decode_duplicate_keys_raise(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, b"x", b"y")], "block_slot long, program_id binary, data binary"
+    )
+    sig = B.InstructionSignature(b"\x01", (B.ParamInput("amount", B.U64()),), ())
+    with _pt.raises(ValueError, match="unique"):
+        B.decode_instructions_multi(df, [("k", [b"x"], sig), ("k", [b"x"], sig)])
