@@ -7835,6 +7835,61 @@ def q_ivf_pq_trained_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the stored trained IVF-PQ index
+    (`similarity.append_stored_ivfpq_trained_index`) — the round-11
+    verdict's top item: a 100 TB corpus arrives in batches, so the
+    production pattern is train ONCE on the day-0 base, then append
+    each new batch encoded with the FROZEN cells + codebooks
+    (O(|batch|), map-only, zero shuffle of the base index), never
+    retrain-and-rewrite.  Here the family corpus splits 80/20 on
+    ``vec_id % 5``: the base batch trains and builds the index, the
+    20% batch appends with frozen metadata, and the probe runs over
+    base+appended.  The oracle replays exactly that: Lloyd + PQ
+    codebooks trained on the BASE rows only, encode/assign over the
+    FULL corpus — so a hash match certifies the frozen-metadata append
+    end-to-end (several queries' true family mates live in the
+    appended batch, so append visibility is load-bearing, not
+    decorative)."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from cherry_pipelines_spark.operators.similarity import (
+        append_stored_ivfpq_trained_index,
+        build_stored_ivfpq_trained_index,
+        query_stored_ivfpq_trained_index,
+    )
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    fam = _family_corpus(em)
+    base = fam.filter(F.col("vec_id") % 5 != 4)
+    batch = fam.filter(F.col("vec_id") % 5 == 4)
+    index_path = os.path.join(
+        _tf.gettempdir(),
+        "cherry_ivfpq_append_" + _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    _sh.rmtree(index_path, ignore_errors=True)
+    codebooks, cents = build_stored_ivfpq_trained_index(
+        base, index_path, m=8, dim=64, ksub=16, iters=2, n_cells=16,
+        coarse_iters=1,
+    )
+    append_stored_ivfpq_trained_index(
+        batch, index_path, codebooks, cents, m=8, dim=64
+    )
+    return query_stored_ivfpq_trained_index(
+        spark,
+        index_path,
+        codebooks,
+        cents,
+        fam.filter(F.col("vec_id") % 100 == 0),
+        k=3,
+        m=8,
+        dim=64,
+        nprobe=1,
+    )
+
+
 def _trained_ivfpq_oracle(
     m: int = 8,
     dim: int = 64,
@@ -7844,13 +7899,25 @@ def _trained_ivfpq_oracle(
     nprobe: int = 1,
     exclude_self: bool = False,
     coarse_iters: int = 1,
+    train_filter: str | None = None,
 ) -> str:
     """DuckDB mirror of ``similarity.ivf_pq_topk_trained`` over the
     family corpus: coarse 2-iteration Lloyd unroll + final assignment,
     residual CTE, per-subspace residual-PQ train/encode (the
     `_pq_oracle` block pattern re-sourced to residuals), nprobe
-    nearest-cell probe, per-(query, cell) LUT, decimal ADC."""
+    nearest-cell probe, per-(query, cell) LUT, decimal ADC.
+
+    ``train_filter`` (a SQL predicate on ``vec_id``) restricts the
+    TRAINING corpus — Lloyd init/iterations and the PQ codebook
+    train — while the ENCODE side (final cell assignment, residuals,
+    codes) still covers the full corpus: exactly the incremental-append
+    semantics of ``append_stored_ivfpq_trained_index`` (day-0 training
+    on the base batch, frozen-metadata encoding of everything)."""
     sd = dim // m
+    train_src = (
+        f"(SELECT * FROM corpus WHERE {train_filter})" if train_filter else "corpus"
+    )
+    train_where = f" WHERE {train_filter}" if train_filter else ""
     sq = (
         "round(list_sum([({v}[j] - {c}[j]) * ({v}[j] - {c}[j])"
         " for j in generate_series(1, len({v}))]), 6)"
@@ -7865,7 +7932,7 @@ def _trained_ivfpq_oracle(
         lloyd_blocks.append(
             f"""
 gd{it} AS (SELECT p.vec_id, p.v, c.cid, {sq.format(v='p.v', c='c.c')} AS d
-        FROM corpus p, {prev} c),
+        FROM {train_src} p, {prev} c),
 ga{it} AS (SELECT vec_id, v, cid FROM
          (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
           FROM gd{it}) WHERE rn = 1),
@@ -7881,7 +7948,7 @@ gc{it} AS (SELECT cid, list(cv ORDER BY dim) AS c FROM gc{it}d GROUP BY cid)"""
         + _FAMILY_CORPUS_SQL.strip()
         + f""",
 g0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid, v AS c
-       FROM corpus ORDER BY vec_id LIMIT {n_cells}),"""
+       FROM {train_src} ORDER BY vec_id LIMIT {n_cells}),"""
         + ",".join(lloyd_blocks)
         + f""",
 gdf AS (SELECT p.vec_id, p.v, c.cid, {sq.format(v='p.v', c='c.c')} AS d
@@ -7906,13 +7973,14 @@ qres AS (SELECT p.query_id, p.cell,
     blocks, parts = [], []
     for s in range(m):
         lo, hi = s * sd + 1, (s + 1) * sd
-        d = {"s": s, "lo": lo, "hi": hi, "ksub": ksub}
+        d = {"s": s, "lo": lo, "hi": hi, "ksub": ksub, "tw": train_where}
         blocks.append(
             """
 p{s} AS (SELECT vec_id, (v)[{lo}:{hi}] AS v FROM res),
+pt{s} AS (SELECT vec_id, (v)[{lo}:{hi}] AS v FROM res{tw}),
 c0_{s} AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid, v AS c
-           FROM p{s} ORDER BY vec_id LIMIT {ksub}),
-d1_{s} AS (SELECT p.vec_id, p.v, c.cid, SQ1 AS d FROM p{s} p, c0_{s} c),
+           FROM pt{s} ORDER BY vec_id LIMIT {ksub}),
+d1_{s} AS (SELECT p.vec_id, p.v, c.cid, SQ1 AS d FROM pt{s} p, c0_{s} c),
 a1_{s} AS (SELECT vec_id, v, cid FROM
             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
              FROM d1_{s}) WHERE rn = 1),
@@ -7921,7 +7989,7 @@ c1d_{s} AS (SELECT cid, dim,
                    round(CAST(sum(CAST(vd AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6) AS cv
             FROM m1_{s} GROUP BY cid, dim),
 c1_{s} AS (SELECT cid, list(cv ORDER BY dim) AS c FROM c1d_{s} GROUP BY cid),
-d2_{s} AS (SELECT p.vec_id, p.v, c.cid, SQ1 AS d FROM p{s} p, c1_{s} c),
+d2_{s} AS (SELECT p.vec_id, p.v, c.cid, SQ1 AS d FROM pt{s} p, c1_{s} c),
 a2_{s} AS (SELECT vec_id, v, cid FROM
             (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
              FROM d2_{s}) WHERE rn = 1),
@@ -7962,6 +8030,10 @@ SELECT query_id, vec_id, adc_dist, rank FROM ranked WHERE rank <= {k}
 
 ORACLE_IVF_PQ_TRAINED_TOPK = _trained_ivfpq_oracle()
 
+# incremental append: train on the 80% base batch only, encode ALL —
+# the frozen-metadata semantics of append_stored_ivfpq_trained_index
+ORACLE_IVF_PQ_APPEND = _trained_ivfpq_oracle(train_filter="vec_id % 5 <> 4")
+
 ORACLE_IVF_PQ_TRAINED_RECALL = f"""
 WITH {_FAMILY_CORPUS_SQL.strip()},
 exq AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id % 100 = 0),
@@ -7984,6 +8056,7 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ivf_pq_append": q_ivf_pq_append,
     "pq_refine_topk": q_pq_refine_topk,
     "pq_refine_recall": q_pq_refine_recall,
     "ivf_pq_trained_stored": q_ivf_pq_trained_stored,
@@ -8181,6 +8254,7 @@ _ORACLES: dict[str, str] = {
     "pq_refine_recall": ORACLE_PQ_REFINE_RECALL,
     # reused verbatim: the stored round-trip must change nothing
     "ivf_pq_trained_stored": ORACLE_IVF_PQ_TRAINED_TOPK,
+    "ivf_pq_append": ORACLE_IVF_PQ_APPEND,
     "ivf_pq_trained_topk": ORACLE_IVF_PQ_TRAINED_TOPK,
     "ivf_pq_trained_recall": ORACLE_IVF_PQ_TRAINED_RECALL,
     "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
@@ -8391,6 +8465,8 @@ BUILD_TIME_QUERIES = {
     "incremental_rollup",
     "ivf_pq_stored",
     "ivf_pq_trained_stored",
+    # builds a base index + appends a batch per run (two writes)
+    "ivf_pq_append",
     # the LM scorers materialize eagerly inside the operator (the
     # round-10 cache-lifetime fix: compute, checkpoint the doc-level
     # result, release the corpus-scale cache) — so their work happens

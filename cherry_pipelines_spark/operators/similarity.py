@@ -1139,6 +1139,37 @@ def query_stored_ivfpq_index(
     return _adc_topk(dists, k, id_col)
 
 
+def _frozen_residuals(
+    df: DataFrame,
+    cents: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_cells_hint: int | None = None,
+) -> DataFrame:
+    """Assign ``df`` to FROZEN trained cells and compute exact-float
+    residuals — the encode-only half of the trained-IVF-PQ head, shared
+    by initial builds (after Lloyd) and incremental appends (no
+    training at all).  Map-only: the centroid frame broadcasts, the
+    corpus never shuffles.  Returns ``(id, cell, _r)`` checkpointed."""
+    from cherry_pipelines_spark.operators.clustering import assign_clusters
+
+    assigned = assign_clusters(df, cents, vec_col, id_col, k_hint=n_cells_hint)
+    cent_cols = cents.select(
+        F.col("cluster_id").alias("cell"), F.col("centroid").alias("_cent")
+    )
+    return (
+        assigned.join(
+            F.broadcast(cent_cols), assigned["cluster_id"] == cent_cols["cell"]
+        )
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(F.col("_v"), F.col("_cent"), lambda a, b: a - b).alias("_r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def _trained_cells_and_residuals(
     df: DataFrame,
     vec_col: str,
@@ -1151,29 +1182,24 @@ def _trained_cells_and_residuals(
     residuals.  Returns ``(cents, resid)`` with ``cents =
     (cluster_id, centroid)`` checkpointed and ``resid = (id, cell,
     _r)`` checkpointed."""
-    from cherry_pipelines_spark.operators.clustering import (
-        _lloyd,
-        assign_clusters,
-    )
+    from cherry_pipelines_spark.operators.clustering import _lloyd
 
     _, cents = _lloyd(df, vec_col, id_col, n_cells, coarse_iters)
     cents = cents.localCheckpoint(eager=False)
-    assigned = assign_clusters(df, cents, vec_col, id_col, k_hint=n_cells)
-    cent_cols = cents.select(
-        F.col("cluster_id").alias("cell"), F.col("centroid").alias("_cent")
-    )
-    resid = (
-        assigned.join(
-            F.broadcast(cent_cols), assigned["cluster_id"] == cent_cols["cell"]
-        )
-        .select(
-            F.col(id_col),
-            F.col("cell"),
-            F.zip_with(F.col("_v"), F.col("_cent"), lambda a, b: a - b).alias("_r"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    return cents, resid
+    return cents, _frozen_residuals(df, cents, vec_col, id_col, n_cells)
+
+
+def _auto_n_cells(df: DataFrame, n_cells: int | None) -> int:
+    """Resolve ``n_cells=None`` to the standard ``max(16, isqrt(n))``
+    rule (one count job): per-probe candidate work is n/n_cells and
+    probe-LUT work is n_cells, so sqrt(n) balances them — a fixed cell
+    count probes an ever-growing 1/n_cells slice as the corpus scales,
+    which is exactly the posture a 100 TB deployment must avoid."""
+    if n_cells is not None:
+        return n_cells
+    from math import isqrt
+
+    return max(16, isqrt(df.count()))
 
 
 def _trained_probe_lut(
@@ -1286,7 +1312,7 @@ def build_stored_ivfpq_trained_index(
     dim: int = 64,
     ksub: int = 16,
     iters: int = 2,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     coarse_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -1305,7 +1331,17 @@ def build_stored_ivfpq_trained_index(
 
     Defaults mirror :func:`ivf_pq_topk_trained` parameter-for-parameter
     so the stored/inline bit-identical contract holds under DEFAULT
-    arguments, not just when call sites pin everything."""
+    arguments, not just when call sites pin everything.
+
+    ``n_cells=None`` auto-sizes to ``max(16, isqrt(|df|))`` — the
+    standard sqrt(n) balance between per-probe candidate work
+    (n/n_cells) and probe-LUT work (n_cells); costs one count job.
+
+    This trains on ``df`` and writes ``df`` — the day-0 build.  Later
+    batches go through :func:`append_stored_ivfpq_trained_index` with
+    the returned (frozen) metadata; they must NOT re-run this builder,
+    which would retrain cells/codebooks and orphan the stored codes."""
+    n_cells = _auto_n_cells(df, n_cells)
     cents, resid = _trained_cells_and_residuals(
         df, vec_col, id_col, n_cells, coarse_iters
     )
@@ -1319,6 +1355,53 @@ def build_stored_ivfpq_trained_index(
         .parquet(path)
     )
     return codebooks, cents
+
+
+def append_stored_ivfpq_trained_index(
+    df: DataFrame,
+    path: str,
+    codebooks: DataFrame,
+    cents: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append a NEW batch of vectors to an existing
+    :func:`build_stored_ivfpq_trained_index` layout using the FROZEN
+    cells and codebooks from the day-0 build — the incremental-
+    maintenance path a 100 TB corpus needs (data arrives in batches;
+    retraining + rewriting the whole index per batch, which is what
+    re-running the builder does, is O(corpus) work per O(batch) of new
+    data and silently SHIFTS every stored code when the centroids
+    move).
+
+    No training happens here: the batch flows scan → map-side frozen-
+    cell assignment (broadcast cents) → residual → PQ codes (broadcast
+    codebooks) → ``mode("append")`` write under the existing ``cell=``
+    partition directories.  Cost is O(|batch|), map-only, zero shuffle
+    of the base index; Spark's partitioned append only ADDS files, so
+    concurrent readers keep a consistent view of the old index and the
+    DPP directory-pruning contract is unchanged (appends never create
+    cells outside the trained 0..n_cells-1 id space — gated post-append
+    in tests/test_plan_shapes.py).
+
+    Equivalence contract (pinned in tests/test_similarity.py): querying
+    base+appended is BIT-IDENTICAL to querying a from-scratch index
+    whose codes were encoded with the SAME frozen cells/codebooks over
+    the unioned corpus — encoding is per-row, so batch boundaries
+    cannot change any code.  (It is NOT identical to retraining on the
+    union: that is a different index by design, and the standard
+    trade-off — frozen quantizers drift from the data distribution and
+    are periodically re-trained offline.)"""
+    resid = _frozen_residuals(df, cents, vec_col, id_col)
+    codes = pq_encode(resid, codebooks, "_r", id_col, m, dim)
+    (
+        codes.join(resid.select(id_col, "cell"), id_col)
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(path)
+    )
 
 
 def query_stored_ivfpq_trained_index(
@@ -1363,7 +1446,7 @@ def ivf_pq_topk_trained(
     dim: int = 64,
     ksub: int = 16,
     iters: int = 2,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     coarse_iters: int = 2,
     nprobe: int = 1,
     exclude_self: bool = False,
@@ -1402,11 +1485,13 @@ def ivf_pq_topk_trained(
     partials) broadcasts into ONE hash join + one (query, id) agg.
     Per-query cost tracks the probed cells' population — |corpus|/n_cells
     per probe in expectation, and n_cells scales with the corpus (the
-    standard sqrt(n) rule) at 100 TB."""
+    standard sqrt(n) rule) at 100 TB: pass ``n_cells=None`` to auto-size
+    to ``max(16, isqrt(|df|))`` (one count job)."""
     if query_filter is None:
         query_filter = F.col(id_col) % 100 == 0
     if nprobe < 1:
         raise ValueError("nprobe must be >= 1")
+    n_cells = _auto_n_cells(df, n_cells)
     # coarse k-means cells + residuals, then PQ on residuals (the
     # shared deterministic contract); the stored leg
     # (build_stored_ivfpq_trained_index / query_stored_ivfpq_trained_

@@ -1070,3 +1070,75 @@ def test_stored_trained_ivfpq_probe_prunes_partitions(spark, tmp_path):
     # one query, nprobe=1 -> exactly one cell directory read
     assert read_files <= static_files // n_cells + 1, m0
     assert read_files < static_files, m0
+
+
+def test_stored_trained_ivfpq_append_keeps_pruning(spark, tmp_path):
+    """Round-11 verdict #1(b): after an incremental append, a probe must
+    STILL read only the probed cell's directory — appends add files
+    under existing ``cell=`` dirs (never new cells outside the trained
+    id space), so the DPP directory-pruning contract survives.  The
+    bound is computed from the filesystem (max files in any one cell
+    dir), not assumed uniform, because base + append file counts per
+    dir differ."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cherry_pipelines_spark.operators.similarity import (
+        append_stored_ivfpq_trained_index,
+        build_stored_ivfpq_trained_index,
+        query_stored_ivfpq_trained_index,
+    )
+
+    dim, n_cells = 8, 4
+    rows = [
+        (
+            i,
+            [
+                2.0 * math.sin(1 + (i % n_cells) * 0.9 + j * 0.53)
+                + 0.05 * math.sin(7 + i * 0.37 + j * 0.11)
+                for j in range(dim)
+            ],
+        )
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") % 5 != 4)
+    batch = df.filter(F.col("vec_id") % 5 == 4)
+    path = str(tmp_path / "trained_append_index")
+    books, cents = build_stored_ivfpq_trained_index(
+        base, path, m=2, dim=dim, ksub=4, iters=1, n_cells=n_cells,
+        coarse_iters=1,
+    )
+    append_stored_ivfpq_trained_index(batch, path, books, cents, m=2, dim=dim)
+
+    # appends never mint cells outside the trained id space
+    cell_dirs = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert all(0 <= int(d.split("=")[1]) < n_cells for d in cell_dirs), cell_dirs
+    per_dir = {
+        d: sum(
+            f.endswith(".parquet")
+            for f in os.listdir(os.path.join(path, d))
+        )
+        for d in cell_dirs
+    }
+    max_dir = max(per_dir.values())
+
+    out = query_stored_ivfpq_trained_index(
+        spark, path, books, cents,
+        df.filter(F.col("vec_id") == 0),
+        k=3, m=2, dim=dim, nprobe=1,
+    )
+    assert len(out.collect()) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "probe scan lost its DPP filter"
+    metrics = _scan_metrics(out, ("code#", "cell#"))
+    assert metrics, "index scan not found in executed plan"
+    m0 = metrics[0]
+    static_files = m0.get("staticFilesNum", 0)
+    read_files = m0.get("numFiles", 0)
+    assert static_files == sum(per_dir.values()), (m0, per_dir)
+    # one query, nprobe=1 -> files of exactly one cell directory
+    assert 0 < read_files <= max_dir, (m0, per_dir)
+    assert read_files < static_files, (m0, per_dir)

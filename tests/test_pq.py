@@ -376,3 +376,72 @@ def test_pq_refine_plan_broadcasts_shortlist(spark):
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_append_stored_index_equals_frozen_full_build(spark, tmp_path):
+    """Incremental-maintenance contract (round-11 verdict #1): appending
+    a new batch encoded with FROZEN cells + codebooks must be
+    bit-identical to a from-scratch index whose codes were encoded with
+    the SAME frozen metadata over the unioned corpus — encoding is
+    per-row, so batch boundaries cannot change any code."""
+    from cherry_pipelines_spark.operators.similarity import (
+        append_stored_ivfpq_trained_index,
+        build_stored_ivfpq_trained_index,
+        query_stored_ivfpq_trained_index,
+    )
+
+    dim, m, ksub, n_cells = 8, 4, 4, 4
+    df = spark.createDataFrame(
+        _clustered(64, dim), "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+    base = df.filter(F.col("vec_id") % 5 != 4)
+    batch = df.filter(F.col("vec_id") % 5 == 4)
+    queries = df.filter(F.col("vec_id") % 10 == 0)
+
+    p_inc = str(tmp_path / "inc")
+    books, cents = build_stored_ivfpq_trained_index(
+        base, p_inc, m=m, dim=dim, ksub=ksub, iters=2, n_cells=n_cells,
+        coarse_iters=1,
+    )
+    append_stored_ivfpq_trained_index(batch, p_inc, books, cents, m=m, dim=dim)
+
+    # from-scratch with the SAME frozen metadata: append the union into
+    # an empty directory (no training happens on the append path)
+    p_full = str(tmp_path / "full")
+    append_stored_ivfpq_trained_index(df, p_full, books, cents, m=m, dim=dim)
+
+    got = sorted(
+        map(
+            tuple,
+            query_stored_ivfpq_trained_index(
+                spark, p_inc, books, cents, queries, k=3, m=m, dim=dim, nprobe=1
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            query_stored_ivfpq_trained_index(
+                spark, p_full, books, cents, queries, k=3, m=m, dim=dim, nprobe=1
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the appended batch must be probe-visible: with base-only results
+    # the batch ids (vec_id % 5 == 4) could never appear as neighbors
+    assert any(r[1] % 5 == 4 for r in got), (
+        "no appended row ever surfaced as a neighbor — fixture too weak "
+        "or append invisible to the probe"
+    )
+
+
+def test_auto_n_cells_sqrt_rule(spark):
+    """n_cells=None resolves to max(16, isqrt(n)) — the sqrt(n) balance
+    between per-probe candidate work and probe-LUT work."""
+    from cherry_pipelines_spark.operators.similarity import _auto_n_cells
+
+    small = spark.range(64).withColumnRenamed("id", "vec_id")
+    big = spark.range(900).withColumnRenamed("id", "vec_id")
+    assert _auto_n_cells(small, None) == 16
+    assert _auto_n_cells(big, None) == 30
+    assert _auto_n_cells(big, 7) == 7
