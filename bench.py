@@ -14,6 +14,12 @@ Each query is forced to full materialization with the noop sink (no
 driver-side collection skew).  The set covers every operator family:
 scans+aggs, multi-joins, window/adjacency, decode UDFs, dedup,
 similarity, text analysis, streaming-equivalence shapes.
+
+``--canary``: time the pinned CANARY_QUERIES set (untouched since
+round 8), each in a FRESH subprocess/JVM, and write CANARY.json with
+the fresh number beside the in-session number — the code-vs-session
+drift separator (SCALE.md round-12 section).  ``--canary-one <name>``
+is the child-process entry.
 """
 
 from __future__ import annotations
@@ -57,6 +63,112 @@ RETIME_RATIO = 1.5
 
 SLOWEST_IN_SUMMARY = 10
 
+# --canary: a pinned set of queries UNTOUCHED since round 8 (TPC-H-ish
+# shapes + one broadcast lookup — no operator in them has changed),
+# each timed in a FRESH subprocess/JVM and reported beside the shared-
+# session number from BENCH_FULL.json.  Purpose (round-11 verdict #2):
+# the 181-query shared session showed ~8-11%/round creep on untouched
+# queries (pricing_summary 0.48->0.98 r9->r11) with no isolated
+# measurement separating code drift from session/machine drift — a
+# fresh-JVM number that holds steady while the in-session number
+# creeps attributes the creep to session accumulation + machine load,
+# not code.
+CANARY_QUERIES = (
+    "pricing_summary",
+    "rollup_revenue",
+    "volume_shipping",
+    "product_profit",
+    "order_count_distribution",
+    "top_supplier",
+    "part_supplier_counts",
+    "chain_lookup",
+    "event_pivot",
+    "percentile_by_group",
+)
+
+
+def _time_one_fresh(name: str, sf_dir: str) -> dict:
+    """Child-process body: time ONE query in this (fresh) JVM with the
+    same steady-state protocol as the main loop — build outside the
+    timer, noop sink, best of 3 warm runs."""
+    spark = get_spark("cherry_canary")
+    qs = entry_mod.queries()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    df = qs[name](spark, sf_dir)
+    runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        df.write.mode("overwrite").format("noop").save()
+        runs.append(time.monotonic() - t0)
+    return {"query": name, "sec": round(min(runs), 3), "first": round(runs[0], 3)}
+
+
+def canary_main(sf_dir: str, sf_val) -> None:
+    """Parent body for --canary: one subprocess (fresh JVM) per pinned
+    query, results written to CANARY.json beside the in-session numbers
+    from the current BENCH_FULL.json."""
+    import subprocess
+
+    here = os.path.abspath(__file__)
+    full_path = os.path.join(os.path.dirname(here), "BENCH_FULL.json")
+    in_session: dict[str, float] = {}
+    try:
+        with open(full_path) as fh:
+            in_session = {
+                k: float(v)
+                for k, v in json.load(fh).get("queries", {}).items()
+                if isinstance(v, (int, float))
+            }
+    except Exception:
+        pass
+    out: dict[str, object] = {}
+    total = 0.0
+    for name in CANARY_QUERIES:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, here, "--canary-one", name],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=600,
+        )
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            out[name] = {"err": (proc.stderr or proc.stdout)[-300:]}
+            continue
+        rec = json.loads(lines[-1])
+        rec["in_session"] = in_session.get(name)
+        out[name] = rec
+        total += rec["sec"]
+        print(
+            f"{name:28s} fresh={rec['sec']:.3f}s "
+            f"in_session={rec['in_session']}",
+            flush=True,
+        )
+    artifact = {
+        "metric": "fresh-JVM wall seconds per pinned canary query "
+        "(best of 3 warm noop-sink runs in an isolated subprocess), "
+        "beside the same query's shared-181-query-session number",
+        "sf": sf_val,
+        "queries": out,
+    }
+    with open(os.path.join(os.path.dirname(here), "CANARY.json"), "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(
+        json.dumps(
+            {
+                "metric": "canary fresh-JVM total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(CANARY_QUERIES),
+                "full_map": "CANARY.json",
+            },
+            separators=(",", ":"),
+        )
+    )
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,6 +177,13 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    if "--canary-one" in sys.argv:
+        name = sys.argv[sys.argv.index("--canary-one") + 1]
+        print(json.dumps(_time_one_fresh(name, sf_dir), separators=(",", ":")))
+        return
+    if "--canary" in sys.argv:
+        canary_main(sf_dir, sf_val)
+        return
     spark = get_spark("cherry_bench")
     qs = entry_mod.queries()
     bench_queries = list(qs)
