@@ -1176,15 +1176,32 @@ def _trained_cells_and_residuals(
     id_col: str,
     n_cells: int,
     coarse_iters: int,
+    coarse_sample_per_cell: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared head of the trained-IVF-PQ family: k-means cells
     (deterministic Lloyd, final-centroid assignment) + exact-float
     residuals.  Returns ``(cents, resid)`` with ``cents =
     (cluster_id, centroid)`` checkpointed and ``resid = (id, cell,
-    _r)`` checkpointed."""
+    _r)`` checkpointed.
+
+    ``coarse_sample_per_cell``: train Lloyd on a deterministic
+    id-modulus thinning of ~``n_cells * coarse_sample_per_cell`` rows
+    instead of the full corpus (assignment/residuals still cover
+    everything).  This is what keeps sqrt(n)-sized cell counts LINEAR:
+    full-corpus training costs O(n * n_cells) = O(n^1.5) under the
+    sqrt rule, while a sample proportional to n_cells costs
+    O(n_cells^2) = O(n) — the Faiss posture (train on a bounded sample
+    per centroid, encode the world).  ``None`` keeps the exact
+    full-corpus contract the oracle-replayed registry rows pin."""
     from cherry_pipelines_spark.operators.clustering import _lloyd
 
-    _, cents = _lloyd(df, vec_col, id_col, n_cells, coarse_iters)
+    train = df
+    if coarse_sample_per_cell is not None:
+        n = df.count()
+        step = max(1, n // max(1, n_cells * coarse_sample_per_cell))
+        if step > 1:
+            train = df.filter(F.col(id_col) % step == 0)
+    _, cents = _lloyd(train, vec_col, id_col, n_cells, coarse_iters)
     cents = cents.localCheckpoint(eager=False)
     return cents, _frozen_residuals(df, cents, vec_col, id_col, n_cells)
 
@@ -1316,6 +1333,7 @@ def build_stored_ivfpq_trained_index(
     coarse_iters: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    coarse_sample_per_cell: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Persist the TRAINED-cell residual IVF-PQ index: rows
     ``(id, sub, code)`` under ``cell=…`` partition directories —
@@ -1343,7 +1361,7 @@ def build_stored_ivfpq_trained_index(
     which would retrain cells/codebooks and orphan the stored codes."""
     n_cells = _auto_n_cells(df, n_cells)
     cents, resid = _trained_cells_and_residuals(
-        df, vec_col, id_col, n_cells, coarse_iters
+        df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell
     )
     codebooks = pq_train(resid, "_r", id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False
@@ -1423,7 +1441,15 @@ def query_stored_ivfpq_trained_index(
     pruning reads exactly the probed directories (runtime-metrics
     gated in tests/test_plan_shapes.py, like the lattice stored leg).
     Results are bit-identical to the inline
-    :func:`ivf_pq_topk_trained`."""
+    :func:`ivf_pq_topk_trained`.
+
+    PRUNING PRECONDITION: pass ``queries`` as a FILTER over its source
+    (``df.filter(...)``), not a pre-materialized frame — Spark's
+    PartitionPruning rule only inserts the DPP subquery when the probe
+    side carries a plan-visible selective predicate
+    (``isLikelySelective``); a localCheckpoint/collected query batch
+    has no Filter node and silently degrades the probe to a full-index
+    scan (results unchanged, cost not — measured in SCALE.md round-12)."""
     index = spark.read.parquet(path)
     lut = _trained_probe_lut(
         queries, cents, codebooks, vec_col, id_col, m, dim, nprobe
@@ -1450,6 +1476,7 @@ def ivf_pq_topk_trained(
     coarse_iters: int = 2,
     nprobe: int = 1,
     exclude_self: bool = False,
+    coarse_sample_per_cell: int | None = None,
 ) -> DataFrame:
     """IVF-PQ with a TRAINED coarse quantizer and RESIDUAL encoding —
     the production ANN layout (what Faiss' IVFx,PQy builds), replacing
@@ -1498,7 +1525,7 @@ def ivf_pq_topk_trained(
     # index) reuses the SAME helpers, so inline and stored results are
     # identical by construction
     cents, resid = _trained_cells_and_residuals(
-        df, vec_col, id_col, n_cells, coarse_iters
+        df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell
     )
     codebooks = pq_train(resid, "_r", id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False

@@ -352,6 +352,29 @@ def _ivf_pq_trained_fixedq(spark, sf_dir: str):
     )
 
 
+def _ivf_pq_trained_autosized(spark, sf_dir: str):
+    """Round-11 verdict #3: the trained IVF-PQ with n_cells following
+    the sqrt(n) rule instead of the pinned 16 — auto-sized cells
+    (``n_cells=None`` -> max(16, isqrt(n))) AND sample-based coarse
+    training (``coarse_sample_per_cell=64``).  Both knobs are what the
+    100 TB posture requires: fixed 16 cells probe an ever-growing n/16
+    slice per query, and FULL-corpus training at sqrt(n) cells costs
+    O(n^1.5) — the bounded per-centroid sample brings training back to
+    O(n) (Faiss trains on a sample for exactly this reason), so the
+    whole path stays linear while per-probe candidates grow only as
+    sqrt(n).  Probe workload pinned to copy-0 queries (fixedq twin
+    protocol); recall/candidate-count/numFiles at the auto cell count
+    are recorded separately in SCALE.md (scripts/autosize_metrics.py)."""
+    from cherry_pipelines_spark.operators.similarity import ivf_pq_topk_trained
+
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_pq_topk_trained(
+        em, k=3, m=8, dim=64, ksub=16, iters=2, n_cells=None,
+        coarse_iters=1, nprobe=1, coarse_sample_per_cell=64,
+        query_filter=(F.col("vec_id") % 100 == 0) & (F.col("vec_id") < KEY_OFFSET),
+    )
+
+
 def _bloom_filter_wide(spark, sf_dir: str):
     """Production-width Bloom (round-10 verdict #7): n_bits=2^27 (16 MB
     of words — the width a 100 TB ingest-dedup filter actually runs),
@@ -447,6 +470,7 @@ EXTRA_WORKLOADS = {
     "ivf_pq_stored_fixedq": _ivf_pq_stored_fixedq,
     "pq_refine_fixedq": _pq_refine_fixedq,
     "ivf_pq_trained_fixedq": _ivf_pq_trained_fixedq,
+    "ivf_pq_trained_autosized": _ivf_pq_trained_autosized,
     "bloom_filter_wide": _bloom_filter_wide,
     "tfidf_doc_pairs_capped": _tfidf_doc_pairs_capped,
     "stream_near_dedup": _stream_near_dedup,

@@ -445,3 +445,38 @@ def test_auto_n_cells_sqrt_rule(spark):
     assert _auto_n_cells(small, None) == 16
     assert _auto_n_cells(big, None) == 30
     assert _auto_n_cells(big, 7) == 7
+
+
+def test_coarse_sample_training_identity_and_thinning(spark):
+    """coarse_sample_per_cell contract: a sample budget that covers the
+    whole corpus (step=1) is bit-identical to full-corpus training; a
+    real thinning still encodes EVERY row into the trained cell space
+    and keeps recall on the clustered fixture (cluster structure
+    survives id-modulus sampling)."""
+    from cherry_pipelines_spark.operators.similarity import (
+        ann_recall,
+        ivf_pq_topk_trained,
+        l2_topk,
+    )
+
+    dim, m, ksub, k = 8, 4, 4, 3
+    df = spark.createDataFrame(
+        _clustered(64, dim), "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+    qf = F.col("vec_id") % 10 == 0
+    kw = dict(k=k, m=m, dim=dim, ksub=ksub, n_cells=4, nprobe=1,
+              query_filter=qf, exclude_self=True)
+    full = sorted(map(tuple, ivf_pq_topk_trained(df, **kw).collect()))
+    # 64 rows / (4 cells * 16 per cell) -> step 1: identical by contract
+    ident = sorted(
+        map(tuple, ivf_pq_topk_trained(df, coarse_sample_per_cell=16, **kw).collect())
+    )
+    assert ident == full
+    # 4 cells * 4 per cell = 16 of 64 rows -> step 4: a real thinning
+    thin = ivf_pq_topk_trained(df, coarse_sample_per_cell=4, **kw)
+    rows = thin.collect()
+    assert rows and all(r["rank"] <= k for r in rows)
+    exact = l2_topk(df, df.filter(qf), k=k)
+    approx = thin.select("query_id", F.col("vec_id").alias("neighbor_id"))
+    rec = [float(r["recall"]) for r in ann_recall(exact, approx, k=k).collect()]
+    assert sum(rec) / len(rec) >= 0.6, rec
