@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from cherry_pipelines_spark.engine.pipeline import Pipeline
 from cherry_pipelines_spark.engine.step import PyStep, TableBundle
 from cherry_pipelines_spark.functions import borsh as B
-from cherry_pipelines_spark.functions.borsh import decode_instructions_df
 from cherry_pipelines_spark.functions.crypto import anchor_discriminator, base58_decode
 from cherry_pipelines_spark.pipelines.svm import common as C
 from cherry_pipelines_spark.sinks.parquet import ParquetSink
@@ -75,28 +74,48 @@ CPI_SIGNATURE = B.InstructionSignature(
 
 def split_step(bundle: TableBundle, ctx) -> TableBundle:
     """Filter to this program's swap|CPI rows FIRST, then index
-    (meteora_swaps.py:190-219)."""
+    (meteora_swaps.py:190-219).  The swap/CPI discriminator split
+    itself moved into the fused decode (see ``decode_step``); this
+    step's job is the FILTERED positional index the CPI adjacency
+    join keys on."""
     out = dict(bundle)
     keep = (F.col("program_id") == F.lit(CP_AMM_PROGRAM_ID)) & (
         C.starts_with(F.col("data"), SWAP_DISCRIMINATOR)
         | C.starts_with(F.col("data"), CPI_DISCRIMINATOR)
     )
-    ins = ctx.batch_cache(C.indexed_instructions(bundle["instructions"], keep))
-    out["swaps"] = ins.filter(C.starts_with(F.col("data"), SWAP_DISCRIMINATOR))
-    out["cpi"] = ins.filter(C.starts_with(F.col("data"), CPI_DISCRIMINATOR))
+    out["ins"] = ctx.batch_cache(C.indexed_instructions(bundle["instructions"], keep))
     del out["instructions"]
     return out
 
 
+# both kinds decode through ONE Arrow boundary (round-11 verdict #4:
+# meteora ran per-branch decode chains — 2 mapInPandas stages over the
+# same parent rows — while raydium/orca were already fused)
+_MULTI_KINDS = [
+    ("swaps", (CP_AMM_PROGRAM_ID,), SWAP_SIGNATURE),
+    ("cpi", (CP_AMM_PROGRAM_ID,), CPI_SIGNATURE),
+]
+
+
 def decode_step(bundle: TableBundle, ctx) -> TableBundle:
+    """meteora_swaps.py:222-254, fused: swap + CPI rows dispatch inside
+    one mapInPandas batch (decode_instructions_multi); per-kind frames
+    are JVM projections over the per-batch cache, schema-identical to
+    the per-branch decode_instructions_df output (the CPI frame keeps
+    its narrower 3-column passthrough by projection)."""
     out = dict(bundle)
-    out["swaps"] = decode_instructions_df(
-        bundle["swaps"], SWAP_SIGNATURE, passthrough=C.DECODE_PASSTHROUGH
+    fused = ctx.batch_cache(
+        B.decode_instructions_multi(
+            out.pop("ins"), _MULTI_KINDS, passthrough=C.DECODE_PASSTHROUGH
+        )
     )
-    out["cpi"] = decode_instructions_df(
-        bundle["cpi"],
-        CPI_SIGNATURE,
-        passthrough=("block_slot", "transaction_index", "instruction_index"),
+    parts = B.split_decoded(fused, _MULTI_KINDS, passthrough=C.DECODE_PASSTHROUGH)
+    out["swaps"] = parts["swaps"]
+    out["cpi"] = parts["cpi"].select(
+        "block_slot",
+        "transaction_index",
+        "instruction_index",
+        *[p.name for p in CPI_SIGNATURE.params],
     )
     return out
 

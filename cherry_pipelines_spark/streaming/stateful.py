@@ -380,20 +380,81 @@ def near_dedup_survivors(claims: DataFrame) -> DataFrame:
     a document survives iff it was first into ALL its buckets —
     ``groupBy doc_id having min(fresh)``.  Returns ``(doc_id)``.
 
-    This is the second half of the near-dedup composition and it is
-    deliberately NOT a second stateful streaming operator: Spark
-    rejects chained ``applyInPandasWithState`` stages in one query
-    ("Multiple applyInPandasWithStates are not supported"), and none
-    is needed — the claims stream is append-clean and exactly-once
-    into a file sink, so the survivor verdict is a deterministic
-    stateless view over the claims table, re-runnable at any time and
-    automatically correct across restarts (the restart story is the
-    CLAIMS job's checkpoint; pinned by the kill/resume pytest)."""
+    This is the second half of the near-dedup composition, kept OUT of
+    the claims query on purpose: Spark rejects chained
+    ``applyInPandasWithState`` stages in one query ("Multiple
+    applyInPandasWithStates are not supported"), and the claims stream
+    is append-clean and exactly-once into a file sink, so the survivor
+    verdict is a deterministic stateless view over the claims table,
+    re-runnable at any time and automatically correct across restarts
+    (the restart story is the CLAIMS job's checkpoint; pinned by the
+    kill/resume pytest).  For a fully-streaming pipeline use the
+    SUPPORTED two-query chain instead: a SECOND streaming query over
+    the claims sink — :func:`near_dedup_survivors_stream`."""
     return (
         claims.groupBy("doc_id")
         .agg(F.min(F.col("fresh").cast("int")).alias("_all_fresh"))
         .filter(F.col("_all_fresh") == 1)
         .select("doc_id")
+    )
+
+
+def near_dedup_survivors_stream(claims: DataFrame, bands: int = 4) -> DataFrame:
+    """STREAMING survivor verdicts over a claims STREAM — the supported
+    form of "chain two stateful stages": two independent streaming
+    queries, the claims job writing a file sink and this operator
+    reading that sink as a file-stream source (the reader trusts the
+    sink's ``_spark_metadata`` commit log, so the chain inherits the
+    file sink's exactly-once semantics).  One query may not contain
+    two ``applyInPandasWithState`` stages; two queries may each
+    contain one.
+
+    Emits ``(doc_id)`` when the doc's ``bands``-th claim arrives and
+    every claim was fresh — a doc's claims are all emitted in its own
+    arrival micro-batch upstream, so normally one batch decides, but
+    the count-to-``bands`` state makes the verdict correct even if a
+    source option (``maxFilesPerTrigger``) splits a commit across
+    triggers.  Claims are append-only facts (a bucket claim never
+    retracts), so verdicts are final: no watermark needed, output mode
+    append.
+
+    State: ``(seen, ok)`` per doc_id, kept forever under NoTimeout —
+    O(#docs) state, WIDER than the claims job's O(#distinct buckets).
+    That is the cost of the fully-streaming form and why
+    :func:`near_dedup_survivors` (a stateless batch view over the same
+    claims table) stays the recommended default; choose this one when
+    survivor latency must be streaming-push rather than view-pull, and
+    swap NoTimeout for an event-time timeout to bound state in
+    bounded-staleness deployments."""
+    out_schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    state_schema = T.StructType(
+        [T.StructField("seen", T.IntegerType()), T.StructField("ok", T.BooleanType())]
+    )
+
+    def verdict(
+        key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, ok = 0, True
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf) and not bool(pdf["fresh"].all()):
+                ok = False
+        if n == 0:
+            return
+        seen0, ok0 = state.get if state.exists else (0, True)
+        seen, ok = seen0 + n, ok0 and ok
+        state.update((seen, ok))
+        # exactly one emission per doc: the batch that completes the
+        # band count (seen0 < bands <= seen guards replays/overfeeds)
+        if ok and seen0 < bands <= seen:
+            yield pd.DataFrame({"doc_id": [int(key[0])]})
+
+    return claims.groupBy("doc_id").applyInPandasWithState(
+        verdict,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

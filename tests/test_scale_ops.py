@@ -539,3 +539,78 @@ def test_streaming_near_dedup_kill_resume_matches_batch_oracle(spark, tmp_path):
     # restart did not double-write batch-1 claims: one row per (doc, band)
     claims = spark.read.parquet(sink)
     assert claims.count() == claims.select("doc_id", "band").distinct().count()
+
+
+def test_streaming_survivor_stage_kill_resume(spark, tmp_path):
+    """Round-11 verdict #5: the survivor aggregation as a SECOND
+    streaming query (per-doc stateful agg over the claims file sink —
+    the supported form of chaining two applyInPandasWithState stages).
+    Both queries are killed between batches and resumed with new query
+    objects; the streamed survivor set must equal the batch view over
+    the collected claims, with exactly ONE emission per survivor (no
+    double-write on resume)."""
+    from cherry_pipelines_spark.streaming.stateful import (
+        near_dedup_survivors,
+        near_dedup_survivors_stream,
+        streaming_near_dedup_claims,
+    )
+
+    src = str(tmp_path / "ss_src")
+    claims_sink = str(tmp_path / "ss_claims")
+    surv_sink = str(tmp_path / "ss_surv")
+    ckpt_c = str(tmp_path / "ss_ckpt_c")
+    ckpt_s = str(tmp_path / "ss_ckpt_s")
+    os.makedirs(src)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel = "one two three four five six seven eight nine ten"
+    other = "red orange yellow green blue indigo violet black white gray"
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    schema = mk([(0, "x")]).schema
+
+    def run_claims():
+        q = (
+            streaming_near_dedup_claims(
+                spark.readStream.schema(schema).parquet(src), k=8, bands=4
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", claims_sink)
+            .option("checkpointLocation", ckpt_c)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def run_survivors():
+        claims = spark.readStream.schema(
+            "doc_id long, band int, fresh boolean"
+        ).parquet(claims_sink)
+        q = (
+            near_dedup_survivors_stream(claims, bands=4)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", surv_sink)
+            .option("checkpointLocation", ckpt_s)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    mk([(10, base), (11, base), (12, other)]).write.mode("append").parquet(src)
+    run_claims()
+    run_survivors()
+    mk([(5, base), (20, novel)]).write.mode("append").parquet(src)
+    run_claims()  # NEW query objects resume from both checkpoints
+    run_survivors()
+
+    streamed = [r["doc_id"] for r in spark.read.parquet(surv_sink).collect()]
+    batch_view = sorted(
+        r["doc_id"]
+        for r in near_dedup_survivors(spark.read.parquet(claims_sink)).collect()
+    )
+    assert sorted(streamed) == batch_view == [10, 12, 20]
+    assert len(streamed) == len(set(streamed))  # one emission per doc
