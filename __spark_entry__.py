@@ -1113,6 +1113,79 @@ def q_stream_near_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_STREAM_NEAR_DEDUP_E2E = ORACLE_STREAM_NEAR_DEDUP
 
 
+def q_anchor_crash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/T3's anchor-table crash window exercised AS DATA (round-11
+    verdict #6): a two-table pipeline over the events table (anchor =
+    (event_id, event_type, value), side = (event_id, user_id)) commits
+    batch 1, then the crash is injected by running the REAL write path
+    for batch 2's side table only — exactly the state a kill between
+    the non-anchor and anchor writes leaves behind — and the pipeline
+    resumes over the full range.  The anchor watermark replays batch 2
+    (dynamic partition overwrite REPLACES the orphaned side partition
+    instead of duplicating it) and batches 3-4 run fresh.  The returned
+    frame inner-joins the two final tables on event_id, so ANY
+    duplicate or gap in EITHER table breaks the row count / hash
+    against the plain-events oracle.  Sharper pytest twin (mid-crash
+    state observability, uninterrupted-run hash compare, post-anchor
+    rerun no-op) in tests/test_crash_consistency.py."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from cherry_pipelines_spark.engine.pipeline import Pipeline
+    from cherry_pipelines_spark.engine.step import PyStep
+    from cherry_pipelines_spark.sinks.parquet import ParquetSink
+
+    (ev,) = _load(spark, sf_dir, "events")
+    lo, hi = (
+        int(x)
+        for x in ev.agg(F.min("event_id"), F.max("event_id")).collect()[0]
+    )
+    bs = (hi - lo + 4) // 4  # four batches
+
+    class _Src:
+        def read(self, spark, a, b):
+            return {
+                "rows": ev.filter(
+                    (F.col("event_id") >= a) & (F.col("event_id") <= b)
+                )
+            }
+
+    def _split(bundle, ctx):
+        rows = bundle["rows"]
+        return {
+            "evt_anchor": rows.select("event_id", "event_type", "value"),
+            "evt_side": rows.select("event_id", "user_id"),
+        }
+
+    root = os.path.join(
+        _tf.gettempdir(),
+        "cherry_crash_" + _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    _sh.rmtree(root, ignore_errors=True)
+    sink = ParquetSink(
+        base_path=root, anchor_table="evt_anchor", block_column="event_id"
+    )
+    pipe = Pipeline("anchor_crash_fixture", _Src(), [PyStep(_split)], sink)
+    pipe.run(spark, lo, lo + bs - 1, batch_size=bs)  # batch 1 commits
+    # the crash: batch 2's NON-anchor table lands, the anchor never does
+    b2_lo, b2_hi = lo + bs, min(lo + 2 * bs - 1, hi)
+    orphan = _split(_Src().read(spark, b2_lo, b2_hi), None)
+    sink._write_one("evt_side", orphan["evt_side"], b2_lo)
+    # resume: watermark = anchor max + 1 = b2_lo -> batch 2 replays
+    pipe.run(spark, lo, hi, batch_size=bs)
+    a = sink.read_table(spark, "evt_anchor")
+    s = sink.read_table(spark, "evt_side")
+    return a.join(s, "event_id").select(
+        "event_id", "event_type", "value", "user_id"
+    )
+
+
+ORACLE_ANCHOR_CRASH = """
+SELECT event_id, event_type, value, user_id FROM events
+"""
+
+
 def q_dedup_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup DEPLOYMENT CHAIN as one correctness surface:
     minhash-LSH candidates -> connected components -> canonical doc per
@@ -8082,6 +8155,7 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_append": q_ivf_pq_append,
+    "anchor_crash_consistency": q_anchor_crash_consistency,
     "pq_refine_topk": q_pq_refine_topk,
     "pq_refine_recall": q_pq_refine_recall,
     "ivf_pq_trained_stored": q_ivf_pq_trained_stored,
@@ -8280,6 +8354,7 @@ _ORACLES: dict[str, str] = {
     # reused verbatim: the stored round-trip must change nothing
     "ivf_pq_trained_stored": ORACLE_IVF_PQ_TRAINED_TOPK,
     "ivf_pq_append": ORACLE_IVF_PQ_APPEND,
+    "anchor_crash_consistency": ORACLE_ANCHOR_CRASH,
     "ivf_pq_trained_topk": ORACLE_IVF_PQ_TRAINED_TOPK,
     "ivf_pq_trained_recall": ORACLE_IVF_PQ_TRAINED_RECALL,
     "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
@@ -8492,6 +8567,8 @@ BUILD_TIME_QUERIES = {
     "ivf_pq_trained_stored",
     # builds a base index + appends a batch per run (two writes)
     "ivf_pq_append",
+    # runs a 4-batch two-table pipeline with a fault-injected resume
+    "anchor_crash_consistency",
     # the LM scorers materialize eagerly inside the operator (the
     # round-10 cache-lifetime fix: compute, checkpoint the doc-level
     # result, release the corpus-scale cache) — so their work happens
