@@ -1059,6 +1059,45 @@ def build_stored_ivfpq_index(
     return codebooks
 
 
+def append_stored_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    codebooks: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    n_components: int = 2,
+    grid: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Lattice-leg twin of :func:`append_stored_ivfpq_trained_index`:
+    append a new batch to a :func:`build_stored_ivfpq_index` layout
+    with the FROZEN codebooks.  Even simpler than the trained leg —
+    lattice cells are stateless floor arithmetic (no centroids to
+    freeze), so the append is pure map work: encode (broadcast
+    codebooks), cell-stamp, ``mode("append")`` under the existing
+    ``c0=…/c1=…`` dirs.  Same equivalence contract: base+appended is
+    bit-identical to a from-scratch frozen-codebook encode of the
+    union (per-row encoding, batch boundaries can't change codes)."""
+    comp_names = [f"c{i}" for i in range(n_components)]
+    cells = df.select(
+        F.col(id_col),
+        *[
+            c.alias(n)
+            for c, n in zip(
+                _cell_components(F.col(vec_col), n_components, grid), comp_names
+            )
+        ],
+    )
+    (
+        pq_encode(df, codebooks, vec_col, id_col, m, dim)
+        .join(cells, id_col)
+        .write.partitionBy(*comp_names)
+        .mode("append")
+        .parquet(path)
+    )
+
+
 def query_stored_ivfpq_index(
     spark,
     path: str,

@@ -1142,3 +1142,64 @@ def test_stored_trained_ivfpq_append_keeps_pruning(spark, tmp_path):
     # one query, nprobe=1 -> files of exactly one cell directory
     assert 0 < read_files <= max_dir, (m0, per_dir)
     assert read_files < static_files, (m0, per_dir)
+
+
+def test_stored_trained_ivfpq_registry_shape_prunes(spark, tmp_path):
+    """Round-12 regression gate for the DPP insertion heuristic: the
+    REGISTRY rows probe with a modulo-equality filter over a
+    localCheckpoint-ed corpus (`fam.filter(vec_id % 100 == 0)`), and
+    Spark's isLikelySelective accepts that shape — but it silently
+    REJECTS a pre-materialized query frame (no Filter node above the
+    scan -> no DPP subquery -> full-index scan, found the hard way in
+    scripts/autosize_metrics.py).  This pins the registry shape: a
+    refactor that checkpoints/collects the query batch before the
+    probe turns this red."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cherry_pipelines_spark.operators.similarity import (
+        build_stored_ivfpq_trained_index,
+        query_stored_ivfpq_trained_index,
+    )
+
+    dim, n_cells = 8, 4
+    rows = [
+        (
+            i,
+            [
+                2.0 * math.sin(1 + (i % n_cells) * 0.9 + j * 0.53)
+                + 0.05 * math.sin(7 + i * 0.37 + j * 0.11)
+                for j in range(dim)
+            ],
+        )
+        for i in range(64)
+    ]
+    # the registry posture: RDD-backed (checkpointed) corpus, queries
+    # as a plan-visible modulo-equality filter over it
+    df = (
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        .repartition(8, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    path = str(tmp_path / "registry_shape_index")
+    books, cents = build_stored_ivfpq_trained_index(
+        df, path, m=2, dim=dim, ksub=4, iters=1, n_cells=n_cells,
+        coarse_iters=1,
+    )
+    out = query_stored_ivfpq_trained_index(
+        spark, path, books, cents,
+        df.filter(F.col("vec_id") % 32 == 0),
+        k=3, m=2, dim=dim, nprobe=1,
+    )
+    assert len(out.collect()) > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), (
+        "registry-shaped probe lost its DPP filter — was the query "
+        "batch materialized before the probe?"
+    )
+    metrics = _scan_metrics(out, ("code#", "cell#"))
+    assert metrics, "index scan not found in executed plan"
+    m0 = metrics[0]
+    assert m0.get("staticFilesNum", 0) > 0, m0
+    assert 0 < m0.get("numFiles", 0) < m0["staticFilesNum"], m0

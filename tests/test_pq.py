@@ -480,3 +480,43 @@ def test_coarse_sample_training_identity_and_thinning(spark):
     approx = thin.select("query_id", F.col("vec_id").alias("neighbor_id"))
     rec = [float(r["recall"]) for r in ann_recall(exact, approx, k=k).collect()]
     assert sum(rec) / len(rec) >= 0.6, rec
+
+
+def test_append_stored_lattice_index_equals_frozen_full_build(spark, tmp_path):
+    """Lattice-leg append twin: frozen-codebook batch appends are
+    bit-identical to a from-scratch frozen-codebook encode of the
+    union, and appended rows are probe-visible."""
+    from cherry_pipelines_spark.operators.similarity import (
+        append_stored_ivfpq_index,
+        build_stored_ivfpq_index,
+        query_stored_ivfpq_index,
+    )
+
+    dim = 8
+    rows = [
+        (
+            i,
+            [2.0 * (i % 4), 2.0 * ((i // 4) % 4)]
+            + [0.01 * ((i * 7 + j) % 5) for j in range(dim - 2)],
+        )
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") % 5 != 4)
+    batch = df.filter(F.col("vec_id") % 5 == 4)
+    queries = df.filter(F.col("vec_id") % 10 == 0)
+    kw = dict(m=2, dim=dim, ksub=4, n_components=2, grid=0.5)
+
+    p_inc = str(tmp_path / "lat_inc")
+    books = build_stored_ivfpq_index(base, p_inc, iters=1, **kw)
+    append_stored_ivfpq_index(batch, p_inc, books, m=2, dim=dim)
+    p_full = str(tmp_path / "lat_full")
+    append_stored_ivfpq_index(df, p_full, books, m=2, dim=dim)
+
+    qkw = dict(k=3, m=2, dim=dim, n_components=2, grid=0.5, probe_radius=1)
+    got = sorted(map(tuple, query_stored_ivfpq_index(
+        spark, p_inc, books, queries, **qkw).collect()))
+    want = sorted(map(tuple, query_stored_ivfpq_index(
+        spark, p_full, books, queries, **qkw).collect()))
+    assert got == want
+    assert any(r[1] % 5 == 4 for r in got)
