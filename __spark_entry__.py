@@ -8156,56 +8156,7 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_append": q_ivf_pq_append,
     "anchor_crash_consistency": q_anchor_crash_consistency,
-    "pq_refine_topk": q_pq_refine_topk,
-    "pq_refine_recall": q_pq_refine_recall,
-    "ivf_pq_trained_stored": q_ivf_pq_trained_stored,
-    "ivf_pq_trained_topk": q_ivf_pq_trained_topk,
-    "ivf_pq_trained_recall": q_ivf_pq_trained_recall,
     "stream_near_dedup_e2e": q_stream_near_dedup_e2e,
-    "kcenter_coreset": q_kcenter_coreset,
-    "ivf_pq_stored": q_ivf_pq_stored,
-    "bigram_lm_score": q_bigram_lm_score,
-    "trigram_lm_score": q_trigram_lm_score,
-    "docs_curation_v3": q_docs_curation_v3,
-    "stream_near_dedup": q_stream_near_dedup,
-    "bloom_filter": q_bloom_filter,
-    "scan_pruning": q_scan_pruning,
-    "text_langid": q_text_langid,
-    "text_quality": q_text_quality,
-    "token_stats": q_token_stats,
-    "fingerprint": q_fingerprint,
-    "multimodal_meta": q_multimodal_meta,
-    "multimodal_frames": q_multimodal_frames,
-    "multimodal_resize": q_multimodal_resize,
-    "skew_salted_join": q_skew_salted_join,
-    "stream_windowed": q_stream_windowed,
-    "stream_tumbling": q_stream_tumbling,
-    "stream_distinct": q_stream_distinct,
-    "stream_sessionize": q_stream_sessionize,
-    "sessionize": q_sessionize,
-    "sessionize_native": q_sessionize_native,
-    "stratified_sample": q_stratified_sample,
-    "chain_lookup": q_chain_lookup,
-    "stream_topk": q_stream_topk,
-    "text_clean": q_text_clean,
-    "minhash_estimate": q_minhash_estimate,
-    "hll_by_group": q_hll_by_group,
-    "volume_shipping": q_volume_shipping,
-    "product_profit": q_product_profit,
-    "order_count_distribution": q_order_count_distribution,
-    "top_supplier": q_top_supplier,
-    "part_supplier_counts": q_part_supplier_counts,
-    "idf_keywords": q_idf_keywords,
-    "contamination_check": q_contamination_check,
-    "event_pivot": q_event_pivot,
-    "percentile_by_group": q_percentile_by_group,
-    "cube_revenue": q_cube_revenue,
-    "geomean_udaf": q_geomean_udaf,
-    "stream_stream_join": q_stream_stream_join,
-    "vocab_topk": q_vocab_topk,
-    "cluster_canonical": q_cluster_canonical,
-    "training_mix": q_training_mix,
-    "doc_chunks": q_doc_chunks,
     "pack_sequences": q_pack_sequences,
     "quality_quantile_filter": q_quality_quantile_filter,
     "cross_dedup": q_cross_dedup,
@@ -8345,65 +8296,62 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_topk": q_similarity_ivf_topk,
     "similarity_ivf_multiprobe": q_similarity_ivf_multiprobe,
     "embedding_near_dup": q_embedding_near_dup,
+    "pq_refine_topk": q_pq_refine_topk,
+    "pq_refine_recall": q_pq_refine_recall,
+    "ivf_pq_trained_stored": q_ivf_pq_trained_stored,
+    "ivf_pq_trained_topk": q_ivf_pq_trained_topk,
+    "ivf_pq_trained_recall": q_ivf_pq_trained_recall,
+    "kcenter_coreset": q_kcenter_coreset,
+    "ivf_pq_stored": q_ivf_pq_stored,
+    "bigram_lm_score": q_bigram_lm_score,
+    "trigram_lm_score": q_trigram_lm_score,
+    "docs_curation_v3": q_docs_curation_v3,
+    "stream_near_dedup": q_stream_near_dedup,
+    "bloom_filter": q_bloom_filter,
+    "scan_pruning": q_scan_pruning,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "token_stats": q_token_stats,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_frames": q_multimodal_frames,
+    "multimodal_resize": q_multimodal_resize,
+    "skew_salted_join": q_skew_salted_join,
+    "stream_windowed": q_stream_windowed,
+    "stream_tumbling": q_stream_tumbling,
+    "stream_distinct": q_stream_distinct,
+    "stream_sessionize": q_stream_sessionize,
+    "sessionize": q_sessionize,
+    "sessionize_native": q_sessionize_native,
+    "stratified_sample": q_stratified_sample,
+    "chain_lookup": q_chain_lookup,
+    "stream_topk": q_stream_topk,
+    "text_clean": q_text_clean,
+    "minhash_estimate": q_minhash_estimate,
+    "hll_by_group": q_hll_by_group,
+    "volume_shipping": q_volume_shipping,
+    "product_profit": q_product_profit,
+    "order_count_distribution": q_order_count_distribution,
+    "top_supplier": q_top_supplier,
+    "part_supplier_counts": q_part_supplier_counts,
+    "idf_keywords": q_idf_keywords,
+    "contamination_check": q_contamination_check,
+    "event_pivot": q_event_pivot,
+    "percentile_by_group": q_percentile_by_group,
+    "cube_revenue": q_cube_revenue,
+    "geomean_udaf": q_geomean_udaf,
+    "stream_stream_join": q_stream_stream_join,
+    "vocab_topk": q_vocab_topk,
+    "cluster_canonical": q_cluster_canonical,
+    "training_mix": q_training_mix,
+    "doc_chunks": q_doc_chunks,
 }
 
 
 _ORACLES: dict[str, str] = {
-    "pq_refine_topk": ORACLE_PQ_REFINE_TOPK,
-    "pq_refine_recall": ORACLE_PQ_REFINE_RECALL,
-    # reused verbatim: the stored round-trip must change nothing
-    "ivf_pq_trained_stored": ORACLE_IVF_PQ_TRAINED_TOPK,
     "ivf_pq_append": ORACLE_IVF_PQ_APPEND,
     "anchor_crash_consistency": ORACLE_ANCHOR_CRASH,
-    "ivf_pq_trained_topk": ORACLE_IVF_PQ_TRAINED_TOPK,
-    "ivf_pq_trained_recall": ORACLE_IVF_PQ_TRAINED_RECALL,
     "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
-    "kcenter_coreset": ORACLE_KCENTER,
-    # the stored-index leg must produce IDENTICAL results to the inline
-    # form — same oracle, so the round-trip is certified value-exact
-    "ivf_pq_stored": ORACLE_IVF_PQ_TOPK,
-    "bigram_lm_score": ORACLE_BIGRAM_LM,
-    "trigram_lm_score": ORACLE_TRIGRAM_LM,
-    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
-    "stream_near_dedup": ORACLE_STREAM_NEAR_DEDUP,
-    "bloom_filter": ORACLE_BLOOM_FILTER,
-    "scan_pruning": ORACLE_SCAN_PRUNING,
-    "text_langid": ORACLE_LANGID,
-    "text_quality": ORACLE_QUALITY,
-    "token_stats": ORACLE_TOKEN_STATS,
-    "fingerprint": ORACLE_FINGERPRINT,
-    "multimodal_meta": ORACLE_MULTIMODAL,
-    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
-    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
-    "skew_salted_join": ORACLE_SKEW_SALTED,
-    "stream_windowed": ORACLE_STREAM,
-    "stream_tumbling": ORACLE_STREAM_TUMBLING,
-    "stream_distinct": ORACLE_STREAM_DISTINCT,
-    "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
-    "sessionize": ORACLE_SESSIONIZE,
-    "sessionize_native": ORACLE_SESSIONIZE_NATIVE,
-    "stratified_sample": ORACLE_STRATIFIED,
-    "chain_lookup": ORACLE_CHAIN_LOOKUP,
-    "stream_topk": ORACLE_STREAM_TOPK,
-    "text_clean": ORACLE_TEXT_CLEAN,
-    "minhash_estimate": ORACLE_MINHASH_EST,
-    "hll_by_group": ORACLE_HLL_BY_GROUP,
-    "volume_shipping": ORACLE_VOLUME_SHIPPING,
-    "product_profit": ORACLE_PRODUCT_PROFIT,
-    "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
-    "top_supplier": ORACLE_TOP_SUPPLIER,
-    "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
-    "idf_keywords": ORACLE_IDF,
-    "contamination_check": ORACLE_CONTAMINATION,
-    "event_pivot": ORACLE_EVENT_PIVOT,
-    "percentile_by_group": ORACLE_PCT_GROUP,
-    "cube_revenue": ORACLE_CUBE,
-    "geomean_udaf": ORACLE_GEOMEAN,
-    "stream_stream_join": ORACLE_STREAM_SS_JOIN,
-    "vocab_topk": ORACLE_VOCAB_TOPK,
-    "cluster_canonical": ORACLE_CLUSTER_CANONICAL,
-    "training_mix": ORACLE_TRAINING_MIX,
-    "doc_chunks": ORACLE_DOC_CHUNKS,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,
     "cross_dedup": ORACLE_CROSS_DEDUP,
@@ -8538,6 +8486,58 @@ _ORACLES: dict[str, str] = {
     "similarity_ivf_topk": ORACLE_IVF_TOPK,
     "similarity_ivf_multiprobe": ORACLE_IVF_MULTIPROBE,
     "embedding_near_dup": ORACLE_NEAR_DUP,
+    "pq_refine_topk": ORACLE_PQ_REFINE_TOPK,
+    "pq_refine_recall": ORACLE_PQ_REFINE_RECALL,
+    # reused verbatim: the stored round-trip must change nothing
+    "ivf_pq_trained_stored": ORACLE_IVF_PQ_TRAINED_TOPK,
+    "ivf_pq_trained_topk": ORACLE_IVF_PQ_TRAINED_TOPK,
+    "ivf_pq_trained_recall": ORACLE_IVF_PQ_TRAINED_RECALL,
+    "kcenter_coreset": ORACLE_KCENTER,
+    # the stored-index leg must produce IDENTICAL results to the inline
+    # form — same oracle, so the round-trip is certified value-exact
+    "ivf_pq_stored": ORACLE_IVF_PQ_TOPK,
+    "bigram_lm_score": ORACLE_BIGRAM_LM,
+    "trigram_lm_score": ORACLE_TRIGRAM_LM,
+    "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
+    "stream_near_dedup": ORACLE_STREAM_NEAR_DEDUP,
+    "bloom_filter": ORACLE_BLOOM_FILTER,
+    "scan_pruning": ORACLE_SCAN_PRUNING,
+    "text_langid": ORACLE_LANGID,
+    "text_quality": ORACLE_QUALITY,
+    "token_stats": ORACLE_TOKEN_STATS,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "multimodal_meta": ORACLE_MULTIMODAL,
+    "multimodal_frames": ORACLE_MULTIMODAL_FRAMES,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
+    "skew_salted_join": ORACLE_SKEW_SALTED,
+    "stream_windowed": ORACLE_STREAM,
+    "stream_tumbling": ORACLE_STREAM_TUMBLING,
+    "stream_distinct": ORACLE_STREAM_DISTINCT,
+    "stream_sessionize": ORACLE_STREAM_SESSIONIZE,
+    "sessionize": ORACLE_SESSIONIZE,
+    "sessionize_native": ORACLE_SESSIONIZE_NATIVE,
+    "stratified_sample": ORACLE_STRATIFIED,
+    "chain_lookup": ORACLE_CHAIN_LOOKUP,
+    "stream_topk": ORACLE_STREAM_TOPK,
+    "text_clean": ORACLE_TEXT_CLEAN,
+    "minhash_estimate": ORACLE_MINHASH_EST,
+    "hll_by_group": ORACLE_HLL_BY_GROUP,
+    "volume_shipping": ORACLE_VOLUME_SHIPPING,
+    "product_profit": ORACLE_PRODUCT_PROFIT,
+    "order_count_distribution": ORACLE_ORDER_COUNT_DISTRIBUTION,
+    "top_supplier": ORACLE_TOP_SUPPLIER,
+    "part_supplier_counts": ORACLE_PART_SUPPLIER_COUNTS,
+    "idf_keywords": ORACLE_IDF,
+    "contamination_check": ORACLE_CONTAMINATION,
+    "event_pivot": ORACLE_EVENT_PIVOT,
+    "percentile_by_group": ORACLE_PCT_GROUP,
+    "cube_revenue": ORACLE_CUBE,
+    "geomean_udaf": ORACLE_GEOMEAN,
+    "stream_stream_join": ORACLE_STREAM_SS_JOIN,
+    "vocab_topk": ORACLE_VOCAB_TOPK,
+    "cluster_canonical": ORACLE_CLUSTER_CANONICAL,
+    "training_mix": ORACLE_TRAINING_MIX,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
 }
 
 
