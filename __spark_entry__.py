@@ -7887,6 +7887,30 @@ def q_ivf_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_recall(exact, approx, k=3)
 
 
+def q_ivf_pq_autosized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF-PQ with AUTO-SIZED cells (round-11 verdict #3 as a
+    DRIVER row, not just a pytest + ladder): ``n_cells=None`` resolves
+    to max(16, isqrt(n)) — 22 cells at sf0.01's 500-vector family
+    corpus, 44 at sf0.1 — and the DuckDB oracle computes the SAME rule
+    in SQL (``LIMIT (SELECT greatest(16, isqrt(count)))`` on the Lloyd
+    init), so the auto path is hash-certified at any sf rather than
+    pinned to one corpus size.  ``coarse_sample_per_cell=64`` exercises
+    the sample-training code path too; at these corpus sizes the
+    sample budget covers the whole corpus (step=1), so training is
+    bit-identical to full-corpus Lloyd and the oracle needs no train
+    filter (at deployment sizes the sample bites and keeps sqrt(n)
+    cell counts O(n) — laddered linear at 256x in SCALING_DEEP,
+    recall/candidates/numFiles curve in AUTOSIZE_METRICS.json)."""
+    from cherry_pipelines_spark.operators.similarity import ivf_pq_topk_trained
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    fam = _family_corpus(em)
+    return ivf_pq_topk_trained(
+        fam, k=3, m=8, dim=64, ksub=16, iters=2, n_cells=None,
+        coarse_iters=1, nprobe=1, coarse_sample_per_cell=64,
+    )
+
+
 def q_ivf_pq_trained_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORED leg of the TRAINED IVF-PQ (the full production
     layout, composing this round's two halves): train k-means cells +
@@ -7998,6 +8022,7 @@ def _trained_ivfpq_oracle(
     exclude_self: bool = False,
     coarse_iters: int = 1,
     train_filter: str | None = None,
+    auto_n_cells: bool = False,
 ) -> str:
     """DuckDB mirror of ``similarity.ivf_pq_topk_trained`` over the
     family corpus: coarse 2-iteration Lloyd unroll + final assignment,
@@ -8010,8 +8035,21 @@ def _trained_ivfpq_oracle(
     train — while the ENCODE side (final cell assignment, residuals,
     codes) still covers the full corpus: exactly the incremental-append
     semantics of ``append_stored_ivfpq_trained_index`` (day-0 training
-    on the base batch, frozen-metadata encoding of everything)."""
+    on the base batch, frozen-metadata encoding of everything).
+
+    ``auto_n_cells`` replaces the fixed coarse-cell count with the
+    sqrt(n) rule IN SQL — ``LIMIT (SELECT greatest(16, isqrt(n)))`` on
+    the Lloyd init — mirroring ``similarity._auto_n_cells``, so the
+    auto-sized path is oracle-replayable at ANY sf, not pinned to one
+    corpus size.  (n_cells appears only in the init's LIMIT; every
+    other Lloyd block is size-agnostic joins.)"""
     sd = dim // m
+    n_cells_sql: str | int = n_cells
+    if auto_n_cells:
+        n_cells_sql = (
+            "(SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) "
+            "FROM corpus)"
+        )
     train_src = (
         f"(SELECT * FROM corpus WHERE {train_filter})" if train_filter else "corpus"
     )
@@ -8046,7 +8084,7 @@ gc{it} AS (SELECT cid, list(cv ORDER BY dim) AS c FROM gc{it}d GROUP BY cid)"""
         + _FAMILY_CORPUS_SQL.strip()
         + f""",
 g0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::BIGINT AS cid, v AS c
-       FROM {train_src} ORDER BY vec_id LIMIT {n_cells}),"""
+       FROM {train_src} ORDER BY vec_id LIMIT {n_cells_sql}),"""
         + ",".join(lloyd_blocks)
         + f""",
 gdf AS (SELECT p.vec_id, p.v, c.cid, {sq.format(v='p.v', c='c.c')} AS d
@@ -8132,6 +8170,9 @@ ORACLE_IVF_PQ_TRAINED_TOPK = _trained_ivfpq_oracle()
 # the frozen-metadata semantics of append_stored_ivfpq_trained_index
 ORACLE_IVF_PQ_APPEND = _trained_ivfpq_oracle(train_filter="vec_id % 5 <> 4")
 
+# auto-sized cells: the sqrt(n) rule computed in SQL, sf-independent
+ORACLE_IVF_PQ_AUTOSIZED = _trained_ivfpq_oracle(auto_n_cells=True)
+
 ORACLE_IVF_PQ_TRAINED_RECALL = f"""
 WITH {_FAMILY_CORPUS_SQL.strip()},
 exq AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id % 100 = 0),
@@ -8156,6 +8197,7 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_append": q_ivf_pq_append,
     "anchor_crash_consistency": q_anchor_crash_consistency,
+    "ivf_pq_autosized_topk": q_ivf_pq_autosized_topk,
     "stream_near_dedup_e2e": q_stream_near_dedup_e2e,
     "pack_sequences": q_pack_sequences,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -8351,6 +8393,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _ORACLES: dict[str, str] = {
     "ivf_pq_append": ORACLE_IVF_PQ_APPEND,
     "anchor_crash_consistency": ORACLE_ANCHOR_CRASH,
+    "ivf_pq_autosized_topk": ORACLE_IVF_PQ_AUTOSIZED,
     "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,

@@ -520,3 +520,49 @@ def test_append_stored_lattice_index_equals_frozen_full_build(spark, tmp_path):
         spark, p_full, books, queries, **qkw).collect()))
     assert got == want
     assert any(r[1] % 5 == 4 for r in got)
+
+
+def test_multi_epoch_append_equals_frozen_full_build(spark, tmp_path):
+    """A 100 TB corpus arrives in MANY batches: two successive frozen-
+    metadata appends (epochs 2 and 3 after the day-0 build) must still
+    be bit-identical to a from-scratch frozen encode of the 3-way
+    union — the append contract composes."""
+    from cherry_pipelines_spark.operators.similarity import (
+        append_stored_ivfpq_trained_index,
+        build_stored_ivfpq_trained_index,
+        query_stored_ivfpq_trained_index,
+    )
+
+    dim, m, ksub, n_cells = 8, 4, 4, 4
+    df = spark.createDataFrame(
+        _clustered(64, dim), "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+    day0 = df.filter(F.col("vec_id") % 3 == 0)
+    day1 = df.filter(F.col("vec_id") % 3 == 1)
+    day2 = df.filter(F.col("vec_id") % 3 == 2)
+    queries = df.filter(F.col("vec_id") % 10 == 0)
+
+    p_inc = str(tmp_path / "epochs")
+    books, cents = build_stored_ivfpq_trained_index(
+        day0, p_inc, m=m, dim=dim, ksub=ksub, iters=2, n_cells=n_cells,
+        coarse_iters=1,
+    )
+    append_stored_ivfpq_trained_index(day1, p_inc, books, cents, m=m, dim=dim)
+    append_stored_ivfpq_trained_index(day2, p_inc, books, cents, m=m, dim=dim)
+
+    p_full = str(tmp_path / "epochs_full")
+    append_stored_ivfpq_trained_index(df, p_full, books, cents, m=m, dim=dim)
+
+    q = lambda p: sorted(
+        map(
+            tuple,
+            query_stored_ivfpq_trained_index(
+                spark, p, books, cents, queries, k=3, m=m, dim=dim, nprobe=1
+            ).collect(),
+        )
+    )
+    got, want = q(p_inc), q(p_full)
+    assert got == want
+    # neighbors from all three epochs appear (the %3 split crosses
+    # every near-dup family in the clustered fixture)
+    assert {r[1] % 3 for r in got} == {0, 1, 2}
