@@ -1186,6 +1186,62 @@ SELECT event_id, event_type, value, user_id FROM events
 """
 
 
+def q_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection (`dedup.duplicated_span_pairs`)
+    — the Lee et al. 2022 exact-substring verdict: per doc pair, the
+    LONGEST contiguous token run shared verbatim (k=8 sliding windows,
+    window-text equi-join, diagonal gaps-and-islands run chaining) plus
+    the total matched window-occurrence count.  Set-based near-dup ops
+    (jaccard/containment) measure overlap MASS; this measures the
+    memorization-relevant longest span.  The oracle replays the whole
+    chain — windowing, df cap, diagonal run grouping — in SQL."""
+    from cherry_pipelines_spark.operators.dedup import duplicated_span_pairs
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return duplicated_span_pairs(d, k=8, max_window_df=50)
+
+
+ORACLE_DUP_SPAN = """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS s
+  FROM t
+),
+wn AS (
+  SELECT doc_id, CAST(s - 1 AS BIGINT) AS pos,
+         array_to_string(toks[s:s+7], ' ') AS win
+  FROM st
+),
+rare AS (
+  SELECT win FROM (
+    SELECT win, count(DISTINCT doc_id) AS dfc FROM wn GROUP BY win
+  ) WHERE dfc <= 50
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM wn a JOIN wn b ON a.win = b.win AND a.doc_id < b.doc_id
+  WHERE a.win IN (SELECT win FROM rare)
+),
+r AS (
+  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                            ORDER BY pa) AS rn
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, count(*) AS run
+  FROM r GROUP BY doc_a, doc_b, diag, pa - rn
+)
+SELECT doc_a, doc_b,
+       CAST(max(run) + 7 AS BIGINT) AS max_span_tokens,
+       CAST(sum(run) AS BIGINT) AS shared_window_pairs
+FROM runs GROUP BY doc_a, doc_b
+"""
+
+
 def q_dedup_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup DEPLOYMENT CHAIN as one correctness surface:
     minhash-LSH candidates -> connected components -> canonical doc per
@@ -8198,6 +8254,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_append": q_ivf_pq_append,
     "anchor_crash_consistency": q_anchor_crash_consistency,
     "ivf_pq_autosized_topk": q_ivf_pq_autosized_topk,
+    "dup_span_detect": q_dup_span_detect,
     "stream_near_dedup_e2e": q_stream_near_dedup_e2e,
     "pack_sequences": q_pack_sequences,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -8394,6 +8451,7 @@ _ORACLES: dict[str, str] = {
     "ivf_pq_append": ORACLE_IVF_PQ_APPEND,
     "anchor_crash_consistency": ORACLE_ANCHOR_CRASH,
     "ivf_pq_autosized_topk": ORACLE_IVF_PQ_AUTOSIZED,
+    "dup_span_detect": ORACLE_DUP_SPAN,
     "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,

@@ -459,3 +459,40 @@ def test_minhash_estimate_identical_docs_and_bounds(spark):
         assert 0.0 <= est <= 1.0
         if (a, b) != (1, 2):
             assert est < 1.0
+
+
+def test_duplicated_span_pairs_hand_case(spark):
+    """Lee-et-al exact-substring verdict on a hand-built fixture: doc 2
+    embeds doc 1's first 8 tokens verbatim (longest shared span = 8),
+    doc 3 shares nothing, doc 4 repeats the same span twice (multiple
+    diagonals, max unchanged, pair count doubled)."""
+    span = "a b c d e f g h"
+    rows = [
+        (1, span + " i j"),
+        (2, "x y " + span + " q r"),
+        (3, "p q r s t u v w z0 z1"),
+        (4, span + " mid1 mid2 " + span),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): (r["max_span_tokens"], r["shared_window_pairs"])
+        for r in dedup.duplicated_span_pairs(df, k=4, max_window_df=10).collect()
+    }
+    # an 8-token shared span holds 5 consecutive 4-token windows
+    assert out[(1, 2)] == (8, 5)
+    assert (1, 3) not in out and (2, 3) not in out
+    # doc 4 carries the span twice: two diagonals vs doc 1 (5 matches
+    # each), max span still 8
+    assert out[(1, 4)] == (8, 10)
+
+
+def test_duplicated_span_pairs_df_cap_drops_boilerplate(spark):
+    """A window shared by MORE than max_window_df distinct docs is a
+    boilerplate/quadratic key and must not generate pairs."""
+    rows = [(i, "common boiler plate text here now") for i in range(5)]
+    rows.append((100, "totally different words in this document friend"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.duplicated_span_pairs(df, k=4, max_window_df=4).collect()
+    assert out == []  # 5 docs share every window, cap=4 drops them all
+    kept = dedup.duplicated_span_pairs(df, k=4, max_window_df=5).collect()
+    assert len(kept) == 10  # C(5,2) pairs once the cap admits them
