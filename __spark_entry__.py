@@ -1198,7 +1198,7 @@ def q_dup_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cherry_pipelines_spark.operators.dedup import duplicated_span_pairs
 
     (d,) = _load(spark, sf_dir, "documents")
-    return duplicated_span_pairs(d, k=8, max_window_df=50)
+    return duplicated_span_pairs(d, k=8, max_window_occ=50)
 
 
 ORACLE_DUP_SPAN = """
@@ -1217,8 +1217,8 @@ wn AS (
 ),
 rare AS (
   SELECT win FROM (
-    SELECT win, count(DISTINCT doc_id) AS dfc FROM wn GROUP BY win
-  ) WHERE dfc <= 50
+    SELECT win, count(*) AS occ FROM wn GROUP BY win
+  ) WHERE occ <= 50
 ),
 m AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
@@ -7950,20 +7950,21 @@ def q_ivf_pq_autosized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, 44 at sf0.1 — and the DuckDB oracle computes the SAME rule
     in SQL (``LIMIT (SELECT greatest(16, isqrt(count)))`` on the Lloyd
     init), so the auto path is hash-certified at any sf rather than
-    pinned to one corpus size.  ``coarse_sample_per_cell=64`` exercises
-    the sample-training code path too; at these corpus sizes the
-    sample budget covers the whole corpus (step=1), so training is
-    bit-identical to full-corpus Lloyd and the oracle needs no train
-    filter (at deployment sizes the sample bites and keeps sqrt(n)
-    cell counts O(n) — laddered linear at 256x in SCALING_DEEP,
-    recall/candidates/numFiles curve in AUTOSIZE_METRICS.json)."""
+    pinned to one corpus size.  Sample-based coarse training
+    (``coarse_sample_per_cell``) is deliberately NOT on here: the
+    oracle always trains Lloyd on the full corpus, and at a large
+    enough sf the thinning would bite (step > 1) and correctly diverge
+    from it — that path is certified by the pytest identity test
+    (sample covering the corpus == full training), the thinning-recall
+    pytest, and the 256x `ivf_pq_trained_autosized` ladder, with the
+    recall/candidates/numFiles curve in AUTOSIZE_METRICS.json."""
     from cherry_pipelines_spark.operators.similarity import ivf_pq_topk_trained
 
     (em,) = _load(spark, sf_dir, "embeddings")
     fam = _family_corpus(em)
     return ivf_pq_topk_trained(
         fam, k=3, m=8, dim=64, ksub=16, iters=2, n_cells=None,
-        coarse_iters=1, nprobe=1, coarse_sample_per_cell=64,
+        coarse_iters=1, nprobe=1,
     )
 
 

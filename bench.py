@@ -125,13 +125,20 @@ def canary_main(sf_dir: str, sf_val) -> None:
     total = 0.0
     for name in CANARY_QUERIES:
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-        proc = subprocess.run(
-            [sys.executable, here, "--canary-one", name],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, here, "--canary-one", name],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=600,
+            )
+        except subprocess.TimeoutExpired:
+            # one wedged fresh JVM must cost one entry, not the whole
+            # artifact (same posture as the main loop's per-query
+            # fault isolation)
+            out[name] = {"err": "timeout after 600s"}
+            continue
         lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
         if proc.returncode != 0 or not lines:
             out[name] = {"err": (proc.stderr or proc.stdout)[-300:]}

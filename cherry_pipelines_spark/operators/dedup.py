@@ -899,7 +899,7 @@ def duplicated_span_pairs(
     df: DataFrame,
     text_col: str = "text",
     k: int = 8,
-    max_window_df: int = 50,
+    max_window_occ: int = 50,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact duplicated-SPAN detection between document pairs — the
@@ -911,11 +911,15 @@ def duplicated_span_pairs(
     removes spans >= 50 tokens).
 
     Method, all JVM-side: every k-token SLIDING window of every doc
-    (position-stamped), windows repeated in more than ``max_window_df``
-    distinct docs dropped (boilerplate belongs to
-    :func:`boilerplate_spans`; they are also the quadratic join keys —
-    same ladder-safe absolute-cap posture as ``tfidf_doc_pairs``),
-    cross-doc equi-join on the window TEXT (not a hash — bit-exact
+    (position-stamped; docs shorter than k tokens yield none), windows
+    with more than ``max_window_occ`` OCCURRENCES corpus-wide dropped —
+    an occurrence cap, not a distinct-doc cap, because the equi-join
+    matches occurrences: one degenerate repetitive doc pair ("spam"
+    x 100k) would have df=2 but occ² join rows, and the occurrence cap
+    is what actually bounds join work at C(cap, 2) per key
+    (boilerplate-grade windows belong to :func:`boilerplate_spans`;
+    same ladder-safe absolute-cap posture as ``tfidf_doc_pairs``).
+    Cross-doc equi-join on the window TEXT (not a hash — bit-exact
     oracle parity, no collision caveat), then shared windows chain
     into maximal runs by the classic diagonal trick: matches of the
     same pair on one diagonal (pos_a − pos_b constant) with
@@ -931,17 +935,21 @@ def duplicated_span_pairs(
     Scale shape: explode is map-side; one uniform-key groupBy for the
     df cap; one equi-join shuffle on window text; one (pair, diagonal)
     window + partial-agg chain.  Per-window join work is bounded by
-    C(max_window_df, 2) regardless of corpus size."""
+    C(max_window_occ, 2) regardless of corpus size."""
     t = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size(t) - F.lit(k - 1), F.lit(0))
-    )
+    # guard the short-doc case: sequence(1, 0) is the DESCENDING array
+    # [1, 0] in Spark, whose 0 start then blows up F.slice — a doc
+    # with fewer than k tokens must yield an EMPTY window array (the
+    # oracle's range() end-exclusive semantics), not a crash
+    starts = F.when(
+        F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - F.lit(k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
     wins = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, k)))
     w = df.select(F.col(id_col), F.posexplode(wins).alias("pos", "_w"))
     rare = (
         w.groupBy("_w")
-        .agg(F.count_distinct(id_col).alias("_dfc"))
-        .filter(F.col("_dfc") <= max_window_df)
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") <= max_window_occ)
         .select("_w")
     )
     wr = w.join(rare, "_w")

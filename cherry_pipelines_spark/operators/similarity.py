@@ -1216,12 +1216,14 @@ def _trained_cells_and_residuals(
     n_cells: int,
     coarse_iters: int,
     coarse_sample_per_cell: int | None = None,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared head of the trained-IVF-PQ family: k-means cells
     (deterministic Lloyd, final-centroid assignment) + exact-float
     residuals.  Returns ``(cents, resid)`` with ``cents =
     (cluster_id, centroid)`` checkpointed and ``resid = (id, cell,
-    _r)`` checkpointed.
+    _r)`` checkpointed.  ``n_rows`` passes a count the caller already
+    paid for (the auto-n_cells job) so sampling doesn't re-scan.
 
     ``coarse_sample_per_cell``: train Lloyd on a deterministic
     id-modulus thinning of ~``n_cells * coarse_sample_per_cell`` rows
@@ -1236,7 +1238,7 @@ def _trained_cells_and_residuals(
 
     train = df
     if coarse_sample_per_cell is not None:
-        n = df.count()
+        n = n_rows if n_rows is not None else df.count()
         step = max(1, n // max(1, n_cells * coarse_sample_per_cell))
         if step > 1:
             train = df.filter(F.col(id_col) % step == 0)
@@ -1256,6 +1258,23 @@ def _auto_n_cells(df: DataFrame, n_cells: int | None) -> int:
     from math import isqrt
 
     return max(16, isqrt(df.count()))
+
+
+def _resolve_cells_and_count(
+    df: DataFrame, n_cells: int | None, coarse_sample_per_cell: int | None
+) -> tuple[int, int | None]:
+    """ONE count job serves both auto-n_cells and sample-step sizing —
+    the two consumers of |df| on the trained-build path (a second
+    full-corpus scan just to re-derive the same number is exactly the
+    waste the 100 TB posture forbids)."""
+    from math import isqrt
+
+    n = None
+    if n_cells is None or coarse_sample_per_cell is not None:
+        n = df.count()
+    if n_cells is None:
+        n_cells = max(16, isqrt(n))
+    return n_cells, n
 
 
 def _trained_probe_lut(
@@ -1398,9 +1417,9 @@ def build_stored_ivfpq_trained_index(
     batches go through :func:`append_stored_ivfpq_trained_index` with
     the returned (frozen) metadata; they must NOT re-run this builder,
     which would retrain cells/codebooks and orphan the stored codes."""
-    n_cells = _auto_n_cells(df, n_cells)
+    n_cells, n_rows = _resolve_cells_and_count(df, n_cells, coarse_sample_per_cell)
     cents, resid = _trained_cells_and_residuals(
-        df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell
+        df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell, n_rows
     )
     codebooks = pq_train(resid, "_r", id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False
@@ -1557,14 +1576,14 @@ def ivf_pq_topk_trained(
         query_filter = F.col(id_col) % 100 == 0
     if nprobe < 1:
         raise ValueError("nprobe must be >= 1")
-    n_cells = _auto_n_cells(df, n_cells)
+    n_cells, n_rows = _resolve_cells_and_count(df, n_cells, coarse_sample_per_cell)
     # coarse k-means cells + residuals, then PQ on residuals (the
     # shared deterministic contract); the stored leg
     # (build_stored_ivfpq_trained_index / query_stored_ivfpq_trained_
     # index) reuses the SAME helpers, so inline and stored results are
     # identical by construction
     cents, resid = _trained_cells_and_residuals(
-        df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell
+        df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell, n_rows
     )
     codebooks = pq_train(resid, "_r", id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False

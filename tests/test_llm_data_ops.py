@@ -476,7 +476,7 @@ def test_duplicated_span_pairs_hand_case(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {
         (r["doc_a"], r["doc_b"]): (r["max_span_tokens"], r["shared_window_pairs"])
-        for r in dedup.duplicated_span_pairs(df, k=4, max_window_df=10).collect()
+        for r in dedup.duplicated_span_pairs(df, k=4, max_window_occ=10).collect()
     }
     # an 8-token shared span holds 5 consecutive 4-token windows
     assert out[(1, 2)] == (8, 5)
@@ -487,12 +487,49 @@ def test_duplicated_span_pairs_hand_case(spark):
 
 
 def test_duplicated_span_pairs_df_cap_drops_boilerplate(spark):
-    """A window shared by MORE than max_window_df distinct docs is a
-    boilerplate/quadratic key and must not generate pairs."""
+    """A window with MORE than max_window_occ corpus-wide occurrences is
+    a boilerplate/quadratic key and must not generate pairs."""
     rows = [(i, "common boiler plate text here now") for i in range(5)]
     rows.append((100, "totally different words in this document friend"))
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = dedup.duplicated_span_pairs(df, k=4, max_window_df=4).collect()
+    out = dedup.duplicated_span_pairs(df, k=4, max_window_occ=4).collect()
     assert out == []  # 5 docs share every window, cap=4 drops them all
-    kept = dedup.duplicated_span_pairs(df, k=4, max_window_df=5).collect()
+    kept = dedup.duplicated_span_pairs(df, k=4, max_window_occ=5).collect()
     assert len(kept) == 10  # C(5,2) pairs once the cap admits them
+
+
+def test_duplicated_span_pairs_short_and_null_docs(spark):
+    """Docs with fewer than k tokens (including NULL/empty text) yield
+    NO windows instead of crashing — Spark's sequence(1, 0) is the
+    DESCENDING [1, 0] whose 0 start blows up slice() unguarded
+    (review regression)."""
+    rows = [
+        (1, "a b c"),            # 3 tokens < k
+        (2, None),               # NULL text
+        (3, ""),                 # empty -> one '' token
+        (4, "a b c d e f g h"),  # exactly k
+        (5, "a b c d e f g h"),  # its twin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r["max_span_tokens"]
+        for r in dedup.duplicated_span_pairs(df, k=8, max_window_occ=10).collect()
+    }
+    assert out == {(4, 5): 8}
+
+
+def test_duplicated_span_pairs_occurrence_cap_bounds_repetitive_docs(spark):
+    """The cap is on OCCURRENCES, not distinct docs: a degenerate
+    repetitive doc pair (df=2 but huge per-doc counts) is exactly the
+    quadratic join key the C(cap,2) bound must cover (review
+    regression)."""
+    spam = " ".join(["spam"] * 40)  # 37 identical 4-token windows
+    rows = [(1, spam), (2, spam), (3, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the spam window occurs 74 times corpus-wide: cap 50 drops it even
+    # though only 2 distinct docs carry it
+    assert dedup.duplicated_span_pairs(df, k=4, max_window_occ=50).collect() == []
+    kept = dedup.duplicated_span_pairs(df, k=4, max_window_occ=74).collect()
+    assert [(r["doc_a"], r["doc_b"], r["max_span_tokens"]) for r in kept] == [
+        (1, 2, 40)
+    ]
