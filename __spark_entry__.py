@@ -1242,6 +1242,64 @@ FROM runs GROUP BY doc_a, doc_b
 """
 
 
+def q_dup_span_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONED duplicated spans (`dedup.duplicated_span_occurrences`)
+    — the actionable Lee-et-al table: one row per maximal shared run
+    with its start token offset in BOTH docs, so a scrub pass knows
+    exactly which range of the lower-priority doc to cut.  Same plan as
+    `dup_span_detect` (shared `_span_runs` helper) with min(pos)
+    carried through the run aggregation; the oracle replays it with
+    min(pa)/diag arithmetic on the identical runs CTE."""
+    from cherry_pipelines_spark.operators.dedup import (
+        duplicated_span_occurrences,
+    )
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return duplicated_span_occurrences(
+        d, k=8, min_span_tokens=16, max_window_occ=50
+    )
+
+
+ORACLE_DUP_SPAN_OCC = """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS s
+  FROM t
+),
+wn AS (
+  SELECT doc_id, CAST(s - 1 AS BIGINT) AS pos,
+         array_to_string(toks[s:s+7], ' ') AS win
+  FROM st
+),
+rare AS (
+  SELECT win FROM (
+    SELECT win, count(*) AS occ FROM wn GROUP BY win
+  ) WHERE occ <= 50
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM wn a JOIN wn b ON a.win = b.win AND a.doc_id < b.doc_id
+  WHERE a.win IN (SELECT win FROM rare)
+),
+r AS (
+  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                            ORDER BY pa) AS rn
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, min(pa) AS pa0, count(*) AS run
+  FROM r GROUP BY doc_a, doc_b, diag, pa - rn
+)
+SELECT doc_a, doc_b, pa0 AS pos_a, pa0 - diag AS pos_b,
+       CAST(run + 7 AS BIGINT) AS span_tokens
+FROM runs WHERE run + 7 >= 16
+"""
+
+
 def q_dedup_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup DEPLOYMENT CHAIN as one correctness surface:
     minhash-LSH candidates -> connected components -> canonical doc per
@@ -8256,6 +8314,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anchor_crash_consistency": q_anchor_crash_consistency,
     "ivf_pq_autosized_topk": q_ivf_pq_autosized_topk,
     "dup_span_detect": q_dup_span_detect,
+    "dup_span_occurrences": q_dup_span_occurrences,
     "stream_near_dedup_e2e": q_stream_near_dedup_e2e,
     "pack_sequences": q_pack_sequences,
     "quality_quantile_filter": q_quality_quantile_filter,
@@ -8453,6 +8512,7 @@ _ORACLES: dict[str, str] = {
     "anchor_crash_consistency": ORACLE_ANCHOR_CRASH,
     "ivf_pq_autosized_topk": ORACLE_IVF_PQ_AUTOSIZED,
     "dup_span_detect": ORACLE_DUP_SPAN,
+    "dup_span_occurrences": ORACLE_DUP_SPAN_OCC,
     "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,

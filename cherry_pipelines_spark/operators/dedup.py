@@ -936,6 +936,22 @@ def duplicated_span_pairs(
     df cap; one equi-join shuffle on window text; one (pair, diagonal)
     window + partial-agg chain.  Per-window join work is bounded by
     C(max_window_occ, 2) regardless of corpus size."""
+    runs = _span_runs(df, text_col, k, max_window_occ, id_col)
+    return runs.groupBy("doc_a", "doc_b").agg(
+        (F.max("_run") + F.lit(k - 1)).cast("long").alias("max_span_tokens"),
+        F.sum("_run").cast("long").alias("shared_window_pairs"),
+    )
+
+
+def _span_runs(
+    df: DataFrame, text_col: str, k: int, max_window_occ: int, id_col: str
+) -> DataFrame:
+    """Shared body of the duplicated-span family: windows → occurrence
+    cap → cross-doc window-text join → diagonal gaps-and-islands.
+    Returns one row per maximal run: ``(doc_a, doc_b, _diag, _pa0,
+    _run)`` with ``_pa0`` the run's first window position in doc_a
+    (``_pa0 - _diag`` is the doc_b position) and ``_run`` the number of
+    chained windows (span = _run + k − 1 tokens)."""
     t = tokens(F.coalesce(F.col(text_col), F.lit("")))
     # guard the short-doc case: sequence(1, 0) is the DESCENDING array
     # [1, 0] in Spark, whose 0 start then blows up F.slice — a doc
@@ -962,13 +978,46 @@ def duplicated_span_pairs(
     matched = a.join(b, "_w").filter(F.col("doc_a") < F.col("doc_b"))
     diag = (F.col("_pa") - F.col("_pb")).alias("_diag")
     win = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")
-    runs = (
+    return (
         matched.select("doc_a", "doc_b", diag, "_pa")
         .withColumn("_grp", F.col("_pa") - F.row_number().over(win))
         .groupBy("doc_a", "doc_b", "_diag", "_grp")
-        .agg(F.count(F.lit(1)).alias("_run"))
+        .agg(
+            F.min("_pa").alias("_pa0"),
+            F.count(F.lit(1)).alias("_run"),
+        )
     )
-    return runs.groupBy("doc_a", "doc_b").agg(
-        (F.max("_run") + F.lit(k - 1)).cast("long").alias("max_span_tokens"),
-        F.sum("_run").cast("long").alias("shared_window_pairs"),
+
+
+def duplicated_span_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_span_tokens: int = 16,
+    max_window_occ: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """POSITIONED duplicated spans — the actionable form of
+    :func:`duplicated_span_pairs`: one row per maximal shared run with
+    its start offsets in BOTH documents, filtered to runs of at least
+    ``min_span_tokens`` (Lee et al. remove spans >= 50 tokens; the
+    default 16 suits shorter fixture docs).  This is the table a
+    scrub/removal pass consumes: (doc_b, pos_b, span_tokens) says
+    exactly which token range of the lower-priority doc to cut.
+
+    Output: ``(doc_a < doc_b, pos_a, pos_b, span_tokens)`` — pos are
+    0-based token offsets of the run's first window; the run covers
+    ``span_tokens`` tokens from there.  Same plan as the pair verdict
+    (shared helper) with min(pos) carried through the run aggregation
+    instead of collapsed."""
+    runs = _span_runs(df, text_col, k, max_window_occ, id_col)
+    return (
+        runs.select(
+            "doc_a",
+            "doc_b",
+            F.col("_pa0").alias("pos_a"),
+            (F.col("_pa0") - F.col("_diag")).alias("pos_b"),
+            (F.col("_run") + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_span_tokens)
     )

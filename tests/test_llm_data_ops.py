@@ -533,3 +533,43 @@ def test_duplicated_span_pairs_occurrence_cap_bounds_repetitive_docs(spark):
     assert [(r["doc_a"], r["doc_b"], r["max_span_tokens"]) for r in kept] == [
         (1, 2, 40)
     ]
+
+
+def test_duplicated_span_occurrences_positions(spark):
+    """The positioned form emits the exact token offsets a scrub pass
+    cuts: doc 2 embeds doc 1's first 8 tokens at offset 2; doc 4
+    carries the span twice (two runs, two positions)."""
+    span = "a b c d e f g h"
+    rows = [
+        (1, span + " i j"),
+        (2, "x y " + span + " q r"),
+        (4, span + " mid1 mid2 " + span),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    occ = sorted(
+        map(
+            tuple,
+            dedup.duplicated_span_occurrences(
+                df, k=4, min_span_tokens=8, max_window_occ=10
+            )
+            .select("doc_a", "doc_b", "pos_a", "pos_b", "span_tokens")
+            .collect(),
+        )
+    )
+    # (1,2): doc1 pos 0 -> doc2 pos 2; (1,4): doc1 span at doc4 pos 0
+    # and pos 10 ("a b c d e f g h mid1 mid2" = 10 tokens before rep 2)
+    assert (1, 2, 0, 2, 8) in occ
+    assert (1, 4, 0, 0, 8) in occ and (1, 4, 0, 10, 8) in occ
+    # min_span filter: 8-token runs pass at min 8, die at min 9
+    assert (
+        dedup.duplicated_span_occurrences(
+            df, k=4, min_span_tokens=9, max_window_occ=10
+        ).count()
+        == 0
+    )
+    # pair verdict unchanged by the refactor onto the shared helper
+    pairs = {
+        (r["doc_a"], r["doc_b"]): (r["max_span_tokens"], r["shared_window_pairs"])
+        for r in dedup.duplicated_span_pairs(df, k=4, max_window_occ=10).collect()
+    }
+    assert pairs[(1, 2)] == (8, 5) and pairs[(1, 4)] == (8, 10)
