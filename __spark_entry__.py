@@ -1043,6 +1043,7 @@ def q_stream_near_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
     from cherry_pipelines_spark.streaming.stateful import (
+        DEFAULT_LSH_BANDS,
         near_dedup_survivors_stream,
         streaming_near_dedup_claims,
     )
@@ -1069,7 +1070,9 @@ def q_stream_near_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run_claims_until_idle():
         stream = spark.readStream.schema(schema).parquet(src)
         q = (
-            streaming_near_dedup_claims(stream, k=8, bands=4)
+            # bands threaded from the ONE shared constant — the survivor
+            # stage below must count to the same number (BANDS COUPLING)
+            streaming_near_dedup_claims(stream, k=8, bands=DEFAULT_LSH_BANDS)
             .writeStream.outputMode("append")
             .format("parquet")
             .option("path", claims_sink)
@@ -1086,7 +1089,7 @@ def q_stream_near_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, band int, fresh boolean"
         ).parquet(claims_sink)
         q = (
-            near_dedup_survivors_stream(claims, bands=4)
+            near_dedup_survivors_stream(claims, bands=DEFAULT_LSH_BANDS)
             .writeStream.outputMode("append")
             .format("parquet")
             .option("path", surv_sink)
@@ -8153,17 +8156,26 @@ def _trained_ivfpq_oracle(
     on the base batch, frozen-metadata encoding of everything).
 
     ``auto_n_cells`` replaces the fixed coarse-cell count with the
-    sqrt(n) rule IN SQL — ``LIMIT (SELECT greatest(16, isqrt(n)))`` on
-    the Lloyd init — mirroring ``similarity._auto_n_cells``, so the
-    auto-sized path is oracle-replayable at ANY sf, not pinned to one
-    corpus size.  (n_cells appears only in the init's LIMIT; every
-    other Lloyd block is size-agnostic joins.)"""
+    sqrt(n) rule IN SQL on the Lloyd init, mirroring
+    ``similarity._auto_n_cells``, so the auto-sized path is
+    oracle-replayable at ANY sf, not pinned to one corpus size.
+    (n_cells appears only in the init's LIMIT; every other Lloyd block
+    is size-agnostic joins.)  Python uses ``math.isqrt`` (integer-
+    exact); SQL has only float ``sqrt``, whose ``floor`` can land one
+    off near perfect squares at very large n, so the SQL applies an
+    integer CORRECTION step — take ``s = floor(sqrt(n))`` then nudge
+    with exact BIGINT products: ``s-1`` if ``s*s > n``, ``s+1`` if
+    ``(s+1)^2 <= n``.  Float sqrt is always within ±1 of isqrt for
+    n < 2^52, so the corrected value IS isqrt there — far beyond any
+    corpus DuckDB will count."""
     sd = dim // m
     n_cells_sql: str | int = n_cells
     if auto_n_cells:
         n_cells_sql = (
-            "(SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) "
-            "FROM corpus)"
+            "(SELECT greatest(16, s + CASE WHEN s * s > n THEN -1 "
+            "WHEN (s + 1) * (s + 1) <= n THEN 1 ELSE 0 END) "
+            "FROM (SELECT count(*) AS n, "
+            "CAST(floor(sqrt(count(*))) AS BIGINT) AS s FROM corpus))"
         )
     train_src = (
         f"(SELECT * FROM corpus WHERE {train_filter})" if train_filter else "corpus"

@@ -1241,23 +1241,29 @@ def _trained_cells_and_residuals(
         n = n_rows if n_rows is not None else df.count()
         step = max(1, n // max(1, n_cells * coarse_sample_per_cell))
         if step > 1:
-            train = df.filter(F.col(id_col) % step == 0)
+            # Thin on a HASHED id, not id % step: modulus assumes a
+            # dense 0-anchored id space, and sparse/offset spaces (e.g.
+            # scaling-copy keys offset by 10^12) would under-sample or
+            # empty the training set.  pmod(xxhash64(id), step) == 0
+            # keeps ~n/step rows deterministically for ANY id
+            # distribution.
+            train = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
     _, cents = _lloyd(train, vec_col, id_col, n_cells, coarse_iters)
     cents = cents.localCheckpoint(eager=False)
     return cents, _frozen_residuals(df, cents, vec_col, id_col, n_cells)
 
 
-def _auto_n_cells(df: DataFrame, n_cells: int | None) -> int:
-    """Resolve ``n_cells=None`` to the standard ``max(16, isqrt(n))``
-    rule (one count job): per-probe candidate work is n/n_cells and
+def _auto_n_cells(n: int) -> int:
+    """The ``max(16, isqrt(n))`` auto-cell rule as a pure function of
+    the corpus size: per-probe candidate work is n/n_cells and
     probe-LUT work is n_cells, so sqrt(n) balances them — a fixed cell
     count probes an ever-growing 1/n_cells slice as the corpus scales,
-    which is exactly the posture a 100 TB deployment must avoid."""
-    if n_cells is not None:
-        return n_cells
+    which is exactly the posture a 100 TB deployment must avoid.
+    ``_resolve_cells_and_count`` is the sole production caller, so the
+    rule pinned by tests IS the rule the builders run."""
     from math import isqrt
 
-    return max(16, isqrt(df.count()))
+    return max(16, isqrt(n))
 
 
 def _resolve_cells_and_count(
@@ -1266,14 +1272,13 @@ def _resolve_cells_and_count(
     """ONE count job serves both auto-n_cells and sample-step sizing —
     the two consumers of |df| on the trained-build path (a second
     full-corpus scan just to re-derive the same number is exactly the
-    waste the 100 TB posture forbids)."""
-    from math import isqrt
-
+    waste the 100 TB posture forbids).  ``n_cells=None`` resolves via
+    ``_auto_n_cells`` (the single implementation of the sqrt rule)."""
     n = None
     if n_cells is None or coarse_sample_per_cell is not None:
         n = df.count()
     if n_cells is None:
-        n_cells = max(16, isqrt(n))
+        n_cells = _auto_n_cells(n)
     return n_cells, n
 
 
@@ -1467,9 +1472,29 @@ def append_stored_ivfpq_trained_index(
     whose codes were encoded with the SAME frozen cells/codebooks over
     the unioned corpus — encoding is per-row, so batch boundaries
     cannot change any code.  (It is NOT identical to retraining on the
-    union: that is a different index by design, and the standard
-    trade-off — frozen quantizers drift from the data distribution and
-    are periodically re-trained offline.)"""
+    union: that is a different index by design — see the RETRAIN
+    POLICY below for the measured drift curve that decides when.)
+
+    ID-DISJOINTNESS PRECONDITION: the batch's ``id_col`` values must
+    not already exist in the stored index.  ``mode("append")`` only
+    adds files — it cannot dedupe — so a re-appended id stores a
+    second copy of its codes and surfaces TWICE among top-k
+    candidates.  The check is O(|index|) (an anti-join against every
+    stored id), which would defeat the O(|batch|) contract, so it is
+    the caller's invariant — exactly like the "must NOT re-run the
+    builder over base+batch" note above.  Callers with at-least-once
+    upstream delivery should dedupe the batch (``dropDuplicates``)
+    and track a high-water mark per source, not re-scan the index.
+
+    RETRAIN POLICY (measured, DRIFT.json round-13): recall@3 vs the
+    appended fraction — the share of the corpus the frozen quantizers
+    never saw at train time — stays flat through 50% appended and is
+    still 1.0 at 80% on the clustered-family fixture, because frozen-
+    cell assignment + residual encoding remain exact-per-row and only
+    the *fit* of centroids to the new distribution degrades.  Retrain
+    (re-run the builder offline, swap the path atomically) when the
+    appended fraction crosses ~50% OR measured recall on a held-out
+    probe set drops below the application floor, whichever first."""
     resid = _frozen_residuals(df, cents, vec_col, id_col)
     codes = pq_encode(resid, codebooks, "_r", id_col, m, dim)
     (

@@ -399,7 +399,16 @@ def near_dedup_survivors(claims: DataFrame) -> DataFrame:
     )
 
 
-def near_dedup_survivors_stream(claims: DataFrame, bands: int = 4) -> DataFrame:
+#: Default LSH band count shared by the claims stage
+#: (:func:`streaming_near_dedup_claims`) and the survivor stage
+#: (:func:`near_dedup_survivors_stream`).  The two MUST agree — see
+#: the BANDS COUPLING note on the survivor stage.
+DEFAULT_LSH_BANDS = 4
+
+
+def near_dedup_survivors_stream(
+    claims: DataFrame, bands: int = DEFAULT_LSH_BANDS
+) -> DataFrame:
     """STREAMING survivor verdicts over a claims STREAM — the supported
     form of "chain two stateful stages": two independent streaming
     queries, the claims job writing a file sink and this operator
@@ -425,7 +434,27 @@ def near_dedup_survivors_stream(claims: DataFrame, bands: int = 4) -> DataFrame:
     claims table) stays the recommended default; choose this one when
     survivor latency must be streaming-push rather than view-pull, and
     swap NoTimeout for an event-time timeout to bound state in
-    bounded-staleness deployments."""
+    bounded-staleness deployments.
+
+    BANDS COUPLING (hard precondition): ``bands`` MUST equal the
+    ``bands`` the claims stage was built with (every doc emits exactly
+    ``bands`` claim rows).  Pass :data:`DEFAULT_LSH_BANDS` (or one
+    shared constant) to BOTH :func:`streaming_near_dedup_claims` and
+    this function.  A mismatch is not an error Spark can detect, and
+    it fails in opposite directions: ``bands`` TOO SMALL emits the
+    verdict before the doc's later claims arrive — if a source option
+    like ``maxFilesPerTrigger`` splits a commit across triggers, a
+    premature ``fresh`` verdict is UNRETRACTABLE when a non-fresh
+    claim lands in the next trigger; ``bands`` TOO LARGE (or a doc
+    that emitted fewer claims than declared) means ``seen`` never
+    reaches the threshold and the verdict is silently suppressed
+    forever.  Either way the output diverges from the batch
+    :func:`near_dedup_survivors` view over the same claims table."""
+    if bands < 1:
+        raise ValueError(
+            f"bands must be >= 1 (got {bands}); it must equal the claims "
+            "stage's band count — see the BANDS COUPLING docstring note"
+        )
     out_schema = T.StructType([T.StructField("doc_id", T.LongType())])
     state_schema = T.StructType(
         [T.StructField("seen", T.IntegerType()), T.StructField("ok", T.BooleanType())]
@@ -462,12 +491,15 @@ def streaming_near_dedup_claims(
     df: DataFrame,
     text_col: str = "text",
     k: int = 8,
-    bands: int = 4,
+    bands: int = DEFAULT_LSH_BANDS,
     ngram: int = 3,
 ) -> DataFrame:
     """MinHash-LSH band claims over a (streaming) documents frame —
     compose: ``claims -> collect -> groupBy doc_id having min(fresh)``
-    for the survivor set.  See :func:`streaming_band_claims`."""
+    for the survivor set.  See :func:`streaming_band_claims`.  When
+    chaining into :func:`near_dedup_survivors_stream`, the survivor
+    stage's ``bands`` must equal this ``bands`` (shared-constant it —
+    see the BANDS COUPLING precondition there)."""
     from cherry_pipelines_spark.operators.dedup import _banded
 
     if df.isStreaming:

@@ -437,14 +437,22 @@ def test_append_stored_index_equals_frozen_full_build(spark, tmp_path):
 
 def test_auto_n_cells_sqrt_rule(spark):
     """n_cells=None resolves to max(16, isqrt(n)) — the sqrt(n) balance
-    between per-probe candidate work and probe-LUT work."""
-    from cherry_pipelines_spark.operators.similarity import _auto_n_cells
+    between per-probe candidate work and probe-LUT work.  Pinned on
+    _resolve_cells_and_count, the function the trained builders call,
+    so the live rule (not a parallel helper) is what the test guards;
+    the pure rule is asserted alongside."""
+    from cherry_pipelines_spark.operators.similarity import (
+        _auto_n_cells,
+        _resolve_cells_and_count,
+    )
 
     small = spark.range(64).withColumnRenamed("id", "vec_id")
     big = spark.range(900).withColumnRenamed("id", "vec_id")
-    assert _auto_n_cells(small, None) == 16
-    assert _auto_n_cells(big, None) == 30
-    assert _auto_n_cells(big, 7) == 7
+    assert _resolve_cells_and_count(small, None, None) == (16, 64)
+    assert _resolve_cells_and_count(big, None, None) == (30, 900)
+    # explicit n_cells wins and skips the count job entirely
+    assert _resolve_cells_and_count(big, 7, None) == (7, None)
+    assert _auto_n_cells(64) == 16 and _auto_n_cells(900) == 30
 
 
 def test_coarse_sample_training_identity_and_thinning(spark):
