@@ -8130,6 +8130,72 @@ def q_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_pq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION of the appended stored IVF-PQ index
+    (`similarity.compact_stored_index`) — the round-12 verdict's top
+    item and the last stage of the index lifecycle: every
+    frozen-metadata append leaves one parquet file per touched
+    ``cell=`` dir, so after many batches the per-cell file count — not
+    the data — is what the probe pays for, eroding the DPP pruning
+    economics (ClickHouse MergeTree solves the same problem with
+    background part merges; reference `evm/erc20_transfers.py:47`).
+
+    Shape: train+build on the 80% base (``vec_id % 5 != 4``), append
+    the 20% batch in FOUR separate sub-batches (``vec_id % 20`` in
+    {4, 9, 14, 19} — same union as the append row's single batch), so
+    touched cell dirs hold base + up to 4 append files; then
+    ``compact_stored_index`` coalesces each cell dir behind an atomic
+    rename, and the probe runs over the COMPACTED index.  The query
+    RAISES if compaction didn't actually rewrite anything, so a
+    silently no-op compactor cannot pass.
+
+    The oracle is byte-for-byte `ORACLE_IVF_PQ_APPEND`: compaction
+    must not change a single probe result — the hash match across a
+    physically rewritten index IS the certification."""
+    import hashlib as _hl
+    import shutil as _sh
+    import tempfile as _tf
+
+    from cherry_pipelines_spark.operators.similarity import (
+        append_stored_ivfpq_trained_index,
+        build_stored_ivfpq_trained_index,
+        compact_stored_index,
+        query_stored_ivfpq_trained_index,
+    )
+
+    (em,) = _load(spark, sf_dir, "embeddings")
+    fam = _family_corpus(em)
+    base = fam.filter(F.col("vec_id") % 5 != 4)
+    index_path = os.path.join(
+        _tf.gettempdir(),
+        "cherry_ivfpq_compact_" + _hl.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    _sh.rmtree(index_path, ignore_errors=True)
+    codebooks, cents = build_stored_ivfpq_trained_index(
+        base, index_path, m=8, dim=64, ksub=16, iters=2, n_cells=16,
+        coarse_iters=1,
+    )
+    for r in (4, 9, 14, 19):
+        append_stored_ivfpq_trained_index(
+            fam.filter(F.col("vec_id") % 20 == r), index_path, codebooks,
+            cents, m=8, dim=64,
+        )
+    report = compact_stored_index(spark, index_path)
+    if report.partitions_compacted == 0 or report.files_after >= report.files_before:
+        raise RuntimeError(f"compaction was a no-op: {report}")
+    return query_stored_ivfpq_trained_index(
+        spark,
+        index_path,
+        codebooks,
+        cents,
+        fam.filter(F.col("vec_id") % 100 == 0),
+        k=3,
+        m=8,
+        dim=64,
+        nprobe=1,
+    )
+
+
 def _trained_ivfpq_oracle(
     m: int = 8,
     dim: int = 64,
@@ -8322,6 +8388,7 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ivf_pq_compact": q_ivf_pq_compact,
     "ivf_pq_append": q_ivf_pq_append,
     "anchor_crash_consistency": q_anchor_crash_consistency,
     "ivf_pq_autosized_topk": q_ivf_pq_autosized_topk,
@@ -8521,6 +8588,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ORACLES: dict[str, str] = {
     "ivf_pq_append": ORACLE_IVF_PQ_APPEND,
+    # compaction must not change a single probe result: SAME oracle as
+    # the append row — the hash match across the physical rewrite IS
+    # the certification
+    "ivf_pq_compact": ORACLE_IVF_PQ_APPEND,
     "anchor_crash_consistency": ORACLE_ANCHOR_CRASH,
     "ivf_pq_autosized_topk": ORACLE_IVF_PQ_AUTOSIZED,
     "dup_span_detect": ORACLE_DUP_SPAN,
@@ -8741,6 +8812,8 @@ BUILD_TIME_QUERIES = {
     "ivf_pq_trained_stored",
     # builds a base index + appends a batch per run (two writes)
     "ivf_pq_append",
+    # build + 4 appends + per-cell compaction rewrite per run
+    "ivf_pq_compact",
     # runs a 4-batch two-table pipeline with a fault-injected resume
     "anchor_crash_consistency",
     # the LM scorers materialize eagerly inside the operator (the

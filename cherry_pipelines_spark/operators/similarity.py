@@ -1505,6 +1505,49 @@ def append_stored_ivfpq_trained_index(
     )
 
 
+def compact_stored_index(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+):
+    """Compact the small-file debris that
+    :func:`append_stored_ivfpq_trained_index` accumulates — the LAST
+    stage of the stored-index lifecycle (train once → O(batch) appends
+    → DPP-pruned probes → COMPACT → eventually retrain).
+
+    Each append adds at least one parquet file under every ``cell=``
+    directory it touches; after thousands of daily batches a cell dir
+    is a swamp of tiny files, and per-file open cost erodes exactly
+    the numFiles economics that make DPP pruning worth having (the
+    probe reads ONE cell dir — if that dir holds 1000 files of 50 KB,
+    the "pruned" probe still pays 1000 opens).  This is the ClickHouse
+    MergeTree posture (background part merges; reference
+    `evm/erc20_transfers.py:47` relies on the same): appends stay
+    cheap because a separate maintenance pass restores the layout.
+
+    Delegates to :func:`cherry_pipelines_spark.sinks.compact.
+    compact_partitions` — per-cell coalesce to
+    ``ceil(bytes / target_file_bytes)`` files, rewritten into a
+    sibling temp dir and swapped in with two atomic renames, so
+    concurrent readers on rename-atomic filesystems see either the
+    old or the new layout, never a half-written cell.  Compaction
+    rewrites FILES only: cell membership, codes, and therefore probe
+    results are bit-identical (pinned in tests/test_pq.py), and the
+    DPP gate's ``numFiles < staticFilesNum`` only tightens (both
+    counts shrink; the probed-cell fraction is unchanged).  Returns
+    the :class:`~cherry_pipelines_spark.sinks.compact.CompactionReport`.
+
+    Idempotent; run it on a schedule or when files-per-cell crosses a
+    threshold (APPEND_COST.json's many-appends ladder measures the
+    probe-time degradation curve that sets it)."""
+    from cherry_pipelines_spark.sinks.compact import compact_partitions
+
+    return compact_partitions(
+        spark, path, target_file_bytes=target_file_bytes, min_files=min_files
+    )
+
+
 def query_stored_ivfpq_trained_index(
     spark,
     path: str,

@@ -31,11 +31,96 @@ from cherry_pipelines_spark.session import get_spark
 KEY_OFFSET = 10**12  # scaling_bench copy-key offset
 
 
+def many_appends_run(spark, sf_dir: str, n_appends: int) -> dict:
+    """The compaction half of the lifecycle claim (round-12 verdict #1):
+    after ``n_appends`` small frozen-metadata appends, files-per-cell is
+    ~``n_appends`` and the DPP-pruned probe pays per-file open cost on
+    every file of every probed dir; ``compact_stored_index`` must
+    restore probe time AND leave results bit-identical.  Returns one
+    artifact row with files-per-cell + probe seconds before/after and
+    the parity verdict."""
+    from cherry_pipelines_spark.operators.similarity import (
+        append_stored_ivfpq_trained_index,
+        build_stored_ivfpq_trained_index,
+        compact_stored_index,
+        query_stored_ivfpq_trained_index,
+    )
+
+    em = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    is_batch = F.col("vec_id") % 5 == 4
+    base, batch = em.filter(~is_batch), em.filter(is_batch)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "cherry_macompact_" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    books, cents = build_stored_ivfpq_trained_index(
+        base, path, m=8, dim=64, ksub=16, iters=2, n_cells=16, coarse_iters=1
+    )
+    # n_appends batches of ~|batch|/n each — hash-split so every append
+    # touches most cells (the worst-case file-count growth pattern)
+    for i in range(n_appends):
+        append_stored_ivfpq_trained_index(
+            batch.filter(F.pmod(F.xxhash64("vec_id"), F.lit(n_appends)) == i),
+            path, books, cents, m=8, dim=64,
+        )
+
+    def files_per_cell() -> dict[str, int]:
+        return {
+            d: sum(f.endswith(".parquet") for f in os.listdir(os.path.join(path, d)))
+            for d in os.listdir(path)
+            if d.startswith("cell=")
+        }
+
+    def probe():
+        # fresh query plan per timing; best-of-2 to shed codegen warmup
+        qs = em.filter((F.col("vec_id") % 100 == 0) & (F.col("vec_id") < KEY_OFFSET))
+        best, res = float("inf"), None
+        for _ in range(2):
+            t0 = time.monotonic()
+            r = query_stored_ivfpq_trained_index(
+                spark, path, books, cents, qs, k=3, m=8, dim=64, nprobe=1
+            ).collect()
+            best, res = min(best, time.monotonic() - t0), r
+        return best, sorted(map(tuple, res))
+
+    fpc_before = files_per_cell()
+    probe_before_sec, res_before = probe()
+    t0 = time.monotonic()
+    report = compact_stored_index(spark, path)
+    compact_sec = round(time.monotonic() - t0, 3)
+    fpc_after = files_per_cell()
+    probe_after_sec, res_after = probe()
+    shutil.rmtree(path, ignore_errors=True)
+    return {
+        "sf_dir": sf_dir,
+        "n_appends": n_appends,
+        "files_per_cell_before": max(fpc_before.values()),
+        "files_per_cell_after": max(fpc_after.values()),
+        "files_total_before": report.files_before,
+        "files_total_after": report.files_after,
+        "partitions_compacted": report.partitions_compacted,
+        "probe_before_sec": round(probe_before_sec, 3),
+        "probe_after_sec": round(probe_after_sec, 3),
+        "compact_sec": compact_sec,
+        "probe_bit_identical": res_before == res_after,
+        "probe_rows": len(res_after),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default="/tmp/scaling")
     ap.add_argument("--scales", default="4,16,64,256")
     ap.add_argument("--out", default="APPEND_COST.json")
+    ap.add_argument(
+        "--many-appends", type=int, default=0,
+        help="run ONLY the compaction ladder: N appends then compact, "
+        "at --ma-scale; merges a 'many_appends' row into --out",
+    )
+    ap.add_argument("--ma-scale", type=int, default=64)
     args = ap.parse_args()
 
     from cherry_pipelines_spark.operators.similarity import (
@@ -45,6 +130,35 @@ def main() -> int:
     )
 
     spark = get_spark("append_cost")
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, args.out)
+    existing: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            existing = json.load(fh)
+
+    if args.many_appends:
+        row = many_appends_run(
+            spark,
+            os.path.join(args.data_root, f"x{args.ma_scale}"),
+            args.many_appends,
+        )
+        print(json.dumps(row, separators=(",", ":")), flush=True)
+        # MERGE into the artifact (same-mode rows keyed by (sf_dir, n));
+        # never clobber the append-cost rows
+        ma = [
+            r
+            for r in existing.get("many_appends", [])
+            if (r["sf_dir"], r["n_appends"]) != (row["sf_dir"], row["n_appends"])
+        ] + [row]
+        existing["many_appends"] = sorted(
+            ma, key=lambda r: (r["sf_dir"], r["n_appends"])
+        )
+        with open(out_path, "w") as fh:
+            json.dump(existing, fh, indent=1)
+            fh.write("\n")
+        return 0
+
     rows = []
     for scale in [int(s) for s in args.scales.split(",")]:
         sf_dir = os.path.join(args.data_root, f"x{scale}")
@@ -106,9 +220,9 @@ def main() -> int:
         print(json.dumps(row, separators=(",", ":")), flush=True)
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(path + "_probe2", ignore_errors=True)
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, args.out), "w") as fh:
-        json.dump({"rows": rows}, fh, indent=1)
+    existing["rows"] = rows
+    with open(out_path, "w") as fh:
+        json.dump(existing, fh, indent=1)
         fh.write("\n")
     return 0
 
