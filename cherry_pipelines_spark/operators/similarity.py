@@ -1486,15 +1486,22 @@ def append_stored_ivfpq_trained_index(
     upstream delivery should dedupe the batch (``dropDuplicates``)
     and track a high-water mark per source, not re-scan the index.
 
-    RETRAIN POLICY (measured, DRIFT.json round-13): recall@3 vs the
-    appended fraction — the share of the corpus the frozen quantizers
-    never saw at train time — stays flat through 50% appended and is
-    still 1.0 at 80% on the clustered-family fixture, because frozen-
-    cell assignment + residual encoding remain exact-per-row and only
-    the *fit* of centroids to the new distribution degrades.  Retrain
-    (re-run the builder offline, swap the path atomically) when the
-    appended fraction crosses ~50% OR measured recall on a held-out
-    probe set drops below the application floor, whichever first."""
+    RETRAIN POLICY (measured — ``scripts/autosize_metrics.py --drift``,
+    AUTOSIZE_METRICS.json ``drift`` rows, round 13): sweeping the
+    appended fraction (share of the corpus the frozen quantizers never
+    saw at train time) over 0/20/50/80%, the clustered-family fixture
+    holds recall@3 = 1.0 through 50% appended at nprobe=2 (nprobe=1
+    wobbles 0.97–1.0) and KNEES between 50% and 80% (0.92 at 80%;
+    the small-corpus twin drops earlier, 0.8 at 50%).  The steadier
+    drift cost is CANDIDATE-FRACTION inflation: auto-sized cells are
+    sized for what day 0 saw, so at 80% appended the cells hold ~5x
+    their design population and cand_frac runs 1.6–2.2x the fresh
+    build — probe cost, not just recall, pays for drift.  Policy:
+    retrain (re-run the builder offline on the union, then
+    atomic-swap the path) when the appended fraction crosses ~50% —
+    before the measured recall knee and before cell overpopulation
+    compounds — or earlier if recall on a held-out probe set drops
+    below the application floor."""
     resid = _frozen_residuals(df, cents, vec_col, id_col)
     codes = pq_encode(resid, codebooks, "_r", id_col, m, dim)
     (

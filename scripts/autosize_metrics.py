@@ -76,6 +76,117 @@ def _scan_metrics(df, col_fragments):
     return out
 
 
+def drift_run(spark, em, label: str, fracs, nprobes) -> list[dict]:
+    """Frozen-quantizer DRIFT curve (round-12 verdict #2): sweep the
+    APPENDED FRACTION — the share of the corpus the frozen cells +
+    codebooks never saw at train time — and measure recall@3 +
+    candidate fraction per point.  Production shape exactly: the train
+    subset goes through ``build_stored_ivfpq_trained_index`` (day-0
+    build, auto-sized cells on what day 0 can see), the rest arrives
+    via ``append_stored_ivfpq_trained_index`` with frozen metadata.
+    The curve is the data behind the retrain trigger documented in
+    ``similarity.append_stored_ivfpq_trained_index``."""
+    from cherry_pipelines_spark.operators.clustering import assign_clusters
+    from cherry_pipelines_spark.operators.similarity import (
+        _trained_probe_lut,
+        ann_recall,
+        append_stored_ivfpq_trained_index,
+        build_stored_ivfpq_trained_index,
+        l2_topk,
+        query_stored_ivfpq_trained_index,
+    )
+
+    n = em.count()
+    queries = em.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < KEY_OFFSET)
+    )
+    nq = queries.count()
+    exact = l2_topk(em, queries, k=3).localCheckpoint(eager=True)
+    rows = []
+    for frac_pct in fracs:
+        # appended = hash-tenths below the threshold (deterministic,
+        # id-distribution independent); frac_pct=0 is the no-drift
+        # baseline (train on everything, nothing appended)
+        bucket = F.pmod(F.xxhash64("vec_id"), F.lit(10))
+        appended_pred = bucket < int(round(frac_pct / 10))
+        train = em.filter(~appended_pred)
+        appended = em.filter(appended_pred)
+        n_train = train.count()
+        path = os.path.join(
+            tempfile.gettempdir(),
+            "cherry_drift_"
+            + hashlib.sha256(f"{label}:{frac_pct}".encode()).hexdigest()[:12],
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        books, cents = build_stored_ivfpq_trained_index(
+            train, path, m=8, dim=64, ksub=16, iters=2, n_cells=None,
+            coarse_iters=1, coarse_sample_per_cell=64,
+        )
+        if n_train < n:
+            append_stored_ivfpq_trained_index(
+                appended, path, books, cents, m=8, dim=64
+            )
+        n_cells = cents.count()
+        sizes = (
+            assign_clusters(em, cents, "embedding", "vec_id", k_hint=n_cells)
+            .groupBy("cluster_id")
+            .agg(F.count("*").cast("long").alias("pop"))
+            .withColumnRenamed("cluster_id", "cell")
+            .localCheckpoint(eager=True)
+        )
+        for nprobe in nprobes:
+            if nprobe > n_cells:
+                continue
+            lut = _trained_probe_lut(
+                queries, cents, books, "embedding", "vec_id", 8, 64, nprobe
+            )
+            cand = (
+                lut.select("query_id", "cell")
+                .distinct()
+                .join(sizes, "cell")
+                .agg(F.sum("pop").cast("long").alias("c"))
+                .collect()[0]["c"]
+            )
+            t0 = time.monotonic()
+            res = query_stored_ivfpq_trained_index(
+                spark, path, books, cents, queries, k=4, m=8, dim=64,
+                nprobe=nprobe,
+            ).collect()
+            probe_sec = round(time.monotonic() - t0, 3)
+            by_q: dict[int, list] = {}
+            for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+                if r["query_id"] != r["vec_id"]:
+                    by_q.setdefault(r["query_id"], [])
+                    if len(by_q[r["query_id"]]) < 3:
+                        by_q[r["query_id"]].append(r["vec_id"])
+            approx = spark.createDataFrame(
+                [(q, v) for q, vs in by_q.items() for v in vs],
+                "query_id long, neighbor_id long",
+            )
+            recs = [
+                float(r["recall"]) for r in ann_recall(exact, approx, k=3).collect()
+            ]
+            rec = round(sum(recs) / len(recs), 4) if recs else None
+            row = {
+                "mode": "drift",
+                "src": label,
+                "appended_frac": frac_pct / 100,
+                "n": n,
+                "n_train": n_train,
+                "n_cells": n_cells,
+                "n_queries": nq,
+                "nprobe": nprobe,
+                "recall_at3": rec,
+                "candidates": int(cand),
+                "cand_frac": round(cand / (nq * n), 6) if nq and n else None,
+                "probe_sec": probe_sec,
+            }
+            rows.append(row)
+            print(json.dumps(row, separators=(",", ":")), flush=True)
+        shutil.rmtree(path, ignore_errors=True)
+    return rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-root", default="/tmp/scaling")
@@ -103,6 +214,14 @@ def main() -> int:
         help="largest corpus at which the exact brute-force baseline runs",
     )
     ap.add_argument("--out", default="AUTOSIZE_METRICS.json")
+    ap.add_argument(
+        "--drift",
+        action="store_true",
+        help="run ONLY the frozen-quantizer drift sweep (appended "
+        "fraction 0/20/50/80%%) and merge 'drift' rows into --out, "
+        "preserving the existing autosize rows",
+    )
+    ap.add_argument("--drift-fracs", default="0,20,50,80")
     args = ap.parse_args()
 
     from cherry_pipelines_spark.operators.similarity import (
@@ -124,6 +243,54 @@ def main() -> int:
             (os.path.join(args.data_root, f"x{s}"), int(s))
             for s in args.scales.split(",")
         ]
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, args.out)
+    existing: dict = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            existing = json.load(fh)
+
+    if args.drift:
+        import __spark_entry__ as entry_mod
+
+        drift_rows = []
+        for sf_dir, scale in sources:
+            if args.corpus == "family":
+                (raw,) = entry_mod._load(spark, sf_dir, "embeddings")
+                em = (
+                    entry_mod._family_corpus(raw)
+                    .repartition(32, "vec_id")
+                    .localCheckpoint(eager=True)
+                )
+                label = os.path.basename(sf_dir.rstrip("/"))
+            else:
+                em = (
+                    spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+                    .select(
+                        "vec_id",
+                        F.col("embedding").cast("array<double>").alias("embedding"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                label = f"x{scale}"
+            drift_rows.extend(
+                drift_run(
+                    spark,
+                    em,
+                    f"{args.corpus}:{label}",
+                    [int(x) for x in args.drift_fracs.split(",")],
+                    [int(x) for x in args.nprobes.split(",")],
+                )
+            )
+        # MERGE: replace only same-labeled drift rows, keep the rest
+        labels = {r["src"] for r in drift_rows}
+        kept = [r for r in existing.get("drift", []) if r["src"] not in labels]
+        existing["drift"] = kept + drift_rows
+        with open(out_path, "w") as fh:
+            json.dump(existing, fh, indent=1)
+            fh.write("\n")
+        return 0
+
     rows = []
     for sf_dir, scale in sources:
         if args.corpus == "family":
@@ -275,9 +442,9 @@ def main() -> int:
         rows.append(dpp_row)
         print(json.dumps(dpp_row, separators=(",", ":")), flush=True)
         shutil.rmtree(path, ignore_errors=True)
-    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, args.out), "w") as fh:
-        json.dump({"rows": rows}, fh, indent=1)
+    existing["rows"] = rows  # merge: never clobber the drift rows
+    with open(out_path, "w") as fh:
+        json.dump(existing, fh, indent=1)
         fh.write("\n")
     return 0
 
