@@ -947,11 +947,29 @@ def _span_runs(
     df: DataFrame, text_col: str, k: int, max_window_occ: int, id_col: str
 ) -> DataFrame:
     """Shared body of the duplicated-span family: windows → occurrence
-    cap → cross-doc window-text join → diagonal gaps-and-islands.
+    cap → cross-doc HASH-KEYED join → diagonal gaps-and-islands.
     Returns one row per maximal run: ``(doc_a, doc_b, _diag, _pa0,
     _run)`` with ``_pa0`` the run's first window position in doc_a
     (``_pa0 - _diag`` is the doc_b position) and ``_run`` the number of
-    chained windows (span = _run + k − 1 tokens)."""
+    chained windows (span = _run + k − 1 tokens).
+
+    SHUFFLE-KEY DESIGN (round-13, verdict #3): the occurrence table is
+    the biggest shuffle in the LLM-ops suite, and joining it on the
+    raw k-token window text (~50+ bytes/row) made key width pure
+    overhead.  Occurrence rows now shuffle on ``(xxhash64(_w), salt)``
+    — 12 bytes — with the text DROPPED before any occurrence-level
+    shuffle, which cuts occurrence-join shuffle bytes ~3× (measured in
+    SCALE.md round-13).  Exactness is preserved WITHOUT a collision
+    caveat: 64-bit collisions among DISTINCT windows are detected
+    exactly on the distinct-window table (the occurrence-cap
+    aggregate, already text-keyed and map-side-combined to one row
+    per distinct window per partition), and each colliding text gets
+    a per-hash ``salt`` from a tiny broadcast map, making
+    ``(hash, salt) ↔ window text`` a bijection — so the hash join
+    matches exactly the pairs the text join would.  Expected collided
+    set at 10^9 distinct windows: ~0.05 rows (birthday bound), so the
+    broadcast is metadata-sized; a pathological corpus degrades the
+    broadcast, never correctness."""
     t = tokens(F.coalesce(F.col(text_col), F.lit("")))
     # guard the short-doc case: sequence(1, 0) is the DESCENDING array
     # [1, 0] in Spark, whose 0 start then blows up F.slice — a doc
@@ -962,20 +980,60 @@ def _span_runs(
     ).otherwise(F.expr("array()").cast("array<int>"))
     wins = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, k)))
     w = df.select(F.col(id_col), F.posexplode(wins).alias("pos", "_w"))
-    rare = (
+    # one row per DISTINCT window with its exact corpus-wide count —
+    # partial aggregation compresses the text shuffle to
+    # distinct-per-partition, and this is the ONLY shuffle that still
+    # carries window text
+    dist = (
         w.groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_occ"))
-        .filter(F.col("_occ") <= max_window_occ)
-        .select("_w")
+        .withColumn("_wh", F.xxhash64("_w"))
     )
-    wr = w.join(rare, "_w")
+    # exact collision resolution: distinct windows sharing a 64-bit
+    # hash (computed over ALL windows, not just rare ones — a dropped
+    # frequent window colliding with a rare one must not leak its
+    # occurrences into the rare key) get salts 1..n per hash
+    coll = (
+        dist.groupBy("_wh")
+        .agg(F.count(F.lit(1)).alias("_nw"))
+        .filter(F.col("_nw") > 1)
+        .select("_wh")
+    )
+    cmap = dist.join(coll, "_wh").select(
+        "_w",
+        F.row_number()
+        .over(Window.partitionBy("_wh").orderBy("_w"))
+        .alias("_salt"),
+    )
+    rare = (
+        dist.filter(F.col("_occ") <= max_window_occ)
+        .join(F.broadcast(cmap), "_w", "left")
+        .select("_wh", F.coalesce("_salt", F.lit(0)).alias("_salt"))
+    )
+    occ = w.join(F.broadcast(cmap), "_w", "left").select(
+        F.xxhash64("_w").alias("_wh"),
+        F.coalesce("_salt", F.lit(0)).alias("_salt"),
+        F.col(id_col),
+        F.col("pos"),
+    )
+    # SHUFFLE_HASH, not broadcast, for the occurrence⨝rare-keys join:
+    # Catalyst can't see the posexplode fan-out, underestimates the
+    # occurrence side, and happily broadcasts the ENTIRE occurrence
+    # table (measured 872 MB on the old text-keyed plan, 436 MB on the
+    # un-hinted hash plan at x16 — a driver OOM and a per-executor
+    # network fan-out at 100 TB).  The hint shuffles both sides on the
+    # compact 12-byte key and builds the hash map from the
+    # distinct-keys side per partition — the only shape that scales;
+    # rare's size grows with corpus distinct windows, so it must never
+    # be a broadcast candidate either.
+    wr = occ.join(rare.hint("shuffle_hash"), ["_wh", "_salt"])
     a = wr.select(
-        F.col("_w"), F.col(id_col).alias("doc_a"), F.col("pos").alias("_pa")
+        "_wh", "_salt", F.col(id_col).alias("doc_a"), F.col("pos").alias("_pa")
     )
     b = wr.select(
-        F.col("_w"), F.col(id_col).alias("doc_b"), F.col("pos").alias("_pb")
+        "_wh", "_salt", F.col(id_col).alias("doc_b"), F.col("pos").alias("_pb")
     )
-    matched = a.join(b, "_w").filter(F.col("doc_a") < F.col("doc_b"))
+    matched = a.join(b, ["_wh", "_salt"]).filter(F.col("doc_a") < F.col("doc_b"))
     diag = (F.col("_pa") - F.col("_pb")).alias("_diag")
     win = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")
     return (
