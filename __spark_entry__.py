@@ -1303,6 +1303,83 @@ FROM runs WHERE run + 7 >= 16
 """
 
 
+def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SPAN SCRUB (`dedup.duplicated_span_scrub`) — round-12
+    verdict #5: consume the positioned occurrences table and CUT every
+    ≥16-token duplicated run from the lower-priority doc (doc_a, the
+    lowest id sharing the span, keeps its copy), emitting the scrubbed
+    corpus `(doc_id, n_tokens, n_removed, clean_text)` for every
+    document.  The oracle replays the full chain — windows, cap,
+    diagonal runs, per-doc cut ranges — and RECONSTRUCTS each string
+    token-by-token in SQL (tokens surviving iff no cut range covers
+    their index, re-joined in order), so the hash match certifies the
+    byte-exact scrubbed text, not just the counts.  The re-pass
+    invariant (scrubbed corpus has zero ≥16-token runs) is pinned in
+    tests/test_llm_data_ops.py."""
+    from cherry_pipelines_spark.operators.dedup import duplicated_span_scrub
+
+    (d,) = _load(spark, sf_dir, "documents")
+    return duplicated_span_scrub(d, k=8, min_span_tokens=16, max_window_occ=50)
+
+
+ORACLE_DUP_SPAN_SCRUB = """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS s
+  FROM t
+),
+wn AS (
+  SELECT doc_id, CAST(s - 1 AS BIGINT) AS pos,
+         array_to_string(toks[s:s+7], ' ') AS win
+  FROM st
+),
+rare AS (
+  SELECT win FROM (
+    SELECT win, count(*) AS occ FROM wn GROUP BY win
+  ) WHERE occ <= 50
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM wn a JOIN wn b ON a.win = b.win AND a.doc_id < b.doc_id
+  WHERE a.win IN (SELECT win FROM rare)
+),
+r AS (
+  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                            ORDER BY pa) AS rn
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, min(pa) AS pa0, count(*) AS run
+  FROM r GROUP BY doc_a, doc_b, diag, pa - rn
+),
+cuts AS (
+  SELECT doc_b AS doc_id, pa0 - diag AS s, pa0 - diag + run + 7 AS e
+  FROM runs WHERE run + 7 >= 16
+),
+tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS idx, unnest(toks) AS tok
+  FROM t
+),
+kept AS (
+  SELECT tk.doc_id, tk.idx, tk.tok FROM tok tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cuts c
+    WHERE c.doc_id = tk.doc_id AND tk.idx - 1 >= c.s AND tk.idx - 1 < c.e
+  )
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - count(k.idx) AS BIGINT) AS n_removed,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text
+FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+GROUP BY t.doc_id, t.toks
+"""
+
+
 def q_dedup_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup DEPLOYMENT CHAIN as one correctness surface:
     minhash-LSH candidates -> connected components -> canonical doc per
@@ -8388,6 +8465,7 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dup_span_scrub": q_dup_span_scrub,
     "ivf_pq_compact": q_ivf_pq_compact,
     "ivf_pq_append": q_ivf_pq_append,
     "anchor_crash_consistency": q_anchor_crash_consistency,
@@ -8596,6 +8674,7 @@ _ORACLES: dict[str, str] = {
     "ivf_pq_autosized_topk": ORACLE_IVF_PQ_AUTOSIZED,
     "dup_span_detect": ORACLE_DUP_SPAN,
     "dup_span_occurrences": ORACLE_DUP_SPAN_OCC,
+    "dup_span_scrub": ORACLE_DUP_SPAN_SCRUB,
     "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,

@@ -1079,3 +1079,72 @@ def duplicated_span_occurrences(
         )
         .filter(F.col("span_tokens") >= min_span_tokens)
     )
+
+
+def duplicated_span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_span_tokens: int = 16,
+    max_window_occ: int = 50,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CONSUME the :func:`duplicated_span_occurrences` table — the
+    Lee et al. 2022 removal pass: every duplicated run of at least
+    ``min_span_tokens`` tokens is CUT from the lower-priority document
+    (``doc_b``; ``doc_a``, the lowest doc id sharing the span, keeps
+    its copy), and the scrubbed corpus is emitted for the curation
+    funnel.  In an a<b<c duplicate chain the pairs (a,b), (a,c), (b,c)
+    cut b once and c twice (overlapping ranges union per token), so
+    exactly the lowest-id copy of each span survives — the canonical-
+    representative policy the cluster dedup family uses.
+
+    All cut offsets refer to the ORIGINAL token positions (the
+    occurrence table's coordinate system), applied simultaneously —
+    never to already-scrubbed text.
+
+    Scale shape: the occurrence table (already bounded by the span
+    family's occurrence cap) aggregates to one cut-list row per
+    affected doc (one uniform-key shuffle), left-joins the corpus on
+    ``id_col`` (one co-partitioned shuffle), and the cut itself is a
+    MAP-SIDE indexed array ``filter`` — the corpus text is never
+    exploded.  Per-doc cut lists are bounded by the doc's own run
+    count (≤ tokens/k), not by corpus size.
+
+    Output: ``(id, n_tokens, n_removed, clean_text)`` for EVERY input
+    document (unaffected docs pass through with ``n_removed = 0``);
+    token order is preserved and survivors are re-joined with single
+    spaces.  Scrubbed output re-passed through
+    :func:`duplicated_span_occurrences` yields zero ≥``min_span_tokens``
+    runs (pinned in tests/test_llm_data_ops.py)."""
+    occ = duplicated_span_occurrences(
+        df, text_col, k, min_span_tokens, max_window_occ, id_col
+    )
+    cuts = occ.select(
+        F.col("doc_b").alias(id_col),
+        F.struct(
+            F.col("pos_b").cast("long").alias("s"),
+            (F.col("pos_b") + F.col("span_tokens")).cast("long").alias("e"),
+        ).alias("_r"),
+    )
+    per_doc = cuts.groupBy(id_col).agg(F.collect_list("_r").alias("_cuts"))
+    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    no_cuts = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    joined = df.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.coalesce(F.col("_cuts"), no_cuts).alias("_cuts"),
+    )
+    # indexed array filter: token i survives iff NO cut range covers i
+    kept = F.filter(
+        F.col("_t"),
+        lambda tok, i: ~F.exists(
+            F.col("_cuts"), lambda r: (i >= r["s"]) & (i < r["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

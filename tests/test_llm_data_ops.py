@@ -573,3 +573,59 @@ def test_duplicated_span_occurrences_positions(spark):
         for r in dedup.duplicated_span_pairs(df, k=4, max_window_occ=10).collect()
     }
     assert pairs[(1, 2)] == (8, 5) and pairs[(1, 4)] == (8, 10)
+
+
+def test_duplicated_span_scrub_hand_case(spark):
+    """The scrub cuts each ≥min_span run from the LOWER-priority doc
+    only: doc 1 (lowest id sharing the span) keeps its copy, doc 2
+    loses the embedded 8 tokens (seam closes around them), doc 4 loses
+    BOTH repetitions, doc 3 passes through untouched."""
+    span = "a b c d e f g h"
+    rows = [
+        (1, span + " i j"),
+        (2, "x y " + span + " q r"),
+        (3, "p q r s t u v w z0 z1"),
+        (4, span + " mid1 mid2 " + span),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dedup.duplicated_span_scrub(
+            df, k=4, min_span_tokens=8, max_window_occ=10
+        ).collect()
+    }
+    assert out[1] == (10, 0, span + " i j")          # keeper untouched
+    assert out[2] == (12, 8, "x y q r")              # span cut, seam closed
+    assert out[3] == (10, 0, "p q r s t u v w z0 z1")
+    assert out[4] == (18, 16, "mid1 mid2")           # both repetitions cut
+
+
+def test_duplicated_span_scrub_repass_is_clean_and_chains(spark):
+    """Curation-chain invariant on the real fixture corpus: the
+    scrubbed output re-passed through the span detector yields ZERO
+    ≥min_span runs (exactly one copy of every long span survives), and
+    the scrubbed frame chains into a downstream curation step on its
+    clean_text column."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    scrubbed = dedup.duplicated_span_scrub(
+        docs, k=8, min_span_tokens=16, max_window_occ=50
+    ).localCheckpoint(eager=True)
+    assert scrubbed.count() == docs.count()  # every doc passes through
+    assert scrubbed.filter("n_removed > 0").count() > 0  # fixture has dups
+    repass = dedup.duplicated_span_occurrences(
+        scrubbed.select("doc_id", F.col("clean_text").alias("text")),
+        k=8,
+        min_span_tokens=16,
+        max_window_occ=50,
+    )
+    assert repass.count() == 0
+    # chains: a quality-style downstream op consumes clean_text
+    stats = text.token_stats(
+        scrubbed.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    assert stats.count() == docs.count()
