@@ -1120,24 +1120,30 @@ def q_anchor_crash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/T3's anchor-table crash window exercised AS DATA (round-11
     verdict #6): a two-table pipeline over the events table (anchor =
     (event_id, event_type, value), side = (event_id, user_id)) commits
-    batch 1, then the crash is injected by running the REAL write path
-    for batch 2's side table only — exactly the state a kill between
-    the non-anchor and anchor writes leaves behind — and the pipeline
-    resumes over the full range.  The anchor watermark replays batch 2
-    (dynamic partition overwrite REPLACES the orphaned side partition
-    instead of duplicating it) and batches 3-4 run fresh.  The returned
-    frame inner-joins the two final tables on event_id, so ANY
-    duplicate or gap in EITHER table breaks the row count / hash
-    against the plain-events oracle.  Sharper pytest twin (mid-crash
-    state observability, uninterrupted-run hash compare, post-anchor
-    rerun no-op) in tests/test_crash_consistency.py."""
+    batch 1, then the crash is injected through the sink's PUBLIC
+    ``fail_after`` test hook (round-12 verdict #6: no private API): the
+    pipeline's own run raises ``SinkFaultInjected`` right after batch
+    2's side table lands and before its anchor does — exactly the
+    state a kill between the non-anchor and anchor writes leaves
+    behind — and the pipeline resumes over the full range.  The anchor
+    watermark replays batch 2 (dynamic partition overwrite REPLACES
+    the orphaned side partition instead of duplicating it) and batches
+    3-4 run fresh.  The returned frame inner-joins the two final
+    tables on event_id, so ANY duplicate or gap in EITHER table breaks
+    the row count / hash against the plain-events oracle.  Sharper
+    pytest twin (mid-crash state observability, uninterrupted-run hash
+    compare, post-anchor rerun no-op) in
+    tests/test_crash_consistency.py."""
     import hashlib as _hl
     import shutil as _sh
     import tempfile as _tf
 
     from cherry_pipelines_spark.engine.pipeline import Pipeline
     from cherry_pipelines_spark.engine.step import PyStep
-    from cherry_pipelines_spark.sinks.parquet import ParquetSink
+    from cherry_pipelines_spark.sinks.parquet import (
+        ParquetSink,
+        SinkFaultInjected,
+    )
 
     (ev,) = _load(spark, sf_dir, "events")
     lo, hi = (
@@ -1171,10 +1177,17 @@ def q_anchor_crash_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pipe = Pipeline("anchor_crash_fixture", _Src(), [PyStep(_split)], sink)
     pipe.run(spark, lo, lo + bs - 1, batch_size=bs)  # batch 1 commits
-    # the crash: batch 2's NON-anchor table lands, the anchor never does
-    b2_lo, b2_hi = lo + bs, min(lo + 2 * bs - 1, hi)
-    orphan = _split(_Src().read(spark, b2_lo, b2_hi), None)
-    sink._write_one("evt_side", orphan["evt_side"], b2_lo)
+    # the crash: the public fail_after hook kills the pipeline's OWN
+    # run after batch 2's NON-anchor table lands, before its anchor
+    b2_lo = lo + bs
+    sink.fail_after = ("evt_side", b2_lo)
+    try:
+        pipe.run(spark, lo, hi, batch_size=bs)
+        raise AssertionError("fault hook never fired")
+    except SinkFaultInjected:
+        pass
+    finally:
+        sink.fail_after = None
     # resume: watermark = anchor max + 1 = b2_lo -> batch 2 replays
     pipe.run(spark, lo, hi, batch_size=bs)
     a = sink.read_table(spark, "evt_anchor")

@@ -39,6 +39,14 @@ from cherry_pipelines_spark.engine.step import TableBundle
 BATCH_COL = "_batch_start"
 
 
+class SinkFaultInjected(RuntimeError):
+    """Raised by :meth:`ParquetSink.write` when the ``fail_after`` test
+    hook fires — the documented way for crash-consistency tests to
+    inject a crash BETWEEN the table writes of one batch (after the
+    named table has durably landed, before the next write starts)
+    without monkeypatching or touching private methods."""
+
+
 @dataclass
 class ParquetSink:
     base_path: str
@@ -47,6 +55,14 @@ class ParquetSink:
     partition_by: Sequence[str] = ()
     sort_within_partitions: dict[str, Sequence[str]] | None = None
     chain_id: int | None = None
+    #: TEST HOOK — ``(table_name, from_block)``: when set, ``write``
+    #: raises :class:`SinkFaultInjected` immediately AFTER writing that
+    #: table for that batch, simulating a crash inside the batch's
+    #: write window (the anchor-last ordering makes the partial state
+    #: recoverable; see the module docstring).  Works through
+    #: ``Pipeline.run`` since the pipeline calls ``write`` per batch.
+    #: Never set in production.
+    fail_after: tuple[str, int] | None = None
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.base_path, name)
@@ -95,9 +111,17 @@ class ParquetSink:
         names = [n for n in bundle if n != self.anchor_table]
         for name in names:
             self._write_one(name, bundle[name], from_block, batch_expr)
+            self._maybe_fail(name, from_block)
         if self.anchor_table in bundle:
             self._write_one(
                 self.anchor_table, bundle[self.anchor_table], from_block, batch_expr
+            )
+            self._maybe_fail(self.anchor_table, from_block)
+
+    def _maybe_fail(self, name: str, from_block: int) -> None:
+        if self.fail_after == (name, from_block):
+            raise SinkFaultInjected(
+                f"injected crash after table {name!r} of batch {from_block}"
             )
 
     def next_block(self, spark: SparkSession) -> int:

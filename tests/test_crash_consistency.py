@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from cherry_pipelines_spark.engine.pipeline import Pipeline
 from cherry_pipelines_spark.engine.step import PyStep
-from cherry_pipelines_spark.sinks.parquet import ParquetSink
+from cherry_pipelines_spark.sinks.parquet import ParquetSink, SinkFaultInjected
 
 
 class _RangeSource:
@@ -62,23 +62,14 @@ def test_crash_between_tables_converges_on_resume(spark, tmp_path):
     pipe, sink = _mk(tmp_path, "crash")
     assert pipe.run(spark, 0, 9, batch_size=10) == 1  # batch 1 commits
 
-    # fault injection: the real write path, killed between tables
-    orig = ParquetSink._write_one
-
-    class _Boom(RuntimeError):
-        pass
-
-    def dying(self, name, df, from_block, batch_expr=None):
-        orig(self, name, df, from_block, batch_expr)
-        if name == "side_t" and from_block == 10:
-            raise _Boom("crash between side_t and anchor_t of batch 2")
-
-    ParquetSink._write_one = dying
+    # fault injection through the PUBLIC hook (round-12 verdict #6):
+    # the real write path, killed between side_t and anchor_t of batch 2
+    sink.fail_after = ("side_t", 10)
     try:
-        with pytest.raises(_Boom):
+        with pytest.raises(SinkFaultInjected):
             pipe.run(spark, 0, 39, batch_size=10)
     finally:
-        ParquetSink._write_one = orig
+        sink.fail_after = None
 
     # the crash window is observable: side_t has batch-2 rows, the
     # anchor does not — the exact state S8's write order promises
