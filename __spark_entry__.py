@@ -8480,56 +8480,11 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_scrub": q_dup_span_scrub,
     "ivf_pq_compact": q_ivf_pq_compact,
-    "ivf_pq_append": q_ivf_pq_append,
-    "anchor_crash_consistency": q_anchor_crash_consistency,
-    "ivf_pq_autosized_topk": q_ivf_pq_autosized_topk,
     "dup_span_detect": q_dup_span_detect,
     "dup_span_occurrences": q_dup_span_occurrences,
+    "anchor_crash_consistency": q_anchor_crash_consistency,
+    "ivf_pq_autosized_topk": q_ivf_pq_autosized_topk,
     "stream_near_dedup_e2e": q_stream_near_dedup_e2e,
-    "pack_sequences": q_pack_sequences,
-    "quality_quantile_filter": q_quality_quantile_filter,
-    "cross_dedup": q_cross_dedup,
-    "zorder_key": q_zorder_key,
-    "incremental_rollup": q_incremental_rollup,
-    "embedding_centroids": q_embedding_centroids,
-    "inverted_index": q_inverted_index,
-    "outlier_events": q_outlier_events,
-    "json_props_agg": q_json_props_agg,
-    "full_outer_join": q_full_outer_join,
-    "docs_curation_v2": q_docs_curation_v2,
-    "hopping_window": q_hopping_window,
-    "group_topk": q_group_topk,
-    "crypto_digests": q_crypto_digests,
-    "decimal_price_ladder": q_decimal_price_ladder,
-    "kmeans_embeddings": q_kmeans,
-    "profile_table": q_profile_table,
-    "weighted_sample": q_weighted_sample,
-    "pattern_absence": q_pattern_absence,
-    "containment": q_containment,
-    "chunks_roundtrip": q_chunks_roundtrip,
-    "split_leakage": q_split_leakage,
-    "oov_rate": q_oov_rate,
-    "dup_source_matrix": q_dup_source_matrix,
-    "shipping_priority": q_shipping_priority,
-    "char_entropy": q_char_entropy,
-    "ewma_smooth": q_ewma_smooth,
-    "last_touch": q_last_touch,
-    "dataset_split": q_dataset_split,
-    "contract_check": q_contract_check,
-    "fuzzy_match": q_fuzzy_match,
-    "corr_matrix": q_corr_matrix,
-    "trend_lines": q_trend_lines,
-    "debounce": q_debounce,
-    "quantile_normalize": q_quantile_normalize,
-    "resample_daily": q_resample_daily,
-    "running_total": q_running_total,
-    "mad_outliers": q_mad_outliers,
-    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
-    "multimodal_decode_png": q_multimodal_decode_png,
-    "lsh_recall": q_lsh_recall,
-    "docs_curation": q_docs_curation,
-    "evm_decode": q_evm_decode,
-    "evm_decode_overflow": q_evm_decode_overflow,
     "evm_decode_batch": q_evm_decode_batch,
     "quantized_topk": q_quantized_topk,
     "semantic_dedup": q_semantic_dedup,
@@ -8674,65 +8629,65 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_canonical": q_cluster_canonical,
     "training_mix": q_training_mix,
     "doc_chunks": q_doc_chunks,
+    "ivf_pq_append": q_ivf_pq_append,
+    "pack_sequences": q_pack_sequences,
+    "quality_quantile_filter": q_quality_quantile_filter,
+    "cross_dedup": q_cross_dedup,
+    "zorder_key": q_zorder_key,
+    "incremental_rollup": q_incremental_rollup,
+    "embedding_centroids": q_embedding_centroids,
+    "inverted_index": q_inverted_index,
+    "outlier_events": q_outlier_events,
+    "json_props_agg": q_json_props_agg,
+    "full_outer_join": q_full_outer_join,
+    "docs_curation_v2": q_docs_curation_v2,
+    "hopping_window": q_hopping_window,
+    "group_topk": q_group_topk,
+    "crypto_digests": q_crypto_digests,
+    "decimal_price_ladder": q_decimal_price_ladder,
+    "kmeans_embeddings": q_kmeans,
+    "profile_table": q_profile_table,
+    "weighted_sample": q_weighted_sample,
+    "pattern_absence": q_pattern_absence,
+    "containment": q_containment,
+    "chunks_roundtrip": q_chunks_roundtrip,
+    "split_leakage": q_split_leakage,
+    "oov_rate": q_oov_rate,
+    "dup_source_matrix": q_dup_source_matrix,
+    "shipping_priority": q_shipping_priority,
+    "char_entropy": q_char_entropy,
+    "ewma_smooth": q_ewma_smooth,
+    "last_touch": q_last_touch,
+    "dataset_split": q_dataset_split,
+    "contract_check": q_contract_check,
+    "fuzzy_match": q_fuzzy_match,
+    "corr_matrix": q_corr_matrix,
+    "trend_lines": q_trend_lines,
+    "debounce": q_debounce,
+    "quantile_normalize": q_quantile_normalize,
+    "resample_daily": q_resample_daily,
+    "running_total": q_running_total,
+    "mad_outliers": q_mad_outliers,
+    "multimodal_decode_jpeg": q_multimodal_decode_jpeg,
+    "multimodal_decode_png": q_multimodal_decode_png,
+    "lsh_recall": q_lsh_recall,
+    "docs_curation": q_docs_curation,
+    "evm_decode": q_evm_decode,
+    "evm_decode_overflow": q_evm_decode_overflow,
 }
 
 
 _ORACLES: dict[str, str] = {
-    "ivf_pq_append": ORACLE_IVF_PQ_APPEND,
+    "dup_span_scrub": ORACLE_DUP_SPAN_SCRUB,
     # compaction must not change a single probe result: SAME oracle as
     # the append row — the hash match across the physical rewrite IS
     # the certification
     "ivf_pq_compact": ORACLE_IVF_PQ_APPEND,
-    "anchor_crash_consistency": ORACLE_ANCHOR_CRASH,
-    "ivf_pq_autosized_topk": ORACLE_IVF_PQ_AUTOSIZED,
     "dup_span_detect": ORACLE_DUP_SPAN,
     "dup_span_occurrences": ORACLE_DUP_SPAN_OCC,
-    "dup_span_scrub": ORACLE_DUP_SPAN_SCRUB,
+    "anchor_crash_consistency": ORACLE_ANCHOR_CRASH,
+    "ivf_pq_autosized_topk": ORACLE_IVF_PQ_AUTOSIZED,
     "stream_near_dedup_e2e": ORACLE_STREAM_NEAR_DEDUP_E2E,
-    "pack_sequences": ORACLE_PACK_SEQUENCES,
-    "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,
-    "cross_dedup": ORACLE_CROSS_DEDUP,
-    "zorder_key": ORACLE_ZORDER,
-    "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
-    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
-    "inverted_index": ORACLE_INVERTED_INDEX,
-    "outlier_events": ORACLE_OUTLIER_EVENTS,
-    "json_props_agg": ORACLE_JSON_PROPS,
-    "full_outer_join": ORACLE_FULL_OUTER,
-    "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
-    "hopping_window": ORACLE_HOPPING,
-    "group_topk": ORACLE_GROUP_TOPK,
-    "crypto_digests": ORACLE_CRYPTO_DIGESTS,
-    "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
-    "kmeans_embeddings": ORACLE_KMEANS,
-    "profile_table": ORACLE_PROFILE_TABLE,
-    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
-    "pattern_absence": ORACLE_PATTERN_ABSENCE,
-    "containment": ORACLE_CONTAINMENT,
-    "chunks_roundtrip": ORACLE_CHUNKS_ROUNDTRIP,
-    "split_leakage": ORACLE_SPLIT_LEAKAGE,
-    "oov_rate": ORACLE_OOV_RATE,
-    "dup_source_matrix": ORACLE_DUP_SOURCE_MATRIX,
-    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
-    "char_entropy": ORACLE_CHAR_ENTROPY,
-    "ewma_smooth": ORACLE_EWMA,
-    "last_touch": ORACLE_LAST_TOUCH,
-    "dataset_split": ORACLE_DATASET_SPLIT,
-    "contract_check": ORACLE_CONTRACT_CHECK,
-    "fuzzy_match": ORACLE_FUZZY_MATCH,
-    "corr_matrix": ORACLE_CORR_MATRIX,
-    "trend_lines": ORACLE_TREND_LINES,
-    "debounce": ORACLE_DEBOUNCE,
-    "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
-    "resample_daily": ORACLE_RESAMPLE_DAILY,
-    "running_total": ORACLE_RUNNING_TOTAL,
-    "mad_outliers": ORACLE_MAD_OUTLIERS,
-    "multimodal_decode_jpeg": ORACLE_MULTIMODAL_DECODE_JPEG,
-    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
-    "lsh_recall": ORACLE_LSH_RECALL,
-    "docs_curation": ORACLE_DOCS_CURATION,
-    "evm_decode": ORACLE_EVM_DECODE,
-    "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
     "evm_decode_batch": ORACLE_EVM_DECODE_BATCH,
     "quantized_topk": ORACLE_QUANTIZED_TOPK,
     "semantic_dedup": ORACLE_SEMANTIC_DEDUP,
@@ -8875,6 +8830,51 @@ _ORACLES: dict[str, str] = {
     "cluster_canonical": ORACLE_CLUSTER_CANONICAL,
     "training_mix": ORACLE_TRAINING_MIX,
     "doc_chunks": ORACLE_DOC_CHUNKS,
+    "ivf_pq_append": ORACLE_IVF_PQ_APPEND,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "quality_quantile_filter": ORACLE_QUALITY_QUANTILE,
+    "cross_dedup": ORACLE_CROSS_DEDUP,
+    "zorder_key": ORACLE_ZORDER,
+    "incremental_rollup": ORACLE_INCREMENTAL_ROLLUP,
+    "embedding_centroids": ORACLE_EMBEDDING_CENTROIDS,
+    "inverted_index": ORACLE_INVERTED_INDEX,
+    "outlier_events": ORACLE_OUTLIER_EVENTS,
+    "json_props_agg": ORACLE_JSON_PROPS,
+    "full_outer_join": ORACLE_FULL_OUTER,
+    "docs_curation_v2": ORACLE_DOCS_CURATION_V2,
+    "hopping_window": ORACLE_HOPPING,
+    "group_topk": ORACLE_GROUP_TOPK,
+    "crypto_digests": ORACLE_CRYPTO_DIGESTS,
+    "decimal_price_ladder": ORACLE_DECIMAL_LADDER,
+    "kmeans_embeddings": ORACLE_KMEANS,
+    "profile_table": ORACLE_PROFILE_TABLE,
+    "weighted_sample": ORACLE_WEIGHTED_SAMPLE,
+    "pattern_absence": ORACLE_PATTERN_ABSENCE,
+    "containment": ORACLE_CONTAINMENT,
+    "chunks_roundtrip": ORACLE_CHUNKS_ROUNDTRIP,
+    "split_leakage": ORACLE_SPLIT_LEAKAGE,
+    "oov_rate": ORACLE_OOV_RATE,
+    "dup_source_matrix": ORACLE_DUP_SOURCE_MATRIX,
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "char_entropy": ORACLE_CHAR_ENTROPY,
+    "ewma_smooth": ORACLE_EWMA,
+    "last_touch": ORACLE_LAST_TOUCH,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "contract_check": ORACLE_CONTRACT_CHECK,
+    "fuzzy_match": ORACLE_FUZZY_MATCH,
+    "corr_matrix": ORACLE_CORR_MATRIX,
+    "trend_lines": ORACLE_TREND_LINES,
+    "debounce": ORACLE_DEBOUNCE,
+    "quantile_normalize": ORACLE_QUANTILE_NORMALIZE,
+    "resample_daily": ORACLE_RESAMPLE_DAILY,
+    "running_total": ORACLE_RUNNING_TOTAL,
+    "mad_outliers": ORACLE_MAD_OUTLIERS,
+    "multimodal_decode_jpeg": ORACLE_MULTIMODAL_DECODE_JPEG,
+    "multimodal_decode_png": ORACLE_MULTIMODAL_DECODE_PNG,
+    "lsh_recall": ORACLE_LSH_RECALL,
+    "docs_curation": ORACLE_DOCS_CURATION,
+    "evm_decode": ORACLE_EVM_DECODE,
+    "evm_decode_overflow": ORACLE_EVM_DECODE_OVERFLOW,
 }
 
 
