@@ -53,9 +53,10 @@ def compact_partitions(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 2,
 ) -> CompactionReport:
-    """Compact every ``key=value`` partition directory under
-    ``table_path`` whose parquet files outnumber
-    ``ceil(partition_bytes / target_file_bytes)``.
+    """Compact every LEAF ``key=value`` partition directory under
+    ``table_path`` (nested chains like ``c0=…/c1=…`` are walked to
+    their leaves; a flat layout's dirs are their own leaves) whose
+    parquet files outnumber ``ceil(partition_bytes / target_file_bytes)``.
 
     Returns a :class:`CompactionReport`; idempotent (a second run is a
     no-op) and safe to run while readers are active on filesystems with
@@ -67,17 +68,33 @@ def compact_partitions(
     seen = compacted = files_before_total = files_after_total = 0
     if not fs.exists(root):
         return CompactionReport(0, 0, 0, 0)
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not st.isDirectory():
-            continue
-        if name.endswith(_TMP_SUFFIX) or name.endswith(_OLD_SUFFIX):
-            fs.delete(st.getPath(), True)  # leftover from a crashed run
-            continue
-        if "=" not in name:
-            continue
+
+    # Walk down NESTED key=value partition chains (e.g. the lattice
+    # index's c0=…/c1=… two-level layout) and compact the LEAF dirs —
+    # the ones that actually hold parquet files.  A single-level
+    # layout's dirs are their own leaves, so the flat behavior is
+    # unchanged.
+    leaf_dirs = []
+    stack = [(root, True)]
+    while stack:
+        d, is_root = stack.pop()
+        has_kv_child = False
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if not st.isDirectory():
+                continue
+            if name.endswith(_TMP_SUFFIX) or name.endswith(_OLD_SUFFIX):
+                fs.delete(st.getPath(), True)  # leftover from a crashed run
+                continue
+            if "=" not in name:
+                continue
+            has_kv_child = True
+            stack.append((st.getPath(), False))
+        if not is_root and not has_kv_child:
+            leaf_dirs.append(d)
+
+    for part_dir in leaf_dirs:
         seen += 1
-        part_dir = st.getPath()
         files = [
             f
             for f in fs.listStatus(part_dir)

@@ -1019,6 +1019,85 @@ def test_stored_ivfpq_probe_prunes_partitions(spark, tmp_path):
     assert read_files < static_files / 3, m0
 
 
+def test_stored_lattice_ivfpq_compact_handles_nested_dirs(spark, tmp_path):
+    """The lattice index partitions on a NESTED c0=…/c1=… chain;
+    compact_stored_index must walk to the LEAF dirs (a flat scan sees
+    only directories at level 1 and silently no-ops — the round-13
+    regression this test pins).  Probe results must be bit-identical
+    across the compaction and the leaf layout restored."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cherry_pipelines_spark.operators.similarity import (
+        append_stored_ivfpq_index,
+        build_stored_ivfpq_index,
+        compact_stored_index,
+        query_stored_ivfpq_index,
+    )
+
+    dim = 8
+    # cell coordinates depend on i//4 only, so the i%4 batch strata all
+    # land in the SAME cells — appends must add files to existing leaf
+    # dirs, not mint new cells
+    rows = [
+        (
+            i,
+            [2.0 * ((i // 4) % 4), 2.0 * ((i // 16) % 4)]
+            + [0.01 * ((i * 7 + j) % 5) for j in range(dim - 2)],
+        )
+        for i in range(128)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") % 4 < 2)
+    path = str(tmp_path / "lattice_compact_index")
+    books = build_stored_ivfpq_index(
+        base, path, m=2, dim=dim, ksub=4, iters=1, n_components=2, grid=0.5
+    )
+    for r in (2, 3):
+        append_stored_ivfpq_index(
+            df.filter(F.col("vec_id") % 4 == r), path, books,
+            m=2, dim=dim, n_components=2, grid=0.5,
+        )
+
+    def leaf_files():
+        out = {}
+        for c0 in os.listdir(path):
+            if not c0.startswith("c0="):
+                continue
+            for c1 in os.listdir(os.path.join(path, c0)):
+                if not c1.startswith("c1="):
+                    continue
+                out[f"{c0}/{c1}"] = sum(
+                    f.endswith(".parquet")
+                    for f in os.listdir(os.path.join(path, c0, c1))
+                )
+        return out
+
+    def probe():
+        return sorted(
+            map(
+                tuple,
+                query_stored_ivfpq_index(
+                    spark, path, books, df.filter(F.col("vec_id") == 0),
+                    k=3, m=2, dim=dim, n_components=2, grid=0.5,
+                    probe_radius=1,
+                ).collect(),
+            )
+        )
+
+    before = leaf_files()
+    assert max(before.values()) >= 3, before  # base + 2 appends landed
+    got_before = probe()
+    report = compact_stored_index(spark, path)
+    after = leaf_files()
+    assert report.partitions_compacted > 0, report
+    assert set(after) == set(before) and max(after.values()) == 1, after
+    assert probe() == got_before  # bit-identical across the rewrite
+    report2 = compact_stored_index(spark, path)
+    assert report2.partitions_compacted == 0, report2
+
+
 def test_stored_trained_ivfpq_probe_prunes_partitions(spark, tmp_path):
     """Trained-cell stored layout: an nprobe=1 probe for one query must
     read exactly ONE of the n_cells partition directories (runtime
