@@ -4069,6 +4069,101 @@ SELECT doc_id, lang, n_chars, lm_score, sample_rank FROM r WHERE sample_rank <= 
 """
 
 
+def q_docs_curation_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel v4 — the DEDUP-AWARE stage chained in front of
+    the quality funnel (round-12 verdict #5's 'chain it into the
+    curation funnel'): span-scrub the corpus
+    (`dedup.duplicated_span_scrub` — every ≥16-token duplicated run cut
+    from the lower-priority doc), gate out documents that were MOSTLY
+    duplicate (removed fraction > 20% — the Lee-et-al posture that a
+    heavily-duplicated doc should be dropped, not trimmed), and roll up
+    the surviving corpus per language: doc count, kept tokens, average
+    removed fraction.  The oracle replays scrub + gate + rollup in one
+    CTE chain (removed counts via the cut-range coverage join, no
+    string reconstruction needed for the counts)."""
+    from cherry_pipelines_spark.operators.dedup import duplicated_span_scrub
+
+    (d,) = _load(spark, sf_dir, "documents")
+    sc = duplicated_span_scrub(d, k=8, min_span_tokens=16, max_window_occ=50)
+    joined = sc.join(d.select("doc_id", "lang"), "doc_id")
+    rf = F.when(
+        F.col("n_tokens") > 0, F.col("n_removed") / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    kept = joined.withColumn("_rf", rf).filter(F.col("_rf") <= 0.2)
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("n_tokens") - F.col("n_removed")).cast("long").alias(
+            "kept_tokens"
+        ),
+        F.round(F.avg("_rf"), 6).alias("avg_removed_frac"),
+    )
+
+
+ORACLE_DOCS_CURATION_V4 = """
+WITH t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS s
+  FROM t
+),
+wn AS (
+  SELECT doc_id, CAST(s - 1 AS BIGINT) AS pos,
+         array_to_string(toks[s:s+7], ' ') AS win
+  FROM st
+),
+rare AS (
+  SELECT win FROM (
+    SELECT win, count(*) AS occ FROM wn GROUP BY win
+  ) WHERE occ <= 50
+),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+  FROM wn a JOIN wn b ON a.win = b.win AND a.doc_id < b.doc_id
+  WHERE a.win IN (SELECT win FROM rare)
+),
+r AS (
+  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                            ORDER BY pa) AS rn
+  FROM m
+),
+runs AS (
+  SELECT doc_a, doc_b, diag, min(pa) AS pa0, count(*) AS run
+  FROM r GROUP BY doc_a, doc_b, diag, pa - rn
+),
+cuts AS (
+  SELECT doc_b AS doc_id, pa0 - diag AS s, pa0 - diag + run + 7 AS e
+  FROM runs WHERE run + 7 >= 16
+),
+tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS idx FROM t
+),
+removed AS (
+  SELECT tk.doc_id, count(DISTINCT tk.idx)::BIGINT AS n_removed
+  FROM tok tk JOIN cuts c
+    ON c.doc_id = tk.doc_id AND tk.idx - 1 >= c.s AND tk.idx - 1 < c.e
+  GROUP BY tk.doc_id
+),
+per AS (
+  SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+         coalesce(r.n_removed, 0) AS n_removed
+  FROM t LEFT JOIN removed r USING (doc_id)
+),
+j AS (
+  SELECT p.*, d.lang,
+         CASE WHEN p.n_tokens > 0
+              THEN p.n_removed::DOUBLE / p.n_tokens ELSE 0.0 END AS rf
+  FROM per p JOIN documents d USING (doc_id)
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       CAST(sum(n_tokens - n_removed) AS BIGINT) AS kept_tokens,
+       round(avg(rf), 6) AS avg_removed_frac
+FROM j WHERE rf <= 0.2 GROUP BY lang
+"""
+
+
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment (§2.7): the streaming fact source joins
     a STATIC dimension (customer) inside the micro-batch plan — the
@@ -8478,6 +8573,7 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "docs_curation_v4": q_docs_curation_v4,
     "dup_span_scrub": q_dup_span_scrub,
     "ivf_pq_compact": q_ivf_pq_compact,
     "dup_span_detect": q_dup_span_detect,
@@ -8791,6 +8887,7 @@ _ORACLES: dict[str, str] = {
     "bigram_lm_score": ORACLE_BIGRAM_LM,
     "trigram_lm_score": ORACLE_TRIGRAM_LM,
     "docs_curation_v3": ORACLE_DOCS_CURATION_V3,
+    "docs_curation_v4": ORACLE_DOCS_CURATION_V4,
     "stream_near_dedup": ORACLE_STREAM_NEAR_DEDUP,
     "bloom_filter": ORACLE_BLOOM_FILTER,
     "scan_pruning": ORACLE_SCAN_PRUNING,
