@@ -1555,6 +1555,57 @@ def compact_stored_index(
     )
 
 
+def retrain_stored_ivfpq_trained_index(
+    spark,
+    df: DataFrame,
+    path: str,
+    **build_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """RETRAIN the stored trained IVF-PQ index offline and ATOMIC-SWAP
+    it into place — the action the RETRAIN POLICY on
+    :func:`append_stored_ivfpq_trained_index` prescribes once the
+    appended fraction crosses ~50% (AUTOSIZE_METRICS drift rows):
+    fresh quantizers fitted to the CURRENT corpus ``df`` (cells
+    re-auto-size to the grown n under ``n_cells=None``), every row
+    re-encoded, and readers never see a half-built index.
+
+    Swap protocol (same two-rename pattern as
+    ``sinks/compact.compact_partitions``): build into a sibling
+    ``._retrain_tmp`` dir, rename live → ``._retrain_old``, rename tmp
+    → live, delete old.  A crash leaves the old layout, a stale tmp
+    (cleaned on the next run), or the new layout — never a torn index.
+    On rename-atomic filesystems (local/HDFS) concurrent probes keep a
+    consistent view; on S3 schedule against a quiescent index.
+
+    Returns the NEW ``(codebooks, cents)`` — the old metadata frames
+    must be discarded by the caller (they describe quantizers that no
+    longer exist on disk; probing the new layout with them returns
+    wrong distances, which is exactly the code-shift hazard the
+    append path's frozen-metadata contract exists to avoid).
+    ``build_kwargs`` pass through to
+    :func:`build_stored_ivfpq_trained_index`."""
+    from cherry_pipelines_spark.sinks.compact import _fs_for
+
+    jvm, fs, live = _fs_for(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = Path(path + "._retrain_tmp")
+    old = Path(path + "._retrain_old")
+    for stale in (tmp, old):
+        if fs.exists(stale):
+            fs.delete(stale, True)  # leftover from a crashed retrain
+    codebooks, cents = build_stored_ivfpq_trained_index(
+        df, tmp.toString(), **build_kwargs
+    )
+    if fs.exists(live) and not fs.rename(live, old):
+        raise IOError(f"retrain swap-out failed for {path}")
+    if not fs.rename(tmp, live):
+        if fs.exists(old):
+            fs.rename(old, live)  # roll back
+        raise IOError(f"retrain swap-in failed for {path}")
+    fs.delete(old, True)
+    return codebooks, cents
+
+
 def query_stored_ivfpq_trained_index(
     spark,
     path: str,

@@ -435,6 +435,75 @@ def test_append_stored_index_equals_frozen_full_build(spark, tmp_path):
     )
 
 
+def test_retrain_stored_index_atomic_swap(spark, tmp_path):
+    """The retrain-and-swap that closes the index lifecycle (the
+    RETRAIN POLICY's prescribed action at the measured ~50% drift
+    threshold): fresh quantizers fitted to the full current corpus,
+    swapped in behind two atomic renames.  The retrained index must be
+    bit-identical to a from-scratch build of the union with the same
+    params, stale ._retrain_tmp debris from a crashed run must be
+    cleaned, and no tmp/old dirs may outlive the swap."""
+    import os
+
+    from cherry_pipelines_spark.operators.similarity import (
+        append_stored_ivfpq_trained_index,
+        build_stored_ivfpq_trained_index,
+        query_stored_ivfpq_trained_index,
+        retrain_stored_ivfpq_trained_index,
+    )
+
+    dim, m, ksub, n_cells = 8, 4, 4, 4
+    df = spark.createDataFrame(
+        _clustered(64, dim), "vec_id long, embedding array<double>"
+    ).localCheckpoint(eager=True)
+    base = df.filter(F.col("vec_id") % 5 != 4)
+    batch = df.filter(F.col("vec_id") % 5 == 4)
+    queries = df.filter(F.col("vec_id") % 10 == 0)
+
+    live = str(tmp_path / "live")
+    books0, cents0 = build_stored_ivfpq_trained_index(
+        base, live, m=m, dim=dim, ksub=ksub, iters=2, n_cells=n_cells,
+        coarse_iters=1,
+    )
+    append_stored_ivfpq_trained_index(batch, live, books0, cents0, m=m, dim=dim)
+
+    # crashed-run debris the retrain must clean up
+    os.makedirs(live + "._retrain_tmp/cell=0", exist_ok=True)
+
+    books, cents = retrain_stored_ivfpq_trained_index(
+        spark, df, live, m=m, dim=dim, ksub=ksub, iters=2, n_cells=n_cells,
+        coarse_iters=1,
+    )
+    assert not os.path.exists(live + "._retrain_tmp")
+    assert not os.path.exists(live + "._retrain_old")
+
+    # bit-identical to a from-scratch build of the union (same params,
+    # same deterministic Lloyd/PQ training on the same rows)
+    ref = str(tmp_path / "ref")
+    books_r, cents_r = build_stored_ivfpq_trained_index(
+        df, ref, m=m, dim=dim, ksub=ksub, iters=2, n_cells=n_cells,
+        coarse_iters=1,
+    )
+    got = sorted(
+        map(
+            tuple,
+            query_stored_ivfpq_trained_index(
+                spark, live, books, cents, queries, k=3, m=m, dim=dim, nprobe=1
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            query_stored_ivfpq_trained_index(
+                spark, ref, books_r, cents_r, queries, k=3, m=m, dim=dim,
+                nprobe=1,
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
 def test_auto_n_cells_sqrt_rule(spark):
     """n_cells=None resolves to max(16, isqrt(n)) — the sqrt(n) balance
     between per-probe candidate work and probe-LUT work.  Pinned on
