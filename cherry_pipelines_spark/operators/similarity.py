@@ -1497,11 +1497,11 @@ def append_stored_ivfpq_trained_index(
     sized for what day 0 saw, so at 80% appended the cells hold ~5x
     their design population and cand_frac runs 1.6–2.2x the fresh
     build — probe cost, not just recall, pays for drift.  Policy:
-    retrain (re-run the builder offline on the union, then
-    atomic-swap the path) when the appended fraction crosses ~50% —
-    before the measured recall knee and before cell overpopulation
-    compounds — or earlier if recall on a held-out probe set drops
-    below the application floor."""
+    run :func:`retrain_stored_ivfpq_trained_index` (fresh quantizers
+    on the full corpus, atomic two-rename swap) when the appended
+    fraction crosses ~50% — before the measured recall knee and before
+    cell overpopulation compounds — or earlier if recall on a held-out
+    probe set drops below the application floor."""
     resid = _frozen_residuals(df, cents, vec_col, id_col)
     codes = pq_encode(resid, codebooks, "_r", id_col, m, dim)
     (
