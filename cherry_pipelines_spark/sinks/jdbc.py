@@ -8,10 +8,14 @@ evm/erc20_transfers.py:118-124).  On Spark the equivalent is
 (``spark.jars``); the anchor-table ordering and max-block checkpoint
 semantics are identical to the Parquet sink.
 
-This container has no JDBC driver or database, so the sink raises a
-clear error at construction unless the driver probe passes — the
-interface and write ordering are the tested part (shared with
-ParquetSink); the transport is deployment configuration.
+The full write/read/checkpoint path is REAL-database-tested on every
+run: embedded Derby ships on Spark's classpath, and
+tests/test_jdbc_sink.py drives the whole erc20 pipeline through this
+sink into Derby (write 3 batches, read back, resume = 0 batches) —
+only the ClickHouse transport itself is deployment configuration
+(point CHERRY_JDBC_URL at it to run the same test there).  When the
+configured driver is absent the sink still raises a clear error at
+construction instead of a mid-write crash.
 """
 
 from __future__ import annotations
@@ -44,13 +48,20 @@ class JdbcSink:
     properties: dict[str, str] | None = None
     driver: str = "com.clickhouse.jdbc.ClickHouseDriver"
 
+    def _effective_driver(self) -> str:
+        # a "driver" key in properties (e.g. threaded through
+        # CHERRY_JDBC_PROP_DRIVER) overrides the dataclass default —
+        # the same precedence _props() gives the write/read calls
+        return (self.properties or {}).get("driver", self.driver)
+
     def _props(self) -> dict[str, str]:
         return {"driver": self.driver, **(self.properties or {})}
 
     def _check(self, spark: SparkSession) -> None:
-        if not _has_driver(spark, self.driver):
+        drv = self._effective_driver()
+        if not _has_driver(spark, drv):
             raise NotImplementedError(
-                f"JDBC driver {self.driver!r} not on the Spark classpath; "
+                f"JDBC driver {drv!r} not on the Spark classpath; "
                 "add it via spark.jars to use JdbcSink (see module docstring)"
             )
 
@@ -66,9 +77,22 @@ class JdbcSink:
 
     def next_block(self, spark: SparkSession) -> int:
         self._check(spark)
-        q = f"(SELECT MAX({self.block_column}) AS m FROM {self.anchor_table}) t"
+        # Quote the COLUMN (ANSI double quotes — identifier quoting on
+        # ClickHouse too) but pass the TABLE name through as given:
+        # Spark's JDBC writer quotes column identifiers per-dialect
+        # when it creates the table (so on case-folding databases like
+        # Derby the stored column is the case-preserved `"b"`, and an
+        # unquoted `b` would fold to `B` and miss), while the table
+        # name is forwarded verbatim from the write call — quoting it
+        # here would un-match what the writer created.
+        q = (
+            f'(SELECT MAX("{self.block_column}") AS m '
+            f"FROM {self.anchor_table}) t"
+        )
         try:
             row = spark.read.jdbc(self.url, q, properties=self._props()).collect()[0]
         except Exception:
             return 0  # table absent → fresh start (reference db.py:42-45)
-        return 0 if row["m"] is None else int(row["m"]) + 1
+        # positional access: case-folding databases return the alias
+        # upper-cased (Derby gives `M` for the unquoted alias `m`)
+        return 0 if row[0] is None else int(row[0]) + 1
