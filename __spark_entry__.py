@@ -1393,6 +1393,109 @@ GROUP BY t.doc_id, t.toks
 """
 
 
+def q_bench_span_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark contamination
+    (`contamination.benchmark_span_occurrences`): every ≥16-token run a
+    corpus document shares verbatim with the pseudo-benchmark subset
+    (doc_id % 97 == 0 — same convention as `contamination_check`),
+    positioned on both sides.  Where `contamination_check` reports
+    overlap MASS per doc, this says exactly WHERE the leaked benchmark
+    text sits.  Benchmark windows broadcast; corpus never shuffles for
+    the match; only matches shuffle for diagonal run chaining.
+    Benchmark docs match themselves end-to-end by design (true
+    decontamination must find benchmark copies wherever they appear)."""
+    from cherry_pipelines_spark.operators.contamination import (
+        benchmark_span_occurrences,
+    )
+
+    (d,) = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return benchmark_span_occurrences(d, bench, k=8, min_span_tokens=16)
+
+
+_BENCH_SPAN_RUNS_SQL = """
+t AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents
+),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 7, 0) + 1)) AS s
+  FROM t
+),
+wn AS (
+  SELECT doc_id, CAST(s - 1 AS BIGINT) AS pos,
+         array_to_string(toks[s:s+7], ' ') AS win
+  FROM st
+),
+m AS (
+  SELECT d.doc_id, b.doc_id AS bench_id, d.pos AS pd, b.pos AS pb
+  FROM wn d JOIN wn b ON d.win = b.win
+  WHERE b.doc_id % 97 = 0
+),
+r AS (
+  SELECT doc_id, bench_id, pd - pb AS diag, pd,
+         row_number() OVER (PARTITION BY doc_id, bench_id, pd - pb
+                            ORDER BY pd) AS rn
+  FROM m
+),
+runs AS (
+  SELECT doc_id, bench_id, diag, min(pd) AS pd0, count(*) AS run
+  FROM r GROUP BY doc_id, bench_id, diag, pd - rn
+)
+"""
+
+ORACLE_BENCH_SPAN = f"""
+WITH {_BENCH_SPAN_RUNS_SQL.strip()}
+SELECT doc_id, bench_id, pd0 AS pos_doc, pd0 - diag AS pos_bench,
+       CAST(run + 7 AS BIGINT) AS span_tokens
+FROM runs WHERE run + 7 >= 16
+"""
+
+
+def q_bench_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL benchmark decontamination
+    (`contamination.benchmark_span_scrub`): cut every ≥16-token
+    benchmark-derived run from the corpus instead of dropping whole
+    documents; corpus copies of benchmark docs scrub to ''.  The oracle
+    reconstructs every scrubbed string token-by-token over the
+    cross-corpus runs CTE, so the hash match certifies byte-exact
+    clean_text.  Re-pass invariant pinned in
+    tests/test_llm_data_ops.py."""
+    from cherry_pipelines_spark.operators.contamination import (
+        benchmark_span_scrub,
+    )
+
+    (d,) = _load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return benchmark_span_scrub(d, bench, k=8, min_span_tokens=16)
+
+
+ORACLE_BENCH_SPAN_SCRUB = f"""
+WITH {_BENCH_SPAN_RUNS_SQL.strip()},
+cuts AS (
+  SELECT doc_id, pd0 AS s, pd0 + run + 7 AS e
+  FROM runs WHERE run + 7 >= 16
+),
+tok AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS idx, unnest(toks) AS tok
+  FROM t
+),
+kept AS (
+  SELECT tk.doc_id, tk.idx, tk.tok FROM tok tk
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cuts c
+    WHERE c.doc_id = tk.doc_id AND tk.idx - 1 >= c.s AND tk.idx - 1 < c.e
+  )
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - count(k.idx) AS BIGINT) AS n_removed,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text
+FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+GROUP BY t.doc_id, t.toks
+"""
+
+
 def q_dedup_endgame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full dedup DEPLOYMENT CHAIN as one correctness surface:
     minhash-LSH candidates -> connected components -> canonical doc per
@@ -8573,6 +8676,8 @@ SELECT query_id, hits, round(hits / 3.0, 4) AS recall FROM h
 
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bench_span_detect": q_bench_span_detect,
+    "bench_span_scrub": q_bench_span_scrub,
     "docs_curation_v4": q_docs_curation_v4,
     "dup_span_scrub": q_dup_span_scrub,
     "ivf_pq_compact": q_ivf_pq_compact,
@@ -8775,6 +8880,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ORACLES: dict[str, str] = {
     "dup_span_scrub": ORACLE_DUP_SPAN_SCRUB,
+    "bench_span_detect": ORACLE_BENCH_SPAN,
+    "bench_span_scrub": ORACLE_BENCH_SPAN_SCRUB,
     # compaction must not change a single probe result: SAME oracle as
     # the append row — the hash match across the physical rewrite IS
     # the certification

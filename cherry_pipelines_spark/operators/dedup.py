@@ -943,6 +943,27 @@ def duplicated_span_pairs(
     )
 
 
+def window_occurrences(
+    df: DataFrame, text_col: str = "text", k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Every k-token sliding window of every document, position-stamped:
+    ``(id, pos, _w)`` with ``pos`` the 0-based token offset and ``_w``
+    the space-joined window text.  Map-side only.  Shared producer of
+    the duplicated-span family and the cross-corpus benchmark
+    decontamination (``contamination.benchmark_span_occurrences``).
+
+    Short-doc guard: ``sequence(1, 0)`` is the DESCENDING array
+    ``[1, 0]`` in Spark, whose 0 start then blows up ``F.slice`` — a
+    doc with fewer than k tokens must yield an EMPTY window array (the
+    oracle's range() end-exclusive semantics), not a crash."""
+    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    starts = F.when(
+        F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - F.lit(k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    wins = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, k)))
+    return df.select(F.col(id_col), F.posexplode(wins).alias("pos", "_w"))
+
+
 def _span_runs(
     df: DataFrame, text_col: str, k: int, max_window_occ: int, id_col: str
 ) -> DataFrame:
@@ -970,16 +991,7 @@ def _span_runs(
     set at 10^9 distinct windows: ~0.05 rows (birthday bound), so the
     broadcast is metadata-sized; a pathological corpus degrades the
     broadcast, never correctness."""
-    t = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    # guard the short-doc case: sequence(1, 0) is the DESCENDING array
-    # [1, 0] in Spark, whose 0 start then blows up F.slice — a doc
-    # with fewer than k tokens must yield an EMPTY window array (the
-    # oracle's range() end-exclusive semantics), not a crash
-    starts = F.when(
-        F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - F.lit(k - 1))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    wins = F.transform(starts, lambda s: F.concat_ws(" ", F.slice(t, s, k)))
-    w = df.select(F.col(id_col), F.posexplode(wins).alias("pos", "_w"))
+    w = window_occurrences(df, text_col, k, id_col)
     # one row per DISTINCT window with its exact corpus-wide count —
     # partial aggregation compresses the text shuffle to
     # distinct-per-partition, and this is the ONLY shuffle that still

@@ -629,3 +629,82 @@ def test_duplicated_span_scrub_repass_is_clean_and_chains(spark):
         scrubbed.select("doc_id", F.col("clean_text").alias("text"))
     )
     assert stats.count() == docs.count()
+
+
+def test_benchmark_span_occurrences_and_scrub_hand_case(spark):
+    """Cross-corpus span decontamination: doc 10 embeds benchmark doc
+    1's 8-token span at offset 2 (positioned occurrence, cut from the
+    CORPUS doc); doc 11 shares nothing; a corpus copy of the whole
+    benchmark doc (doc 12) scrubs to ''."""
+    from cherry_pipelines_spark.operators.contamination import (
+        benchmark_span_occurrences,
+        benchmark_span_scrub,
+    )
+
+    span = "a b c d e f g h"
+    bench = spark.createDataFrame([(1, span)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [
+            (10, "x y " + span + " q r"),
+            (11, "p q r s t u v w z0 z1"),
+            (12, span),
+        ],
+        "doc_id long, text string",
+    )
+    occ = sorted(
+        map(
+            tuple,
+            benchmark_span_occurrences(
+                corpus, bench, k=4, min_span_tokens=8
+            )
+            .select("doc_id", "bench_id", "pos_doc", "pos_bench", "span_tokens")
+            .collect(),
+        )
+    )
+    assert occ == [(10, 1, 2, 0, 8), (12, 1, 0, 0, 8)]
+    out = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in benchmark_span_scrub(
+            corpus, bench, k=4, min_span_tokens=8
+        ).collect()
+    }
+    assert out[10] == (8, "x y q r")
+    assert out[11] == (0, "p q r s t u v w z0 z1")
+    assert out[12] == (8, "")  # benchmark copy fully removed
+
+
+def test_benchmark_span_scrub_repass_is_clean(spark):
+    """On the fixture corpus with the pseudo-benchmark convention
+    (doc_id % 97 == 0): scrubbed corpus re-passed through the detector
+    against the SAME benchmark yields zero ≥min_span runs, and every
+    in-corpus benchmark copy is removed in full."""
+    import os
+
+    from cherry_pipelines_spark.operators.contamination import (
+        benchmark_span_occurrences,
+        benchmark_span_scrub,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    scrubbed = benchmark_span_scrub(
+        docs, bench, k=8, min_span_tokens=16
+    ).localCheckpoint(eager=True)
+    assert scrubbed.count() == docs.count()
+    # benchmark docs long enough to window must be fully self-scrubbed
+    residue = scrubbed.filter(
+        (F.col("doc_id") % 97 == 0)
+        & (F.col("n_tokens") >= 8)
+        & (F.col("n_removed") < F.col("n_tokens"))
+    )
+    assert residue.count() == 0
+    repass = benchmark_span_occurrences(
+        scrubbed.select("doc_id", F.col("clean_text").alias("text")),
+        bench,
+        k=8,
+        min_span_tokens=16,
+    )
+    assert repass.count() == 0
