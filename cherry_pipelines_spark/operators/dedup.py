@@ -955,7 +955,16 @@ def window_occurrences(
     Short-doc guard: ``sequence(1, 0)`` is the DESCENDING array
     ``[1, 0]`` in Spark, whose 0 start then blows up ``F.slice`` — a
     doc with fewer than k tokens must yield an EMPTY window array (the
-    oracle's range() end-exclusive semantics), not a crash."""
+    oracle's range() end-exclusive semantics), not a crash.
+
+    Fanned out before the explode: a one-file corpus otherwise runs the
+    whole window synthesis (tokens × k slice/concat per doc) in a
+    single scan task (round-13 measurement: the explode alone was
+    1.4 s single-threaded at sf0.1, the hottest primitive of the whole
+    span family); already-parallel many-file inputs skip the shuffle."""
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    df = fan_out(df.select(id_col, text_col))
     t = tokens(F.coalesce(F.col(text_col), F.lit("")))
     starts = F.when(
         F.size(t) >= k, F.sequence(F.lit(1), F.size(t) - F.lit(k - 1))
@@ -1018,7 +1027,14 @@ def _span_runs(
         .alias("_salt"),
     )
     rare = (
-        dist.filter(F.col("_occ") <= max_window_occ)
+        # _occ >= 2: singleton windows (the bulk of a natural corpus's
+        # distinct windows) can never produce a cross-doc pair, so
+        # keeping them in the join key set only inflates the hash build
+        # side and the matched groups — dropping them changes nothing
+        # downstream (a 1-occurrence group expands to zero pairs)
+        dist.filter(
+            (F.col("_occ") <= max_window_occ) & (F.col("_occ") >= 2)
+        )
         .join(F.broadcast(cmap), "_w", "left")
         .select("_wh", F.coalesce("_salt", F.lit(0)).alias("_salt"))
     )
@@ -1039,13 +1055,46 @@ def _span_runs(
     # rare's size grows with corpus distinct windows, so it must never
     # be a broadcast candidate either.
     wr = occ.join(rare.hint("shuffle_hash"), ["_wh", "_salt"])
-    a = wr.select(
-        "_wh", "_salt", F.col(id_col).alias("doc_a"), F.col("pos").alias("_pa")
+    # PAIR EXPANSION (round-13 optimization): the old shape matched
+    # occurrences with a self-join of ``wr`` on (_wh, _salt), which
+    # plans as two full copies of the ENTIRE upstream subtree (window
+    # explode, distinct-window aggregate, collision map, occurrence
+    # join — the formatted plan scanned the corpus 8×).  Because the
+    # occurrence cap bounds every group at ``max_window_occ`` rows, the
+    # same pairs come from ONE pass: group the already-co-partitioned
+    # occurrences by (_wh, _salt) — no new shuffle, same keys as the
+    # join — collect the (id, pos) structs, and expand the bounded
+    # in-row cross product (≤ C(cap, 2) pairs) map-side with nested
+    # ``transform`` + ``flatten``.  Identical pair set: (x, y) from the
+    # same key with x.id < y.id, every (pos_a, pos_b) combination.
+    occs = wr.groupBy("_wh", "_salt").agg(
+        F.collect_list(
+            F.struct(F.col(id_col).alias("_id"), F.col("pos").alias("_p"))
+        ).alias("_os")
     )
-    b = wr.select(
-        "_wh", "_salt", F.col(id_col).alias("doc_b"), F.col("pos").alias("_pb")
+    pair = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_os"),
+                lambda x: F.transform(
+                    F.col("_os"),
+                    lambda y: F.struct(
+                        x["_id"].alias("a"),
+                        y["_id"].alias("b"),
+                        x["_p"].alias("pa"),
+                        y["_p"].alias("pb"),
+                    ),
+                ),
+            )
+        ),
+        lambda s: s["a"] < s["b"],
     )
-    matched = a.join(b, ["_wh", "_salt"]).filter(F.col("doc_a") < F.col("doc_b"))
+    matched = occs.select(F.explode(pair).alias("_m")).select(
+        F.col("_m.a").alias("doc_a"),
+        F.col("_m.b").alias("doc_b"),
+        F.col("_m.pa").alias("_pa"),
+        F.col("_m.pb").alias("_pb"),
+    )
     diag = (F.col("_pa") - F.col("_pb")).alias("_diag")
     win = Window.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")
     return (

@@ -519,9 +519,12 @@ def bigram_lm_scores(
         F.slice(chars, 2, n - 1),
         lambda a, b: F.concat(a, b),
     )
-    grams = df.filter(F.length(F.col(text_col)) >= 2).select(
-        F.col(id_col), F.explode(bigrams).alias("bigram")
-    )
+    # fan_out before the explode: a one-file corpus otherwise runs the
+    # whole char-split + zip_with + explode single-threaded in the one
+    # scan task feeding the first shuffle (round-13 measurement)
+    grams = fan_out(
+        df.filter(F.length(F.col(text_col)) >= 2).select(id_col, text_col)
+    ).select(F.col(id_col), F.explode(bigrams).alias("bigram"))
     # persist (columnar cache), NOT localCheckpoint: model and score
     # branches prune different columns so plain exchange reuse cannot
     # dedupe them, and this frame is CORPUS-SCALE (|docs| × bigrams/doc
@@ -902,7 +905,13 @@ def trigram_lm_scores(
         ),
     )
     events = (
-        df.filter(F.size(F.split(F.col(text_col), r"\s+")) >= 3)
+        # fan_out before the explode — same single-scan-task fix as
+        # bigram_lm_scores (round-13)
+        fan_out(
+            df.filter(F.size(F.split(F.col(text_col), r"\s+")) >= 3).select(
+                id_col, text_col
+            )
+        )
         .select(F.col(id_col), F.explode(tri).alias("t"))
         .select(id_col, F.col("t.w1").alias("w1"), F.col("t.w2").alias("w2"),
                 F.col("t.w3").alias("w3"))
