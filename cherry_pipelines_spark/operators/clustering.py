@@ -190,11 +190,42 @@ def _assign_gemm(
     return fan_out(pts).mapInPandas(gen, out_schema)
 
 
-def _recenter(assigned: DataFrame) -> DataFrame:
-    """New centroids from an assignment: posexplode → (cluster, dim)
-    partial-agg shuffle → decimal-exact mean, re-assembled into arrays.
-    A cluster that lost every point keeps no row (k shrinks, as in
-    textbook Lloyd)."""
+def _recenter(assigned: DataFrame, dim: int | None = None) -> DataFrame:
+    """New centroids from an assignment; decimal-exact mean per
+    dimension, rounded HALF_UP at 6 dp.  A cluster that lost every
+    point keeps no row (k shrinks, as in textbook Lloyd).
+
+    Two physically different plans, identical results:
+
+    * ``dim=None`` — dynamic width: posexplode → (cluster, dim)
+      partial-agg shuffle → reassemble.  Handles ragged vectors; costs
+      a dim-times-wider shuffle plus a second (cluster) shuffle.
+    * ``dim=d`` — STATIC width (the IVF-PQ coarse path, where the
+      ``dim % m == 0`` contract already pins vector width): one
+      groupBy with 2·d agg columns (per-dim decimal sum + non-null
+      count), partials map-side — per Lloyd iteration the n·d-row
+      exploded shuffle and the reassembly shuffle both disappear
+      (guide §2.3/§2.4).  Per-dim sums are exact decimal additions
+      (order-independent) and counts are per-dim non-null counts, so
+      the verdict matches the exploded form bit-for-bit on
+      fixed-width input."""
+    if dim is not None:
+        v = F.col("_v")
+        aggs = []
+        for i in range(dim):
+            aggs.append(F.sum(v[i].cast("decimal(18,9)")).alias(f"_s{i}"))
+            aggs.append(F.count(v[i]).alias(f"_n{i}"))
+        centroid = F.array(
+            *[
+                F.round(F.col(f"_s{i}").cast("double") / F.col(f"_n{i}"), 6)
+                for i in range(dim)
+            ]
+        )
+        return (
+            assigned.groupBy("cluster_id")
+            .agg(*aggs)
+            .select("cluster_id", centroid.alias("centroid"))
+        )
     per_dim = (
         assigned.select(
             "cluster_id", F.posexplode("_v").alias("dim", "val")
@@ -216,9 +247,16 @@ def _recenter(assigned: DataFrame) -> DataFrame:
 
 
 def _lloyd(
-    df: DataFrame, vec_col: str, id_col: str, k: int, iters: int
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    iters: int,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Shared Lloyd loop: returns (final assignment, final centroids)."""
+    """Shared Lloyd loop: returns (final assignment, final centroids).
+    ``dim`` (when the caller pins vector width) selects
+    :func:`_recenter`'s static single-shuffle plan."""
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
     init = (
@@ -237,7 +275,7 @@ def _lloyd(
     assigned = None
     for i in range(iters):
         assigned = assign_clusters(df, cents, vec_col, id_col, k_hint=k)
-        cents = _recenter(assigned)
+        cents = _recenter(assigned, dim)
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             # centroid frame is k rows — checkpoint resets lineage cheaply
             cents = cents.localCheckpoint(eager=True)

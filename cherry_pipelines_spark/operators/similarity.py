@@ -751,17 +751,26 @@ def rp_project(
 
 
 def _pq_subrows(
-    df: DataFrame, vec_col: str, id_col: str, m: int, dim: int
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int,
+    dim: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, sub, _v) — one row per (vector, subspace), map-only: the
     combined frame that lets ALL m subspaces train/encode in one plan
     instead of m driver-sequenced loops (the loop form measured 7.4 s
-    at sf0.1 for m=8 purely in per-job latency; combined ~2 s)."""
+    at sf0.1 for m=8 purely in per-job latency; combined ~2 s).
+
+    ``carry`` passes extra ``df`` columns through the explode unchanged
+    (e.g. the trained-index builders carry ``cell`` so the stored
+    layout needs no post-encode join back to the residual frame)."""
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sd = dim // m
     full = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_full")
+        F.col(id_col), *carry, F.col(vec_col).cast("array<double>").alias("_full")
     )
     subs = F.array(
         *[
@@ -772,12 +781,14 @@ def _pq_subrows(
             for s in range(m)
         ]
     )
-    return full.select(id_col, F.explode(subs).alias("x")).select(
-        id_col, F.col("x.sub").alias("sub"), F.col("x._v").alias("_v")
+    return full.select(id_col, *carry, F.explode(subs).alias("x")).select(
+        id_col, *carry, F.col("x.sub").alias("sub"), F.col("x._v").alias("_v")
     )
 
 
-def _pq_assign(pts: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+def _pq_assign(
+    pts: DataFrame, cents: DataFrame, id_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-subspace nearest-centroid assignment over the combined
     (id, sub, _v) frame: centroids grouped per sub into one broadcast
     row each, argmin over the same 6-dp-rounded fold / lowest-cid-ties
@@ -808,29 +819,41 @@ def _pq_assign(pts: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
         )
     )
     return pts.join(F.broadcast(cents_row), "sub").select(
-        id_col, "sub", "_v", best["cluster_id"].alias("cluster_id")
+        id_col, *carry, "sub", "_v", best["cluster_id"].alias("cluster_id")
     )
 
 
-def _pq_recenter(assigned: DataFrame) -> DataFrame:
+def _pq_recenter(assigned: DataFrame, sd: int) -> DataFrame:
     """Decimal-exact per-(sub, cluster) mean, rounded HALF_UP at 6 dp —
-    clustering._recenter extended with the sub key."""
-    per_dim = (
-        assigned.select("sub", "cluster_id", F.posexplode("_v").alias("dim", "val"))
-        .groupBy("sub", "cluster_id", "dim")
-        .agg(
+    clustering._recenter extended with the sub key.
+
+    The subspace width ``sd`` is STATIC on every PQ path (``dim // m``,
+    enforced by ``_pq_subrows``), so the mean is one groupBy with 2·sd
+    agg columns (per-dim decimal sum + non-null count) instead of a
+    posexplode: the pre-shuffle frame stays n·m rows (not n·m·sd), the
+    partial aggregation happens map-side, and the second
+    (sub, cluster) shuffle that reassembled the exploded dims is gone
+    entirely — per Lloyd iteration, 2 shuffles of n·m·sd rows → 1
+    shuffle of m·ksub pre-aggregated rows (guide §2.3/§2.4).  Same
+    verdict as the exploded form: per-dim sums are exact decimal
+    additions (order-independent), counts are per-dim non-null counts,
+    and an all-NULL dim yields a NULL element exactly as the exploded
+    group did."""
+    v = F.col("_v")
+    aggs = []
+    for i in range(sd):
+        aggs.append(F.sum(v[i].cast("decimal(18,9)")).alias(f"_s{i}"))
+        aggs.append(F.count(v[i]).alias(f"_n{i}"))
+    per_cluster = assigned.groupBy("sub", "cluster_id").agg(*aggs)
+    centroid = F.array(
+        *[
             F.round(
-                F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
-                / F.count("val"),
-                6,
-            ).alias("cv")
-        )
+                F.col(f"_s{i}").cast("double") / F.col(f"_n{i}"), 6
+            ).alias(f"_c{i}")
+            for i in range(sd)
+        ]
     )
-    return per_dim.groupBy("sub", "cluster_id").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
-        ).alias("centroid")
-    )
+    return per_cluster.select("sub", "cluster_id", centroid.alias("centroid"))
 
 
 def pq_train(
@@ -855,18 +878,26 @@ def pq_train(
     if iters < 1 or ksub < 1:
         raise ValueError("ksub and iters must be >= 1")
     pts = _pq_subrows(df, vec_col, id_col, m, dim).localCheckpoint(eager=False)
+    # init = the first ksub rows by id, identical ids for every sub —
+    # taken with a global orderBy(id).limit(ksub) on the SOURCE frame
+    # (TakeOrdered: per-partition top-ksub, no full sort/shuffle) and
+    # exploded into subspaces only then (m·ksub rows).  The previous
+    # form ranked the ENTIRE (id, sub, _v) frame with a
+    # row_number window — a full n·m-row shuffle+sort to pick the same
+    # m·ksub rows (guide §2.4).
     w = Window.partitionBy("sub").orderBy(id_col)
     cents = (
-        pts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= ksub)
+        _pq_subrows(df.orderBy(id_col).limit(ksub), vec_col, id_col, m, dim)
+        .withColumn("_rn", F.row_number().over(w))
         .select(
             "sub",
             (F.col("_rn") - 1).cast("long").alias("cluster_id"),
             F.col("_v").alias("centroid"),
         )
     )
+    sd = dim // m
     for _ in range(iters):
-        cents = _pq_recenter(_pq_assign(pts, cents, id_col))
+        cents = _pq_recenter(_pq_assign(pts, cents, id_col), sd)
     return cents
 
 
@@ -877,15 +908,23 @@ def pq_encode(
     id_col: str = "vec_id",
     m: int = 4,
     dim: int = 64,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector to its per-subspace nearest-centroid codes,
     LONG layout: ``(id, sub, code)`` — m rows per vector, join-ready
     against an ADC lookup table (and trivially pivotable to an
     array<tinyint> for storage).  One broadcast join + fold for all m
-    subspaces."""
-    pts = _pq_subrows(df, vec_col, id_col, m, dim)
-    return _pq_assign(pts, codebooks, id_col).select(
-        id_col, "sub", F.col("cluster_id").alias("code")
+    subspaces.
+
+    ``carry`` columns of ``df`` ride along unchanged (output becomes
+    ``(id, sub, code, *carry)``): the trained-index builders carry
+    ``cell`` so the stored ``(id, sub, code, cell)`` frame is map-only
+    — the previous shape re-joined the codes against the residual
+    frame on id, a full extra shuffle of the n·m-row code table just
+    to restore a column the encode had dropped (guide §2.4)."""
+    pts = _pq_subrows(df, vec_col, id_col, m, dim, carry=carry)
+    return _pq_assign(pts, codebooks, id_col, carry=carry).select(
+        id_col, "sub", F.col("cluster_id").alias("code"), *carry
     )
 
 
@@ -965,8 +1004,15 @@ def pq_topk(
     Distances are EXACT sums of 6-dp-rounded per-subspace partials
     (decimal addition — order-independent, engine-portable); rank ties
     break on vec_id ascending."""
+    from cherry_pipelines_spark.operators.text import fan_out
+
     if query_filter is None:
         query_filter = F.col(id_col) % 100 == 0
+    # the PQ train/encode chain is CPU-bound interpreted-HOF work
+    # (ksub·sd lambda evaluations per subrow): a one-file corpus must
+    # spread BEFORE it, or the whole chain runs in the single scan
+    # task (guide §2.5/§4 — measured ~2× on the family fixture)
+    df = fan_out(df)
     codebooks = pq_train(df, vec_col, id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False
     )
@@ -1037,12 +1083,21 @@ def build_stored_ivfpq_index(
     so a query probe is DIRECTORY pruning, not a data-page filter.
     Returns the codebooks frame (m·ksub rows — the whole index
     metadata) for :func:`query_stored_ivfpq_index`."""
+    from cherry_pipelines_spark.operators.text import fan_out
+
+    df = fan_out(df)  # CPU-bound HOF chain: same spread as pq_topk
     comp_names = [f"c{i}" for i in range(n_components)]
     codebooks = pq_train(df, vec_col, id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False
     )
-    cells = df.select(
+    # cell coordinates stamped BEFORE the encode and carried through it
+    # (pq_encode carry) — the old post-encode id-join against a second
+    # scan of `df` shuffled the whole n·m code table (guide §2.4); the
+    # repartition sizes the output layout at one file per cell dir
+    # (guide §6)
+    dfc = df.select(
         F.col(id_col),
+        F.col(vec_col),
         *[
             c.alias(n)
             for c, n in zip(
@@ -1051,8 +1106,8 @@ def build_stored_ivfpq_index(
         ],
     )
     (
-        pq_encode(df, codebooks, vec_col, id_col, m, dim)
-        .join(cells, id_col)
+        pq_encode(dfc, codebooks, vec_col, id_col, m, dim, carry=tuple(comp_names))
+        .repartition(*comp_names)
         .write.partitionBy(*comp_names)
         .parquet(path)
     )
@@ -1080,8 +1135,12 @@ def append_stored_ivfpq_index(
     bit-identical to a from-scratch frozen-codebook encode of the
     union (per-row encoding, batch boundaries can't change codes)."""
     comp_names = [f"c{i}" for i in range(n_components)]
-    cells = df.select(
+    # same carry-through-encode shape as the trained append: no
+    # id-join, zero exchanges — the append IS the "pure map work" the
+    # docstring promises; small-file debris belongs to compaction
+    dfc = df.select(
         F.col(id_col),
+        F.col(vec_col),
         *[
             c.alias(n)
             for c, n in zip(
@@ -1090,8 +1149,7 @@ def append_stored_ivfpq_index(
         ],
     )
     (
-        pq_encode(df, codebooks, vec_col, id_col, m, dim)
-        .join(cells, id_col)
+        pq_encode(dfc, codebooks, vec_col, id_col, m, dim, carry=tuple(comp_names))
         .write.partitionBy(*comp_names)
         .mode("append")
         .parquet(path)
@@ -1184,14 +1242,26 @@ def _frozen_residuals(
     vec_col: str,
     id_col: str,
     n_cells_hint: int | None = None,
+    spread: bool = True,
 ) -> DataFrame:
     """Assign ``df`` to FROZEN trained cells and compute exact-float
     residuals — the encode-only half of the trained-IVF-PQ head, shared
     by initial builds (after Lloyd) and incremental appends (no
     training at all).  Map-only: the centroid frame broadcasts, the
-    corpus never shuffles.  Returns ``(id, cell, _r)`` checkpointed."""
+    corpus never shuffles.  Returns ``(id, cell, _r)`` checkpointed.
+
+    ``spread=True`` fans a one-file corpus out before the CPU-bound
+    assign/residual HOF chain (guide §2.5); the APPEND path passes
+    ``spread=False`` to keep its documented zero-exchange map-only
+    contract (small batches: a pinned repartition measured as pure
+    added latency there), and the build path spreads ONCE in
+    ``_trained_cells_and_residuals``, covering both Lloyd and this."""
     from cherry_pipelines_spark.operators.clustering import assign_clusters
 
+    if spread:
+        from cherry_pipelines_spark.operators.text import fan_out
+
+        df = fan_out(df)
     assigned = assign_clusters(df, cents, vec_col, id_col, k_hint=n_cells_hint)
     cent_cols = cents.select(
         F.col("cluster_id").alias("cell"), F.col("centroid").alias("_cent")
@@ -1217,6 +1287,7 @@ def _trained_cells_and_residuals(
     coarse_iters: int,
     coarse_sample_per_cell: int | None = None,
     n_rows: int | None = None,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared head of the trained-IVF-PQ family: k-means cells
     (deterministic Lloyd, final-centroid assignment) + exact-float
@@ -1235,7 +1306,13 @@ def _trained_cells_and_residuals(
     per centroid, encode the world).  ``None`` keeps the exact
     full-corpus contract the oracle-replayed registry rows pin."""
     from cherry_pipelines_spark.operators.clustering import _lloyd
+    from cherry_pipelines_spark.operators.text import fan_out
 
+    # ONE spread covers the whole trained head: Lloyd's assign folds
+    # (n_cells·dim HOF evaluations per row) and the residual encode
+    # are CPU-bound, and the corpus checkpoint often arrives as a
+    # single partition (guide §2.5)
+    df = fan_out(df)
     train = df
     if coarse_sample_per_cell is not None:
         n = n_rows if n_rows is not None else df.count()
@@ -1248,9 +1325,15 @@ def _trained_cells_and_residuals(
             # keeps ~n/step rows deterministically for ANY id
             # distribution.
             train = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0)
-    _, cents = _lloyd(train, vec_col, id_col, n_cells, coarse_iters)
+    # `dim` (the PQ contract already pins vector width) selects
+    # clustering._recenter's static single-shuffle plan for the coarse
+    # Lloyd iterations — the exploded (cluster, dim) shuffle was the
+    # dominant cost of the trained-build head (guide §2.3)
+    _, cents = _lloyd(train, vec_col, id_col, n_cells, coarse_iters, dim=dim)
     cents = cents.localCheckpoint(eager=False)
-    return cents, _frozen_residuals(df, cents, vec_col, id_col, n_cells)
+    return cents, _frozen_residuals(
+        df, cents, vec_col, id_col, n_cells, spread=False
+    )
 
 
 def _auto_n_cells(n: int) -> int:
@@ -1424,17 +1507,21 @@ def build_stored_ivfpq_trained_index(
     which would retrain cells/codebooks and orphan the stored codes."""
     n_cells, n_rows = _resolve_cells_and_count(df, n_cells, coarse_sample_per_cell)
     cents, resid = _trained_cells_and_residuals(
-        df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell, n_rows
+        df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell,
+        n_rows, dim=dim,
     )
     codebooks = pq_train(resid, "_r", id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False
     )
-    codes = pq_encode(resid, codebooks, "_r", id_col, m, dim)
-    (
-        codes.join(resid.select(id_col, "cell"), id_col)
-        .write.partitionBy("cell")
-        .parquet(path)
-    )
+    # `cell` rides through the encode (pq_encode carry) instead of the
+    # old post-encode join back to `resid` on id — one full shuffle of
+    # the n·m-row code table gone (guide §2.4).  The repartition by
+    # cell sizes the OUTPUT layout: one writer task per cell → one
+    # file per cell dir instead of (partitions × cells) small files
+    # (guide §6), and its parallelism is n_cells, which the sqrt-n
+    # auto-size rule grows with the corpus.
+    codes = pq_encode(resid, codebooks, "_r", id_col, m, dim, carry=("cell",))
+    codes.repartition("cell").write.partitionBy("cell").parquet(path)
     return codebooks, cents
 
 
@@ -1502,14 +1589,16 @@ def append_stored_ivfpq_trained_index(
     fraction crosses ~50% — before the measured recall knee and before
     cell overpopulation compounds — or earlier if recall on a held-out
     probe set drops below the application floor."""
-    resid = _frozen_residuals(df, cents, vec_col, id_col)
-    codes = pq_encode(resid, codebooks, "_r", id_col, m, dim)
-    (
-        codes.join(resid.select(id_col, "cell"), id_col)
-        .write.partitionBy("cell")
-        .mode("append")
-        .parquet(path)
-    )
+    resid = _frozen_residuals(df, cents, vec_col, id_col, spread=False)
+    # `cell` carried through the encode (pq_encode carry): with the old
+    # code↔resid id-join gone, the append is now LITERALLY the
+    # contract above — scan → broadcast assigns → write, one map
+    # stage, zero exchanges (guide §2.4).  Files per touched cell dir
+    # = batch partitions (not repartitioned here: an exchange would
+    # break the map-only contract, and the small-file debris rate is
+    # compact_stored_index's certified job, not the ingest path's).
+    codes = pq_encode(resid, codebooks, "_r", id_col, m, dim, carry=("cell",))
+    codes.write.partitionBy("cell").mode("append").parquet(path)
 
 
 def compact_stored_index(
@@ -1709,13 +1798,17 @@ def ivf_pq_topk_trained(
     # index) reuses the SAME helpers, so inline and stored results are
     # identical by construction
     cents, resid = _trained_cells_and_residuals(
-        df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell, n_rows
+        df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell,
+        n_rows, dim=dim,
     )
     codebooks = pq_train(resid, "_r", id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False
     )
-    codes = pq_encode(resid, codebooks, "_r", id_col, m, dim)
-    indexed = codes.join(resid.select(id_col, "cell"), id_col)
+    # `cell` carried through the encode: `indexed` is map-only off the
+    # checkpointed residuals — the old code↔resid id-join put a full
+    # shuffle of the n·m code rows (plus a second scan of resid) in
+    # front of the ADC join (guide §2.4)
+    indexed = pq_encode(resid, codebooks, "_r", id_col, m, dim, carry=("cell",))
     lut = _trained_probe_lut(
         df.filter(query_filter), cents, codebooks, vec_col, id_col, m, dim, nprobe
     )
@@ -1846,8 +1939,11 @@ def ivf_pq_topk(
     tests)."""
     import itertools
 
+    from cherry_pipelines_spark.operators.text import fan_out
+
     if query_filter is None:
         query_filter = F.col(id_col) % 100 == 0
+    df = fan_out(df)  # CPU-bound HOF chain: same spread as pq_topk
     comp_names = [f"_c{i}" for i in range(n_components)]
 
     def comps(src: Column) -> list[Column]:
@@ -1859,9 +1955,13 @@ def ivf_pq_topk(
     codebooks = pq_train(df, vec_col, id_col, m, dim, ksub, iters).localCheckpoint(
         eager=False
     )
-    codes = pq_encode(df, codebooks, vec_col, id_col, m, dim)
-    cells = df.select(F.col(id_col), *comps(F.col(vec_col)))
-    indexed = codes.join(cells, id_col)
+    # cell coords carried through the encode: `indexed` is map-only —
+    # the old codes↔cells id-join cost a full shuffle of the n·m code
+    # rows plus a second scan of `df` (guide §2.4)
+    dfc = df.select(F.col(id_col), F.col(vec_col), *comps(F.col(vec_col)))
+    indexed = pq_encode(
+        dfc, codebooks, vec_col, id_col, m, dim, carry=tuple(comp_names)
+    )
     qsubs = _pq_subrows(df.filter(query_filter), vec_col, id_col, m, dim).select(
         F.col(id_col).alias("query_id"), "sub", F.col("_v").alias("_q")
     )

@@ -919,10 +919,28 @@ def trigram_lm_scores(
         .agg(F.count("*").cast("long").alias("k"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    from pyspark.sql.window import Window
+
     c3 = events.groupBy("w1", "w2", "w3").agg(F.sum("k").cast("long").alias("c3"))
-    ctx2 = c3.groupBy("w1", "w2").agg(F.sum("c3").cast("long").alias("ctx2"))
-    c2 = c3.groupBy("w2", "w3").agg(F.sum("c3").cast("long").alias("c2"))
-    ctx1 = c3.groupBy("w2").agg(F.sum("c3").cast("long").alias("ctx1"))
+    # ctx2 (w1w2), c2 (w2w3) and ctx1 (w2) all cluster on subsets/
+    # supersets CONTAINING w2, so one hash exchange keyed w2 serves all
+    # three as window sums (HashPartitioning(w2) satisfies each
+    # window's ClusteredDistribution; only local sorts differ, and the
+    # (w2,w3) sort already covers the (w2) window).  The previous
+    # shape re-aggregated c3 four times and re-joined the results on
+    # four different keys — 4 extra trigram-cardinality exchanges per
+    # model build (guide §2.3/§2.4).  Values are identical: window
+    # sums over the same groups, cardinality one row per trigram
+    # throughout.  Only c1 (w3) needs its own key — one aggregation +
+    # one join.
+    byw2 = c3.repartition("w2")
+    enriched = (
+        byw2.withColumn(
+            "ctx2", F.sum("c3").over(Window.partitionBy("w1", "w2"))
+        )
+        .withColumn("c2", F.sum("c3").over(Window.partitionBy("w2", "w3")))
+        .withColumn("ctx1", F.sum("c3").over(Window.partitionBy("w2")))
+    )
     c1 = c3.groupBy("w3").agg(F.sum("c3").cast("long").alias("c1"))
     total = c3.agg(F.sum("c3").cast("double").alias("t"))
     p = (
@@ -931,10 +949,7 @@ def trigram_lm_scores(
         + F.lit(l1) * F.col("c1").cast("double") / F.col("t")
     )
     model = (
-        c3.join(ctx2, ["w1", "w2"])
-        .join(c2, ["w2", "w3"])
-        .join(ctx1, ["w2"])
-        .join(c1, ["w3"])
+        enriched.join(c1, ["w3"])
         .crossJoin(F.broadcast(total))
         # DECIMAL(18,6): the 6-dp-rounded log-prob is exactly
         # representable, so the per-doc weighted sum below is decimal

@@ -93,8 +93,17 @@ def compact_partitions(
         if not is_root and not has_kv_child:
             leaf_dirs.append(d)
 
-    for part_dir in leaf_dirs:
-        seen += 1
+    # Partition rewrites are independent (each swaps behind its own
+    # rename pair), so they run CONCURRENTLY from a thread pool: each
+    # rewrite is a tiny read→coalesce→write Spark job whose wall time
+    # is dominated by per-job scheduling latency, and a serial
+    # driver loop pays that latency once per partition (a
+    # 16-cell index compaction was ~16 sequential sub-second jobs).
+    # Overlapping them keeps the scheduler busy and bounds the wall
+    # time near the slowest single partition.  Crash semantics are
+    # unchanged — per-partition atomicity never depended on ordering.
+    def _compact_one(part_dir) -> tuple[int, int, bool]:
+        """Returns (files_before, files_after, rewrote)."""
         files = [
             f
             for f in fs.listStatus(part_dir)
@@ -103,19 +112,25 @@ def compact_partitions(
         n_files = len(files)
         size = sum(f.getLen() for f in files)
         n_target = max(1, math.ceil(size / target_file_bytes))
-        files_before_total += n_files
         if n_files < min_files or n_files <= n_target:
-            files_after_total += n_files
-            continue
-        # rewrite this partition at the target file count
+            return n_files, n_files, False
+        # rewrite this partition at the target file count: coalesce is
+        # a NARROW merge (no shuffle — guide §2.4); the scan plans at
+        # most one partition per file, so coalesce(n_target) always
+        # reaches the target when it matters (n_files > n_target)
         part_str = part_dir.toString()
         tmp = Path(part_str + _TMP_SUFFIX)
         old = Path(part_str + _OLD_SUFFIX)
         (
             spark.read.parquet(part_str)
-            .repartition(n_target)
+            .coalesce(n_target)
             .write.mode("overwrite")
             .parquet(tmp.toString())
+        )
+        written = sum(
+            1
+            for f in fs.listStatus(tmp)
+            if f.isFile() and f.getPath().getName().endswith(".parquet")
         )
         if not fs.rename(part_dir, old):
             raise IOError(f"compaction swap failed for {part_str}")
@@ -123,6 +138,19 @@ def compact_partitions(
             fs.rename(old, part_dir)  # roll back
             raise IOError(f"compaction swap-in failed for {part_str}")
         fs.delete(old, True)
-        compacted += 1
-        files_after_total += n_target
+        return n_files, written, True
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    seen = len(leaf_dirs)
+    if leaf_dirs:
+        with ThreadPoolExecutor(
+            max_workers=min(16, len(leaf_dirs))
+        ) as pool:
+            for before_n, after_n, rewrote in pool.map(
+                _compact_one, leaf_dirs
+            ):
+                files_before_total += before_n
+                files_after_total += after_n
+                compacted += int(rewrote)
     return CompactionReport(seen, compacted, files_before_total, files_after_total)

@@ -1261,10 +1261,19 @@ def test_stored_trained_ivfpq_compact_restores_layout(spark, tmp_path):
         base, path, m=2, dim=dim, ksub=4, iters=1, n_cells=n_cells,
         coarse_iters=1,
     )
-    # four separate appends -> >= 5 files per touched cell dir
-    for r in (4, 5, 6, 7):
+    # sixteen separate appends over the same 64-row half (vec_id % 32
+    # buckets whose % 8 lands in {4,5,6,7}); each batch's ids share
+    # i % 4, i.e. ONE cluster family -> one cell dir, so every cell
+    # collects 4 append files on top of the base build's one.  (The
+    # append path now lands exactly one file per touched cell per
+    # batch — repartition-by-cell before the write — so the swamp
+    # must be manufactured with more batches than the old
+    # several-files-per-append layout needed.)
+    for r in range(4, 32):
+        if r % 8 < 4:
+            continue
         append_stored_ivfpq_trained_index(
-            df.filter(F.col("vec_id") % 8 == r), path, books, cents,
+            df.filter(F.col("vec_id") % 32 == r), path, books, cents,
             m=2, dim=dim,
         )
 
