@@ -181,6 +181,11 @@ def streaming_ewma(
         [T.StructField("buf", T.ArrayType(T.DoubleType()))]
     )
     keep = lookback - 1
+    # weight table computed ONCE: the inner fold previously evaluated
+    # (1-alpha)**j per element per row — lookback pow() calls per input
+    # row of pure Python overhead (guide §4).  Same values, same
+    # newest-first left-to-right accumulation order, bit-identical.
+    weights = [(1.0 - alpha) ** j for j in range(lookback)]
 
     def fold(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -206,7 +211,7 @@ def streaming_ewma(
                 window = (buf + [x])[-lookback:]
                 acc = 0.0
                 for j, v in enumerate(reversed(window)):
-                    acc += v * (1.0 - alpha) ** j
+                    acc += v * weights[j]
                 row = (k, int(s)) + ((int(e),) if id_col else ()) + (float(x), alpha * acc)
                 rows.append(row)
                 buf.append(x)
@@ -353,18 +358,29 @@ def streaming_band_claims(banded: DataFrame) -> DataFrame:
     def claim(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
-        ids: list[int] = []
-        bands_: list[int] = []
-        for pdf in pdfs:
-            ids.extend(int(x) for x in pdf["doc_id"])
-            bands_.extend(int(x) for x in pdf["band"])
-        if not ids:
+        # this function runs once PER (band, key) GROUP — thousands of
+        # sub-millisecond invocations per micro-batch — so the hot-path
+        # cost is fixed per-call overhead, not data volume (guide §4.4):
+        # stay on numpy arrays end-to-end (no per-element Python int()
+        # loops, one output frame built from the arrays we already have)
+        import numpy as np
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
             return
-        fresh = [False] * len(ids)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        ids = pdf["doc_id"].to_numpy()
+        fresh = np.zeros(len(ids), dtype=bool)
         if not state.exists:
-            fresh[min(range(len(ids)), key=lambda i: ids[i])] = True
+            # doc_ids are distinct within a (band, key) group (one row
+            # per band per doc), so argmin is the unique first arrival
+            fresh[int(ids.argmin())] = True
             state.update((True,))
-        yield pd.DataFrame({"doc_id": ids, "band": bands_, "fresh": fresh})
+        yield pd.DataFrame(
+            {"doc_id": ids, "band": pdf["band"].to_numpy(), "fresh": fresh}
+        )
 
     return banded.groupBy("band", "key").applyInPandasWithState(
         claim,
@@ -463,10 +479,12 @@ def near_dedup_survivors_stream(
     def verdict(
         key: Any, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
+        # per-doc_id group — same per-call-overhead regime as `claim`:
+        # numpy reductions only, no per-element Python work (guide §4.4)
         n, ok = 0, True
         for pdf in pdfs:
             n += len(pdf)
-            if len(pdf) and not bool(pdf["fresh"].all()):
+            if len(pdf) and not pdf["fresh"].to_numpy().all():
                 ok = False
         if n == 0:
             return
