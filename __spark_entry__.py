@@ -5774,6 +5774,14 @@ def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ±1-plane integer sums are a wide codegen expression over a
     # one-file scan — spread it (measured 1.12 -> 0.87 s at sf0.1)
     out = rp_project(fan_out(em), in_dims=64, out_dims=8, seed=0)
+    # materialize the projected frame before the explode: fused into one
+    # whole-stage unit, the 8x64-term projection + Generate overflowed
+    # Janino's 64 KB method limit ("Code grows beyond 64 KB" on EVERY
+    # execution) and silently degraded the stage to interpreted row
+    # eval.  Split at the (much narrower, out_dims << in_dims) projected
+    # frame, both units compile; same pattern as the operator's own qz
+    # checkpoint.  Measured warm exec 1.06 -> 0.14 s at sf0.1.
+    out = out.localCheckpoint(eager=False)
     return out.select(
         "vec_id", F.posexplode("rp").alias("dim", "value")
     ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")

@@ -715,10 +715,16 @@ def rp_project(
     elems = [F.col("qvec")[j].cast("long") for j in range(in_dims)]
 
     def proj(p: int):
-        acc = elems[0] if W[p][0] > 0 else -elems[0]
-        for j in range(1, in_dims):
-            acc = acc + elems[j] if W[p][j] > 0 else acc - elems[j]
-        return acc
+        # balanced tree, same as srp_sketch: integer addition is
+        # associative so this equals the left chain bit-for-bit, and the
+        # log-depth nesting keeps the generated Java compilable — the
+        # left-chain form tripped Janino's 64 KB method limit at
+        # out_dims x in_dims scale, silently degrading the whole stage
+        # to interpreted evaluation (ERROR CodeGenerator ... "Code grows
+        # beyond 64 KB" on every execution)
+        return _balanced_sum(
+            [elems[j] if W[p][j] > 0 else -elems[j] for j in range(in_dims)]
+        )
 
     inv = 1.0 / math.sqrt(out_dims)
     comps = [
