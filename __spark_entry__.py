@@ -8411,7 +8411,7 @@ def q_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse_iters=1,
     )
     append_stored_ivfpq_trained_index(
-        batch, index_path, codebooks, cents, m=8, dim=64
+        batch, index_path, codebooks, cents, m=8, dim=64, n_cells=16
     )
     return query_stored_ivfpq_trained_index(
         spark,
@@ -8474,7 +8474,7 @@ def q_ivf_pq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in (4, 9, 14, 19):
         append_stored_ivfpq_trained_index(
             fam.filter(F.col("vec_id") % 20 == r), index_path, codebooks,
-            cents, m=8, dim=64,
+            cents, m=8, dim=64, n_cells=16,
         )
     report = compact_stored_index(spark, index_path)
     if report.partitions_compacted == 0 or report.files_after >= report.files_before:

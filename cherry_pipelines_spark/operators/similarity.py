@@ -1540,6 +1540,7 @@ def append_stored_ivfpq_trained_index(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_cells: int | None = None,
 ) -> None:
     """Append a NEW batch of vectors to an existing
     :func:`build_stored_ivfpq_trained_index` layout using the FROZEN
@@ -1594,8 +1595,16 @@ def append_stored_ivfpq_trained_index(
     on the full corpus, atomic two-rename swap) when the appended
     fraction crosses ~50% — before the measured recall knee and before
     cell overpopulation compounds — or earlier if recall on a held-out
-    probe set drops below the application floor."""
-    resid = _frozen_residuals(df, cents, vec_col, id_col, spread=False)
+    probe set drops below the application floor.
+
+    ``n_cells``: pass the index's cell count when the caller knows it
+    (the builder returned it, or it is pinned config) — it feeds the
+    HOF-vs-GEMM assignment choice directly, removing the one extra
+    driver job the append otherwise runs (a ``cents.count()``; measured
+    ~0.1–0.2 s per append batch at sf0.1).  ``None`` keeps the count."""
+    resid = _frozen_residuals(
+        df, cents, vec_col, id_col, n_cells_hint=n_cells, spread=False
+    )
     # `cell` carried through the encode (pq_encode carry): with the old
     # code↔resid id-join gone, the append is now LITERALLY the
     # contract above — scan → broadcast assigns → write, one map
