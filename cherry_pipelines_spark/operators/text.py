@@ -941,7 +941,17 @@ def trigram_lm_scores(
         .withColumn("c2", F.sum("c3").over(Window.partitionBy("w2", "w3")))
         .withColumn("ctx1", F.sum("c3").over(Window.partitionBy("w2")))
     )
-    c1 = c3.groupBy("w3").agg(F.sum("c3").cast("long").alias("c1"))
+    # c1 (w3) as a WINDOW over the same one-row-per-trigram frame after
+    # one w3-keyed exchange, not a separate groupBy + sort-merge join:
+    # the join form re-aggregated c3 (an extra trigram-cardinality
+    # exchange) and then shuffled BOTH sides again to merge on w3 — the
+    # window form pays exactly one exchange of rows that had to move to
+    # a w3 key anyway (guide §2.4).  Values identical: enriched is one
+    # row per distinct trigram, so the w3-partition window sum equals
+    # the w3 groupBy sum (long addition, order-independent).
+    enriched = enriched.repartition("w3").withColumn(
+        "c1", F.sum("c3").over(Window.partitionBy("w3"))
+    )
     total = c3.agg(F.sum("c3").cast("double").alias("t"))
     p = (
         F.lit(l3) * F.col("c3").cast("double") / F.col("ctx2")
@@ -949,8 +959,7 @@ def trigram_lm_scores(
         + F.lit(l1) * F.col("c1").cast("double") / F.col("t")
     )
     model = (
-        enriched.join(c1, ["w3"])
-        .crossJoin(F.broadcast(total))
+        enriched.crossJoin(F.broadcast(total))
         # DECIMAL(18,6): the 6-dp-rounded log-prob is exactly
         # representable, so the per-doc weighted sum below is decimal
         # addition — order-independent.  (The double form mismatched
