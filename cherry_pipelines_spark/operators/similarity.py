@@ -1249,19 +1249,29 @@ def _frozen_residuals(
     id_col: str,
     n_cells_hint: int | None = None,
     spread: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Assign ``df`` to FROZEN trained cells and compute exact-float
     residuals — the encode-only half of the trained-IVF-PQ head, shared
     by initial builds (after Lloyd) and incremental appends (no
     training at all).  Map-only: the centroid frame broadcasts, the
-    corpus never shuffles.  Returns ``(id, cell, _r)`` checkpointed.
+    corpus never shuffles.  Returns ``(id, cell, _r)``.
 
     ``spread=True`` fans a one-file corpus out before the CPU-bound
     assign/residual HOF chain (guide §2.5); the APPEND path passes
     ``spread=False`` to keep its documented zero-exchange map-only
     contract (small batches: a pinned repartition measured as pure
     added latency there), and the build path spreads ONCE in
-    ``_trained_cells_and_residuals``, covering both Lloyd and this."""
+    ``_trained_cells_and_residuals``, covering both Lloyd and this.
+
+    ``checkpoint=True`` localCheckpoints the result — required on the
+    BUILD path, where the residual frame has two consumers (pq_train
+    and pq_encode) and re-deriving it would re-run the assign fold.
+    The APPEND path passes ``checkpoint=False``: its residuals feed
+    exactly one consumer (the encode), so the checkpoint there bought
+    nothing and cost a materialization boundary in the middle of an
+    otherwise fully fused map stage (RDD block puts + a codegen break;
+    guide §5 "caching is only worth it when a DataFrame is reused")."""
     from cherry_pipelines_spark.operators.clustering import assign_clusters
 
     if spread:
@@ -1272,17 +1282,14 @@ def _frozen_residuals(
     cent_cols = cents.select(
         F.col("cluster_id").alias("cell"), F.col("centroid").alias("_cent")
     )
-    return (
-        assigned.join(
-            F.broadcast(cent_cols), assigned["cluster_id"] == cent_cols["cell"]
-        )
-        .select(
-            F.col(id_col),
-            F.col("cell"),
-            F.zip_with(F.col("_v"), F.col("_cent"), lambda a, b: a - b).alias("_r"),
-        )
-        .localCheckpoint(eager=False)
+    resid = assigned.join(
+        F.broadcast(cent_cols), assigned["cluster_id"] == cent_cols["cell"]
+    ).select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(F.col("_v"), F.col("_cent"), lambda a, b: a - b).alias("_r"),
     )
+    return resid.localCheckpoint(eager=False) if checkpoint else resid
 
 
 def _trained_cells_and_residuals(
@@ -1603,7 +1610,8 @@ def append_stored_ivfpq_trained_index(
     driver job the append otherwise runs (a ``cents.count()``; measured
     ~0.1–0.2 s per append batch at sf0.1).  ``None`` keeps the count."""
     resid = _frozen_residuals(
-        df, cents, vec_col, id_col, n_cells_hint=n_cells, spread=False
+        df, cents, vec_col, id_col, n_cells_hint=n_cells, spread=False,
+        checkpoint=False,
     )
     # `cell` carried through the encode (pq_encode carry): with the old
     # code↔resid id-join gone, the append is now LITERALLY the
