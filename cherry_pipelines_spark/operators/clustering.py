@@ -288,10 +288,18 @@ def kmeans_assign(
     id_col: str = "vec_id",
     k: int = 4,
     iters: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-point assignment after ``iters`` Lloyd iterations:
-    ``(id, _v double-array, cluster_id)``."""
-    assigned, _ = _lloyd(df, vec_col, id_col, k, iters)
+    ``(id, _v double-array, cluster_id)``.
+
+    ``dim``: callers whose vectors are provably fixed-width pass it to
+    select :func:`_recenter`'s static single-shuffle plan — per Lloyd
+    iteration the posexploded (cluster, dim) shuffle and its
+    reassembly shuffle both disappear (guide §2.3/§2.4); results are
+    bit-identical on fixed-width input (see ``_recenter``).  Default
+    ``None`` keeps the ragged-safe dynamic plan."""
+    assigned, _ = _lloyd(df, vec_col, id_col, k, iters, dim=dim)
     return assigned
 
 
@@ -301,11 +309,15 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     k: int = 4,
     iters: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Run ``iters`` Lloyd iterations; returns per-cluster rows
     ``(cluster_id, dim, centroid, n)`` — the final centroid coordinates
-    (one row per dimension) plus the cluster's point count."""
-    assigned, cents = _lloyd(df, vec_col, id_col, k, iters)
+    (one row per dimension) plus the cluster's point count.
+
+    ``dim``: fixed-width callers opt into the static single-shuffle
+    recenter — same contract as :func:`kmeans_assign`."""
+    assigned, cents = _lloyd(df, vec_col, id_col, k, iters, dim=dim)
     n = assigned.groupBy("cluster_id").agg(F.count("*").cast("long").alias("n"))
     return (
         cents.join(n, "cluster_id")
@@ -328,6 +340,7 @@ def semantic_dedup(
     iters: int = 2,
     threshold: float = 0.5,
     scale: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pruning: k-means the
     embeddings, then inside each cluster drop every point whose cosine
@@ -351,7 +364,7 @@ def semantic_dedup(
 
     from cherry_pipelines_spark.operators.similarity import round_half_up_np
 
-    assigned = kmeans_assign(df, vec_col, id_col, k, iters)
+    assigned = kmeans_assign(df, vec_col, id_col, k, iters, dim=dim)
     # the assignment feeds BOTH the pair screen and the final keep join;
     # without a checkpoint the whole iterative Lloyd subtree would be
     # recomputed twice (Spark does not CSE across self-joins) — one

@@ -1070,6 +1070,78 @@ def _pq_partial(q: Column, cent: Column) -> Column:
     ).cast("decimal(18,6)")
 
 
+def _local_metadata(df: DataFrame) -> DataFrame:
+    """Collect a METADATA-scale frame (index cells / codebooks —
+    n_cells + m·ksub rows, a few KB) and rebuild it as a driver-local
+    literal relation with identical schema and values.
+
+    Why: the stored-index lifecycle queries are driver-job-latency
+    bound (round-13 driver profile: build 17 / append 6×4 / compact 32
+    / probe 8 jobs at ~0.15 s scheduling latency each), and a large
+    share of those jobs are BROADCAST BUILDS that re-execute the
+    checkpointed Lloyd/PQ lineage — every append re-broadcasts cents
+    (assign), cent_cols (residual) and codebooks (encode), and the
+    probe re-broadcasts cents + codebooks again.  Collapsing the
+    final metadata to a ``VALUES`` LocalRelation makes every later
+    broadcast build driver-local (zero tasks, usually zero jobs) and
+    lets ``assign_clusters``' GEMM collect skip the cluster too
+    (guide §5: the driver should hold driver-scale data — an index's
+    metadata is exactly that).  At 100 TB the frames stay n_cells +
+    m·ksub rows — corpus-size-independent by construction.
+
+    Values round-trip exactly: longs verbatim, doubles via ``repr``
+    (shortest round-trip decimal → the identical float64).  Only the
+    metadata column shapes (integral / double / array<double>) take
+    the literal route; anything else — or non-finite doubles, which
+    have no SQL literal — falls back to a 1-slice parallelized frame
+    (same values, one tiny task per broadcast instead of zero)."""
+    import math
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    rows = df.collect()
+    schema = df.schema
+
+    def lit(v, dt):
+        if v is None:
+            return f"CAST(NULL AS {dt.simpleString()})"
+        if isinstance(dt, T.DoubleType):
+            if not math.isfinite(v):
+                raise ValueError("non-finite double")
+            return repr(float(v)) + "D"
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return f"CAST({int(v)} AS {dt.simpleString()})"
+        if isinstance(dt, T.ArrayType):
+            return "array(" + ",".join(lit(x, dt.elementType) for x in v) + ")"
+        raise ValueError(f"no literal form for {dt}")
+
+    try:
+        if not rows:
+            raise ValueError("empty metadata frame")
+        cols = ", ".join(
+            f"col{i + 1} AS {f.name}" for i, f in enumerate(schema.fields)
+        )
+        vals = ", ".join(
+            "(" + ", ".join(lit(r[f.name], f.dataType) for f in schema.fields) + ")"
+            for r in rows
+        )
+        out = spark.sql(f"SELECT {cols} FROM VALUES {vals}")
+        # names + types must reproduce exactly (nullability may tighten:
+        # literals without NULLs plan non-nullable — same values)
+        drift = [
+            (f.name, f.dataType.simpleString())
+            for f in out.schema.fields
+        ] != [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        if drift:
+            raise ValueError(f"literal schema drift: {out.schema} != {schema}")
+        return out
+    except ValueError:
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        )
+
+
 def build_stored_ivfpq_index(
     df: DataFrame,
     path: str,
@@ -1093,8 +1165,10 @@ def build_stored_ivfpq_index(
 
     df = fan_out(df)  # CPU-bound HOF chain: same spread as pq_topk
     comp_names = [f"c{i}" for i in range(n_components)]
-    codebooks = pq_train(df, vec_col, id_col, m, dim, ksub, iters).localCheckpoint(
-        eager=False
+    # localized like the trained builder: the stored-leg probe and the
+    # lattice append re-broadcast this m·ksub-row frame per call
+    codebooks = _local_metadata(
+        pq_train(df, vec_col, id_col, m, dim, ksub, iters)
     )
     # cell coordinates stamped BEFORE the encode and carried through it
     # (pq_encode carry) — the old post-encode id-join against a second
@@ -1301,6 +1375,7 @@ def _trained_cells_and_residuals(
     coarse_sample_per_cell: int | None = None,
     n_rows: int | None = None,
     dim: int | None = None,
+    localize_cents: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared head of the trained-IVF-PQ family: k-means cells
     (deterministic Lloyd, final-centroid assignment) + exact-float
@@ -1308,6 +1383,14 @@ def _trained_cells_and_residuals(
     (cluster_id, centroid)`` checkpointed and ``resid = (id, cell,
     _r)`` checkpointed.  ``n_rows`` passes a count the caller already
     paid for (the auto-n_cells job) so sampling doesn't re-scan.
+
+    ``localize_cents=True`` collapses the trained centroids to a
+    driver-local literal relation (:func:`_local_metadata`) so every
+    downstream broadcast of the n_cells-row frame is free of cluster
+    jobs.  Only the STORED builders pass it — they are timed on the
+    full call path, so the eager collect stays inside the bench's
+    timer; the inline topk paths keep the lazy checkpoint so their
+    Lloyd work stays in the exec-timed region.
 
     ``coarse_sample_per_cell``: train Lloyd on a deterministic
     id-modulus thinning of ~``n_cells * coarse_sample_per_cell`` rows
@@ -1343,7 +1426,11 @@ def _trained_cells_and_residuals(
     # Lloyd iterations — the exploded (cluster, dim) shuffle was the
     # dominant cost of the trained-build head (guide §2.3)
     _, cents = _lloyd(train, vec_col, id_col, n_cells, coarse_iters, dim=dim)
-    cents = cents.localCheckpoint(eager=False)
+    cents = (
+        _local_metadata(cents)
+        if localize_cents
+        else cents.localCheckpoint(eager=False)
+    )
     return cents, _frozen_residuals(
         df, cents, vec_col, id_col, n_cells, spread=False
     )
@@ -1521,10 +1608,15 @@ def build_stored_ivfpq_trained_index(
     n_cells, n_rows = _resolve_cells_and_count(df, n_cells, coarse_sample_per_cell)
     cents, resid = _trained_cells_and_residuals(
         df, vec_col, id_col, n_cells, coarse_iters, coarse_sample_per_cell,
-        n_rows, dim=dim,
+        n_rows, dim=dim, localize_cents=True,
     )
-    codebooks = pq_train(resid, "_r", id_col, m, dim, ksub, iters).localCheckpoint(
-        eager=False
+    # metadata frames LOCALIZED (driver-scale literal relations): the
+    # returned (codebooks, cents) feed every later append's three
+    # broadcasts and the probe's two — with a checkpointed lineage
+    # each of those was a cluster job; as LocalRelations they build
+    # driver-side (guide §5; see _local_metadata)
+    codebooks = _local_metadata(
+        pq_train(resid, "_r", id_col, m, dim, ksub, iters)
     )
     # `cell` rides through the encode (pq_encode carry) instead of the
     # old post-encode join back to `resid` on id — one full shuffle of

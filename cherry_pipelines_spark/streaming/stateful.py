@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterable
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -362,9 +363,8 @@ def streaming_band_claims(banded: DataFrame) -> DataFrame:
         # sub-millisecond invocations per micro-batch — so the hot-path
         # cost is fixed per-call overhead, not data volume (guide §4.4):
         # stay on numpy arrays end-to-end (no per-element Python int()
-        # loops, one output frame built from the arrays we already have)
-        import numpy as np
-
+        # loops, one output frame built from the arrays we already
+        # have); numpy itself is imported at module scope, not here
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             return

@@ -1223,6 +1223,65 @@ def test_stored_trained_ivfpq_append_keeps_pruning(spark, tmp_path):
     assert read_files < static_files, (m0, per_dir)
 
 
+def test_append_codes_frame_stays_fused(spark, tmp_path):
+    """Round-13 ADVICE: the append path's codes frame must stay ONE
+    fused map spine over the batch scan — `_frozen_residuals
+    (checkpoint=False)` is safe only while the residual frame has a
+    single consumer, so a re-added localCheckpoint (or any accidental
+    materialization) would surface as a `Scan ExistingRDD` boundary,
+    and a regression of the pq_encode `carry` (the old id-join) would
+    surface as a SECOND scan of the batch.  This pins both: the
+    composed residual→encode frame (exactly what
+    `append_stored_ivfpq_trained_index` writes) plans with no
+    ExistingRDD scan and exactly ONE FileScan — the batch flows
+    through a single fused map spine.  (The broadcast SIDES still
+    carry tiny metadata aggregations — collect_list over the
+    n_cells/m·ksub-row local relations — which is allowed data
+    movement.)"""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from cherry_pipelines_spark.operators.similarity import (
+        _frozen_residuals,
+        build_stored_ivfpq_trained_index,
+        pq_encode,
+    )
+
+    dim, n_cells = 8, 4
+    rows = [
+        (
+            i,
+            [
+                2.0 * math.sin(1 + (i % n_cells) * 0.9 + j * 0.53)
+                + 0.05 * math.sin(7 + i * 0.37 + j * 0.11)
+                for j in range(dim)
+            ],
+        )
+        for i in range(64)
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(src)
+    df = spark.read.parquet(src)  # parquet-backed: any ExistingRDD is ours
+    base = df.filter(F.col("vec_id") % 5 != 4)
+    batch = df.filter(F.col("vec_id") % 5 == 4)
+    path = str(tmp_path / "trained_append_index")
+    books, cents = build_stored_ivfpq_trained_index(
+        base, path, m=2, dim=dim, ksub=4, iters=1, n_cells=n_cells,
+        coarse_iters=1,
+    )
+    resid = _frozen_residuals(
+        batch, cents, "embedding", "vec_id", n_cells_hint=n_cells,
+        spread=False, checkpoint=False,
+    )
+    codes = pq_encode(resid, books, "_r", "vec_id", m=2, dim=dim, carry=("cell",))
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+
+
 def test_stored_trained_ivfpq_compact_restores_layout(spark, tmp_path):
     """Round-12 verdict #1: the stored-index lifecycle's last stage.
     Many frozen-metadata appends leave one file per cell per batch;
