@@ -141,6 +141,22 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_state_scope(spark: SparkSession, sf_dir: str):
+    """State-partition scope for the events-fixture streaming queries:
+    the state-store count follows the stateful input size (footer row
+    count, zero jobs), not the core count — `stateful.py`'s measured
+    cost model (round-14; STREAM_STATE_COST.json).  Wrap the whole
+    start → processAllAvailable → stop lifecycle in it."""
+    from cherry_pipelines_spark.streaming.stateful import (
+        parquet_rows,
+        state_partition_scope,
+    )
+
+    return state_partition_scope(
+        spark, rows=parquet_rows(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     _session_confs(spark)
     return [spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in names]
@@ -954,7 +970,12 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib as _hl
     import tempfile as _tf
 
-    from cherry_pipelines_spark.streaming.stateful import streaming_near_dedup_claims
+    from cherry_pipelines_spark.streaming.stateful import (
+        DEFAULT_LSH_BANDS,
+        parquet_rows,
+        state_partition_scope,
+        streaming_near_dedup_claims,
+    )
 
     _session_confs(spark)
     src_file = os.path.join(sf_dir, "documents.parquet")
@@ -987,16 +1008,22 @@ def q_stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema).parquet(stream_dir).select("doc_id", "text")
     )
     claims = streaming_near_dedup_claims(stream, k=8, bands=4)
-    q = (
-        claims.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_near_dedup_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # state groups = (band, key) buckets ~= bands x docs, ~1 row each:
+    # the store count follows the DATA, not the core count (stateful.py
+    # cost model; round-14)
+    n_docs = parquet_rows(src_file)
+    banded_rows = None if n_docs is None else DEFAULT_LSH_BANDS * n_docs
+    with state_partition_scope(spark, rows=banded_rows, groups=banded_rows):
+        q = (
+            claims.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_near_dedup_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     t = spark.table("stream_near_dedup_out")
     return (
         t.groupBy("doc_id")
@@ -1045,6 +1072,8 @@ def q_stream_near_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cherry_pipelines_spark.streaming.stateful import (
         DEFAULT_LSH_BANDS,
         near_dedup_survivors_stream,
+        parquet_rows,
+        state_partition_scope,
         streaming_near_dedup_claims,
     )
 
@@ -1101,12 +1130,20 @@ def q_stream_near_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()  # same kill for the downstream stage
 
-    docs.filter(F.col("doc_id") <= thr).write.mode("append").parquet(src)
-    run_claims_until_idle()
-    run_survivors_until_idle()
-    docs.filter(F.col("doc_id") > thr).write.mode("append").parquet(src)
-    run_claims_until_idle()  # NEW queries resume from the checkpoints
-    run_survivors_until_idle()
+    # both stages' state is bands x docs buckets (claims) / docs keys
+    # (survivors) — size the stores to the full-corpus state they will
+    # hold across the restart, not to the core count (stateful.py cost
+    # model; round-14).  All four lifecycles run inside ONE scope: the
+    # resumed queries re-read their count from the checkpoint anyway.
+    n_docs = parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+    banded_rows = None if n_docs is None else DEFAULT_LSH_BANDS * n_docs
+    with state_partition_scope(spark, rows=banded_rows, groups=banded_rows):
+        docs.filter(F.col("doc_id") <= thr).write.mode("append").parquet(src)
+        run_claims_until_idle()
+        run_survivors_until_idle()
+        docs.filter(F.col("doc_id") > thr).write.mode("append").parquet(src)
+        run_claims_until_idle()  # NEW queries resume from the checkpoints
+        run_survivors_until_idle()
     return spark.read.parquet(surv_sink).select("doc_id")
 
 
@@ -2282,16 +2319,17 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
-    q = (
-        out.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_tumbling_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _events_state_scope(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("stream_tumbling_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("stream_tumbling_out")
 
 
@@ -2314,16 +2352,17 @@ def q_stream_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
         )
     )
-    q = (
-        stream.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_agg_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _events_state_scope(spark, sf_dir):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("stream_agg_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("stream_agg_out")
 
 
@@ -2345,16 +2384,17 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "props", "secs"
     )
     out = streaming_distinct(stream, "user_id")
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_distinct_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _events_state_scope(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_distinct_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("stream_distinct_out").select("user_id")
 
 
@@ -2378,16 +2418,17 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("tstamp", "0 seconds")
     )
     out = streaming_sessionize(stream, "user_id", "tstamp", gap_seconds=28800)
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_sessionize_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _events_state_scope(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_sessionize_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("stream_sessionize_out").select(
         "key", "session_start", "session_end", "n_events"
     )
@@ -2838,17 +2879,18 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("p_ts")),
         "inner",
     )
-    q = (
-        joined.select("p_id", "c_id")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_ss_join_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _events_state_scope(spark, sf_dir):
+        q = (
+            joined.select("p_id", "c_id")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_ss_join_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("stream_ss_join_out")
 
 
@@ -4289,16 +4331,17 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v").cast("double").alias("sum_value"),
         )
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName("stream_static_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _events_state_scope(spark, sf_dir):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("stream_static_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("stream_static_out")
 
 
@@ -6565,16 +6608,17 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "user_id", "tstamp", "value",
         alpha=0.2, lookback=32, id_col="event_id",
     )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_ewma_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _events_state_scope(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_ewma_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("stream_ewma_out").select(
         "key", "eid", F.round(F.col("ewma"), 6).alias("ewma")
     )
@@ -6617,16 +6661,17 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "event_type", "secs", "value", "event_id", k=3,
         window_seconds=3600,
     )
-    q = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("stream_topk_out")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _events_state_scope(spark, sf_dir):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("stream_topk_out")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("stream_topk_out").select("key", "wstart", "eid", "value")
 
 

@@ -15,15 +15,130 @@ can hold.  For bounded-staleness dedup, swap NoTimeout for a processing
 
 from __future__ import annotations
 
+import contextlib
+import os
 from collections.abc import Iterable
 from typing import Any
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# ---------------------------------------------------------------------
+# Data-adaptive state-store partitioning (round-14, guide §2.2/§5).
+#
+# A stateful streaming query's shuffle-partition count — fixed by
+# ``spark.sql.shuffle.partitions`` at FIRST batch and pinned into the
+# checkpoint forever after — is also its state-store count, and every
+# micro-batch pays a fixed per-store cost (open + snapshot + commit +
+# task schedule) on all N partitions regardless of data.  Tying N to
+# the CORE count (the local default) therefore anti-scales: the
+# round-13 driver measured stream_stream_join ~1.8x FASTER on 8 cores
+# than 32 at sf0.1, purely because fewer cores meant fewer stores.
+#
+# Measured cost model (STREAM_STATE_COST.json: 6 stateful queries x
+# {1,2,4,8,16,32} partitions x {sf0.01, sf0.1}, best-of-2 warm, 32
+# cores):
+#
+#   time(N) ~ G*c_group/N + R*c_row/N + N*c_store + const
+#
+# with G = state groups (one applyInPandasWithState python invocation
+# per group per batch: c_group ~ 1-2 ms), R = stateful-input rows, and
+# c_store ~ 15-40 ms.  The optimum is therefore DATA-sized, never
+# core-sized: ~16 for 20k single-row groups (near-dedup band buckets),
+# ~8 for 100k rows over ~1k groups (sessionize/ewma/ss-join), and the
+# measured curves rise on BOTH sides of it (n=1 serializes the python
+# per-group work: 33.9 s vs 3.7 s for stream_near_dedup at sf0.1;
+# n=32 pays 32 store commits for KBs of state: 6.4 s vs 2.3 s for
+# stream_stream_join).
+#
+# ``adaptive_state_partitions`` picks N = max(ceil(G/GROUPS_PER),
+# ceil(R/ROWS_PER)) clamped to [1, spark.sql.shuffle.partitions].  The
+# divisors are the measured per-partition capacities on this rig and
+# are env-tunable; on a real cluster per-batch R is large, so N rides
+# the clamp at the configured shuffle width (200 / AQE-wide posture) —
+# the rule only ever REDUCES below that when the state itself is
+# small, which is exactly when the fixed store cost dominates.
+# Checkpoint compatibility: the count binds at the first batch of a
+# FRESH checkpoint; resuming an existing checkpoint keeps its original
+# count (Spark reads it back from the offset log), so changing the
+# rule never corrupts an in-flight pipeline.
+# ---------------------------------------------------------------------
+
+_GROUPS_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_STREAM_GROUPS_PER_PARTITION", "1200")
+)
+_ROWS_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_STREAM_ROWS_PER_PARTITION", "12000")
+)
+
+
+def parquet_rows(path: str) -> int | None:
+    """Row count of a parquet file (or every ``*.parquet`` directly in
+    a directory) from the FOOTER metadata — pure driver-side, zero
+    Spark jobs.  Returns None when the footprint can't be read (the
+    caller falls back to the session's configured width)."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for name in os.listdir(path):
+                if name.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(path, name)
+                    ).metadata.num_rows
+            return total
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def adaptive_state_partitions(
+    spark: SparkSession,
+    rows: int | None = None,
+    groups: int | None = None,
+) -> int:
+    """State-store partition count sized to the stateful WORKLOAD
+    (see the cost model above): ``rows`` = stateful-input rows per
+    full pass, ``groups`` = state groups when the caller knows them to
+    be of the same order as rows (one python invocation per group).
+    Unknown sizes (None) fall back to the session's configured width."""
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        width = spark.sparkContext.defaultParallelism
+    if rows is None and groups is None:
+        return width
+    n = 1
+    if rows is not None:
+        n = max(n, -(-int(rows) // _ROWS_PER_PARTITION))
+    if groups is not None:
+        n = max(n, -(-int(groups) // _GROUPS_PER_PARTITION))
+    return max(1, min(n, width))
+
+
+@contextlib.contextmanager
+def state_partition_scope(
+    spark: SparkSession,
+    rows: int | None = None,
+    groups: int | None = None,
+):
+    """Set ``spark.sql.shuffle.partitions`` to the adaptive state
+    count for the duration of a streaming query's lifecycle (build →
+    start → processAllAvailable → stop) and restore it afterwards.
+    The conf binds into the query's first batch / fresh checkpoint;
+    batch plans built after the scope exits keep the session width."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(adaptive_state_partitions(spark, rows, groups)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def streaming_distinct(df: DataFrame, key_col: str) -> DataFrame:

@@ -158,6 +158,74 @@ def test_streaming_distinct_across_batches(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_adaptive_state_partitions_rule(spark):
+    """Round-14: the state-store partition count follows the stateful
+    workload (rows / groups), clamped to the session width — never the
+    core count directly (STREAM_STATE_COST.json cost model)."""
+    from cherry_pipelines_spark.streaming.stateful import (
+        adaptive_state_partitions,
+    )
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # unknown sizes -> configured width (no behavior change)
+    assert adaptive_state_partitions(spark) == width
+    # tiny state -> 1 partition regardless of cores
+    assert adaptive_state_partitions(spark, rows=10) == 1
+    # rows term: ceil(rows / 12000)
+    assert adaptive_state_partitions(spark, rows=24001) == min(3, width)
+    # groups term dominates when groups are dense single-row buckets
+    assert adaptive_state_partitions(spark, rows=20000, groups=20000) == min(
+        17, width
+    )
+    # huge data clamps at the session width (cluster posture)
+    assert adaptive_state_partitions(spark, rows=10**12) == width
+
+
+def test_state_partition_scope_binds_and_restores(spark, tmp_path):
+    """The scope pins the stateful query's shuffle width for its
+    lifecycle (state-store count at first batch) and restores the
+    session conf afterwards; results are partition-count independent."""
+    from cherry_pipelines_spark.streaming.stateful import (
+        state_partition_scope,
+        streaming_distinct,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    src = str(tmp_path / "scope_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v long"
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    with state_partition_scope(spark, rows=3):
+        assert spark.conf.get(key) == "1"
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_distinct(stream, "k")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("scope_out")
+            .option("checkpointLocation", str(tmp_path / "scope_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    assert spark.conf.get(key) == prev
+    assert {r["k"] for r in spark.table("scope_out").collect()} == {"a", "b"}
+
+
+def test_parquet_rows_footer_count(spark, tmp_path):
+    from cherry_pipelines_spark.streaming.stateful import parquet_rows
+
+    p = str(tmp_path / "pr")
+    spark.range(123).write.parquet(p)
+    assert parquet_rows(p) == 123
+    assert parquet_rows(p + "/nonexistent") is None
+
+
 def test_frame_features_exact_and_chainable(spark):
     """Feature extraction over sampled frames: exact byte stats, NULL
     features for empty blobs, and the output feeds cosine similarity
