@@ -8367,7 +8367,12 @@ def q_ivf_pq_autosized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cherry_pipelines_spark.operators.similarity import ivf_pq_topk_trained
 
     (em,) = _load(spark, sf_dir, "embeddings")
-    fam = _family_corpus(em)
+    # BUILD_TIME query (full-call-path timed): materialize the derived
+    # corpus ONCE — it feeds the auto-size count, Lloyd training, the
+    # residual encode, and the query set, and each lazy re-derivation
+    # re-ran the two broadcast-side scans of _family_corpus (round-14
+    # job profile; guide §5 lineage reuse)
+    fam = _family_corpus(em).localCheckpoint(eager=True)
     return ivf_pq_topk_trained(
         fam, k=3, m=8, dim=64, ksub=16, iters=2, n_cells=None,
         coarse_iters=1, nprobe=1,
@@ -8396,7 +8401,10 @@ def q_ivf_pq_trained_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (em,) = _load(spark, sf_dir, "embeddings")
-    fam = _family_corpus(em)
+    # BUILD_TIME query: one timed materialization of the derived corpus
+    # instead of re-running _family_corpus' broadcast-side scans for
+    # the build AND the probe query set (round-14 job profile)
+    fam = _family_corpus(em).localCheckpoint(eager=True)
     # per-fixture hashed scratch (see q_ivf_pq_stored)
     index_path = os.path.join(
         _tf.gettempdir(),
@@ -8447,7 +8455,11 @@ def q_ivf_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (em,) = _load(spark, sf_dir, "embeddings")
-    fam = _family_corpus(em)
+    # BUILD_TIME query: the derived corpus feeds the base build, the
+    # append batch, and the probe — one timed materialization replaces
+    # three lazy re-derivations (each re-ran _family_corpus' two
+    # broadcast-side scans; round-14 job profile)
+    fam = _family_corpus(em).localCheckpoint(eager=True)
     base = fam.filter(F.col("vec_id") % 5 != 4)
     batch = fam.filter(F.col("vec_id") % 5 == 4)
     index_path = os.path.join(
@@ -8509,7 +8521,11 @@ def q_ivf_pq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (em,) = _load(spark, sf_dir, "embeddings")
-    fam = _family_corpus(em)
+    # BUILD_TIME query: base build + FOUR append batches + probe all
+    # derive from fam — one timed materialization instead of six lazy
+    # re-derivations (round-14 job profile: each append re-ran the two
+    # _family_corpus broadcast-side scans, ~5 AQE stage jobs per batch)
+    fam = _family_corpus(em).localCheckpoint(eager=True)
     base = fam.filter(F.col("vec_id") % 5 != 4)
     index_path = os.path.join(
         _tf.gettempdir(),

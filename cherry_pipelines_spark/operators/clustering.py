@@ -44,6 +44,33 @@ def _centroid_row(cents: DataFrame) -> DataFrame:
     )
 
 
+def _local_rows(df: DataFrame) -> list | None:
+    """``df.collect()`` when the frame is a driver-local relation
+    (``similarity._local_metadata``'s VALUES form, or anything Catalyst
+    folds to a LocalRelation) — executeCollect on a LocalTableScan runs
+    ZERO cluster jobs; returns None otherwise.
+
+    Why callers care (round-14, guide §5): the stored-index paths
+    re-derive tiny metadata aggregations (``_centroid_row``, the
+    per-sub codebook rows) per append/probe, and under AQE each such
+    aggregation materializes an Exchange stage job plus a
+    BroadcastExchange job — ~5 driver-sequenced jobs per appended
+    batch for <=KB of metadata.  When the metadata is already
+    driver-local, the aggregated shape can be folded into the
+    expression tree as LITERALS instead (constant-folded by Catalyst,
+    zero joins, zero broadcast builds)."""
+    try:
+        is_local = (
+            df._jdf.queryExecution().optimizedPlan().getClass().getSimpleName()
+            == "LocalRelation"
+        )
+    except Exception:  # pragma: no cover - Spark Connect: no _jdf
+        return None
+    return df.collect() if is_local else None
+
+
+
+
 def _sqdist(vec: Column, cent: Column) -> Column:
     """Σ (v_i − c_i)², left-to-right fold, rounded to 6 dp (the argmin
     compares ROUNDED distances so an independent engine reproduces the
@@ -104,7 +131,39 @@ def assign_clusters(
         return _assign_gemm(points, cents, vec_col, id_col)
     pts = points.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).crossJoin(F.broadcast(_centroid_row(cents)))
+    )
+    lit_cents = None
+    local = _local_rows(cents)
+    if local:
+        # driver-local centroids fold into the expression tree as one
+        # JVM-parsed constant array (see similarity._sql_lit): the
+        # crossJoin + its _centroid_row aggregation + broadcast build
+        # all disappear from the plan — zero metadata jobs per action
+        # (guide §5; see _local_rows).  Same sorted order as
+        # sort_array(collect_list(...)): cluster_id is unique.
+        from cherry_pipelines_spark.operators.similarity import _sql_lit
+
+        try:
+            cid_t = cents.schema["cluster_id"].dataType
+            cent_t = cents.schema["centroid"].dataType
+            lit_cents = F.expr(
+                "array("
+                + ",".join(
+                    "named_struct('cluster_id', "
+                    + _sql_lit(r["cluster_id"], cid_t)
+                    + ", 'centroid', "
+                    + _sql_lit(r["centroid"], cent_t)
+                    + ")"
+                    for r in sorted(local, key=lambda r: r["cluster_id"])
+                )
+                + ")"
+            )
+        except ValueError:
+            lit_cents = None
+    if lit_cents is not None:
+        pts = pts.withColumn("cents", lit_cents)
+    else:
+        pts = pts.crossJoin(F.broadcast(_centroid_row(cents)))
     best = F.array_min(
         F.transform(
             F.col("cents"),

@@ -798,12 +798,52 @@ def _pq_assign(
     """Per-subspace nearest-centroid assignment over the combined
     (id, sub, _v) frame: centroids grouped per sub into one broadcast
     row each, argmin over the same 6-dp-rounded fold / lowest-cid-ties
-    verdict as clustering.assign_clusters."""
-    cents_row = cents.groupBy("sub").agg(
-        F.sort_array(
-            F.collect_list(F.struct("cluster_id", "centroid"))
-        ).alias("cents")
-    )
+    verdict as clustering.assign_clusters.
+
+    Driver-local codebooks (``_local_metadata``'s stored-path form)
+    skip the groupBy + broadcast entirely: the per-sub centroid arrays
+    fold into the expression tree as a constant map keyed by ``sub``,
+    built as ONE SQL literal string parsed JVM-side (round-14, guide
+    §5 — each re-derivation of the grouped shape was an AQE Exchange
+    job + a BroadcastExchange job per append/probe; a node-by-node
+    Column tree costs ~8 s of py4j driver time per plan, see
+    ``_sql_lit``).  Same values, same sorted order (cluster_id unique
+    per sub), and ``sub`` always hits the map (``_pq_subrows``
+    generates 0..m-1 from the same codebooks' m)."""
+    from cherry_pipelines_spark.operators.clustering import _local_rows
+
+    joined = None
+    local = _local_rows(cents)
+    if local:
+        try:
+            sub_t = cents.schema["sub"].dataType
+            cid_t = cents.schema["cluster_id"].dataType
+            cent_t = cents.schema["centroid"].dataType
+            by_sub: dict = {}
+            for r in local:
+                by_sub.setdefault(r["sub"], []).append(r)
+            entries = []
+            for s in sorted(by_sub):
+                arr = ",".join(
+                    "named_struct('cluster_id', "
+                    + _sql_lit(r["cluster_id"], cid_t)
+                    + ", 'centroid', "
+                    + _sql_lit(r["centroid"], cent_t)
+                    + ")"
+                    for r in sorted(by_sub[s], key=lambda r: r["cluster_id"])
+                )
+                entries.append(f"{_sql_lit(s, sub_t)}, array({arr})")
+            cmap = F.expr("map(" + ",".join(entries) + ")")
+            joined = pts.withColumn("cents", F.element_at(cmap, F.col("sub")))
+        except ValueError:
+            joined = None
+    if joined is None:
+        cents_row = cents.groupBy("sub").agg(
+            F.sort_array(
+                F.collect_list(F.struct("cluster_id", "centroid"))
+            ).alias("cents")
+        )
+        joined = pts.join(F.broadcast(cents_row), "sub")
     best = F.array_min(
         F.transform(
             F.col("cents"),
@@ -824,7 +864,7 @@ def _pq_assign(
             ),
         )
     )
-    return pts.join(F.broadcast(cents_row), "sub").select(
+    return joined.select(
         id_col, *carry, "sub", "_v", best["cluster_id"].alias("cluster_id")
     )
 
@@ -1070,6 +1110,45 @@ def _pq_partial(q: Column, cent: Column) -> Column:
     ).cast("decimal(18,6)")
 
 
+def _sql_lit(v, dt) -> str:
+    """SQL literal text reproducing value ``v`` of Spark type ``dt``
+    EXACTLY (longs verbatim, doubles via ``repr`` — shortest
+    round-trip decimal ⇒ the identical float64) — shared by
+    :func:`_local_metadata`'s VALUES form and the expression-literal
+    metadata paths (one ``F.expr`` parse JVM-side instead of thousands
+    of py4j Column calls: building the same tree node-by-node measured
+    ~8 s of driver time PER PLAN).  Raises ValueError on shapes with
+    no exact literal form (non-finite doubles, empty arrays, exotic
+    types) — callers fall back to the join/VALUES-free path."""
+    import math
+
+    from pyspark.sql import types as T
+
+    if v is None:
+        return f"CAST(NULL AS {dt.simpleString()})"
+    if isinstance(dt, T.DoubleType):
+        if not math.isfinite(v):
+            raise ValueError("non-finite double")
+        return repr(float(v)) + "D"
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return f"CAST({int(v)} AS {dt.simpleString()})"
+    if isinstance(dt, T.ArrayType):
+        if len(v) == 0:
+            # array() parses as array<void> — a silent type drift
+            raise ValueError("empty array has no typed literal")
+        return "array(" + ",".join(_sql_lit(x, dt.elementType) for x in v) + ")"
+    if isinstance(dt, T.StructType):
+        return (
+            "named_struct("
+            + ",".join(
+                f"'{f.name}', {_sql_lit(v[f.name], f.dataType)}"
+                for f in dt.fields
+            )
+            + ")"
+        )
+    raise ValueError(f"no literal form for {dt}")
+
+
 def _local_metadata(df: DataFrame) -> DataFrame:
     """Collect a METADATA-scale frame (index cells / codebooks —
     n_cells + m·ksub rows, a few KB) and rebuild it as a driver-local
@@ -1095,26 +1174,9 @@ def _local_metadata(df: DataFrame) -> DataFrame:
     the literal route; anything else — or non-finite doubles, which
     have no SQL literal — falls back to a 1-slice parallelized frame
     (same values, one tiny task per broadcast instead of zero)."""
-    import math
-
-    from pyspark.sql import types as T
-
     spark = df.sparkSession
     rows = df.collect()
     schema = df.schema
-
-    def lit(v, dt):
-        if v is None:
-            return f"CAST(NULL AS {dt.simpleString()})"
-        if isinstance(dt, T.DoubleType):
-            if not math.isfinite(v):
-                raise ValueError("non-finite double")
-            return repr(float(v)) + "D"
-        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
-            return f"CAST({int(v)} AS {dt.simpleString()})"
-        if isinstance(dt, T.ArrayType):
-            return "array(" + ",".join(lit(x, dt.elementType) for x in v) + ")"
-        raise ValueError(f"no literal form for {dt}")
 
     try:
         if not rows:
@@ -1123,7 +1185,9 @@ def _local_metadata(df: DataFrame) -> DataFrame:
             f"col{i + 1} AS {f.name}" for i, f in enumerate(schema.fields)
         )
         vals = ", ".join(
-            "(" + ", ".join(lit(r[f.name], f.dataType) for f in schema.fields) + ")"
+            "("
+            + ", ".join(_sql_lit(r[f.name], f.dataType) for f in schema.fields)
+            + ")"
             for r in rows
         )
         out = spark.sql(f"SELECT {cols} FROM VALUES {vals}")
@@ -1352,17 +1416,48 @@ def _frozen_residuals(
         from cherry_pipelines_spark.operators.text import fan_out
 
         df = fan_out(df)
+    from cherry_pipelines_spark.operators.clustering import _local_rows
+
     assigned = assign_clusters(df, cents, vec_col, id_col, k_hint=n_cells_hint)
-    cent_cols = cents.select(
-        F.col("cluster_id").alias("cell"), F.col("centroid").alias("_cent")
-    )
-    resid = assigned.join(
-        F.broadcast(cent_cols), assigned["cluster_id"] == cent_cols["cell"]
-    ).select(
-        F.col(id_col),
-        F.col("cell"),
-        F.zip_with(F.col("_v"), F.col("_cent"), lambda a, b: a - b).alias("_r"),
-    )
+    resid = None
+    local = _local_rows(cents)
+    if local:
+        # driver-local centroids: the broadcast join that re-attached
+        # each row's cell centroid becomes a constant-map lookup keyed
+        # by cluster_id (one JVM-parsed literal — see _sql_lit) — no
+        # broadcast build per action (round-14, guide §5).  Every
+        # assignment lands in one of these ids by construction (argmin
+        # over exactly this cell set), so the lookup never misses —
+        # same rows as the inner join.
+        try:
+            cid_t = cents.schema["cluster_id"].dataType
+            cent_t = cents.schema["centroid"].dataType
+            entries = ",".join(
+                f"{_sql_lit(r['cluster_id'], cid_t)}, "
+                f"{_sql_lit(r['centroid'], cent_t)}"
+                for r in local
+            )
+            cent_of = F.element_at(
+                F.expr(f"map({entries})"), F.col("cluster_id")
+            )
+            resid = assigned.select(
+                F.col(id_col),
+                F.col("cluster_id").alias("cell"),
+                F.zip_with(F.col("_v"), cent_of, lambda a, b: a - b).alias("_r"),
+            )
+        except ValueError:
+            resid = None
+    if resid is None:
+        cent_cols = cents.select(
+            F.col("cluster_id").alias("cell"), F.col("centroid").alias("_cent")
+        )
+        resid = assigned.join(
+            F.broadcast(cent_cols), assigned["cluster_id"] == cent_cols["cell"]
+        ).select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(F.col("_v"), F.col("_cent"), lambda a, b: a - b).alias("_r"),
+        )
     return resid.localCheckpoint(eager=False) if checkpoint else resid
 
 
