@@ -28,7 +28,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
                 "NULL"
                 if v is None or (isinstance(v, float) and pd.isna(v)) or v is pd.NaT
                 else (
-                    format(v, "f") if isinstance(v, Decimal) else
+                    # decimals through the SAME canonical text as floats
+                    # (1.227430 == 1.22743 == repr(1.22743)): Spark returns
+                    # DECIMAL objects where DuckDB's fetchdf materializes
+                    # float64 for the same column — the driver's comparator
+                    # treats those equal, the old format(v, "f") kept
+                    # trailing zeros and flagged value-identical rows
+                    repr(float(v)) if isinstance(v, Decimal) else
                     repr(float(v)) if isinstance(v, float) else
                     v.hex() if isinstance(v, (bytes, bytearray)) else
                     str(list(v)) if isinstance(v, (list, tuple)) else
@@ -76,6 +82,12 @@ def main() -> int:
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}")
             failed.append(name)
+            continue
+        if len(sdf) == 0:
+            # columns + zero rows on both sides: pandas .equals would
+            # still compare the EMPTY frames' dtypes (int64 vs object
+            # etc.), flagging value-identical results
+            print(f"PASS {name}: 0 rows")
             continue
         a, b = normalize(sdf), normalize(odf)
         if not a.equals(b):
